@@ -1,0 +1,383 @@
+"""PPM transport operators (Lin & Rood 1996 / Putman & Lin 2007).
+
+Re-implementation of /root/reference/model/tp_core.F90 (xppm:324, yppm:715,
+fv_tp_2d:85, pert_ppm:1206, deln_flux:1267) as vectorized JAX ops on padded
+per-tile arrays. The Fortran per-rank edge branches (``is==1``/``ie+1==npx``)
+become static index overrides — every tile spans its full face, so all four
+edges are always present.
+
+Index conventions (0-based, h = halo = 3, n = cells per side):
+  padded cells along an axis: local cell c in [-h, n+h) at array index c+h
+  walls: w in [0, n] between cells w-1 and w; extended wall arrays hold
+  w in [-1, n+1] at index w+1.
+All functions operate along the LAST axis; y-direction variants transpose.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ..parallel.halo import copy_corners
+
+# scheme constants (tp_core.F90:35-71)
+PPM_FAC = 1.5
+R3 = 1.0 / 3.0
+NEAR_ZERO = 1.0e-25
+R12 = 1.0 / 12.0
+S11, S14, S15 = 11.0 / 14.0, 4.0 / 7.0, 3.0 / 14.0
+C1, C2, C3 = -2.0 / 14.0, 11.0 / 14.0, 5.0 / 14.0
+P1, P2 = 7.0 / 12.0, -1.0 / 12.0
+
+
+def _edge_extrap(qm2, qm1, q0, q1, dm2, dm1, d0, d1):
+    """Mean of the two one-sided linear extrapolations to a tile-edge wall
+    (tp_core.F90:374-376 etc.): cells (m2, m1) inside one tile, (0, 1) in the
+    other; dxa widths likewise."""
+    left = ((2.0 * dm1 + dm2) * qm1 - dm1 * qm2) / (dm2 + dm1)
+    right = ((2.0 * d0 + d1) * q0 - d0 * q1) / (d0 + d1)
+    return 0.5 * (left + right)
+
+
+def _pert_ppm_iv1(q, bl, br):
+    """Standard PPM constraint, perturbation form (pert_ppm iv=1)."""
+    da1 = bl - br
+    da2 = da1 * da1
+    a6da = 3.0 * (bl + br) * da1
+    bl_new = jnp.where(a6da > da2, -2.0 * br, bl)
+    br_new = jnp.where(a6da < -da2, -2.0 * bl, br)
+    cross = bl * br < 0.0
+    bl = jnp.where(cross, bl_new, 0.0)
+    br = jnp.where(cross, br_new, 0.0)
+    return bl, br
+
+
+def _pert_ppm_iv0(q, bl, br):
+    """Positive-definite constraint (pert_ppm iv=0)."""
+    a4 = -3.0 * (br + bl)
+    da1 = br - bl
+    fmin = q + 0.25 / jnp.where(a4 == 0, 1.0, a4) * da1 * da1 + a4 * R12
+    need = (jnp.abs(da1) < -a4) & (fmin < 0.0) & (q > 0.0)
+    both_pos = (br > 0.0) & (bl > 0.0)
+    br_n = jnp.where(both_pos, 0.0, jnp.where(da1 > 0.0, -2.0 * bl, br))
+    bl_n = jnp.where(both_pos, 0.0, jnp.where(da1 > 0.0, bl, -2.0 * br))
+    bl = jnp.where(need, bl_n, jnp.where(q <= 0.0, 0.0, bl))
+    br = jnp.where(need, br_n, jnp.where(q <= 0.0, 0.0, br))
+    return bl, br
+
+
+def xppm(q, c, dxa, iord, lim_fac=1.0, edges=True):
+    """1-D PPM flux operator along the last axis (tp_core.F90 xppm:324).
+
+    q:   [..., n+2h] padded cells
+    c:   [..., n+1]  Courant numbers at walls 0..n (positive = flow +x)
+    dxa: [..., n+2h] padded A-grid cell widths (for edge extrapolations)
+    Returns flux [..., n+1]: the upwind cell-interface value q_f such that
+    mass flux = q_f * (wall mass flux).
+    `edges=False` disables cube-edge one-sided stencils (doubly-periodic
+    grid_type>=3 behavior).
+    """
+    h = 3
+    n = q.shape[-1] - 2 * h
+    mord = abs(iord)
+
+    def cell(cc, size=None):
+        """slice cells starting at local cell cc, length size."""
+        return q[..., h + cc: h + cc + (size or 1)]
+
+    qm = q    # alias
+
+    def Q(c0, c1):
+        """cells c0..c1 inclusive."""
+        return q[..., h + c0: h + c1 + 1]
+
+    def DXA(c0, c1):
+        return dxa[..., h + c0: h + c1 + 1]
+
+    if mord < 7:
+        # ---- linear PPM family -------------------------------------------
+        # interior al over walls w in [-1, n+1]
+        al = (P1 * (Q(-2, n) + Q(-1, n + 1))
+              + P2 * (Q(-3, n - 1) + Q(0, n + 2)))      # [..., n+3], w at w+1
+        if edges:
+            # west edge (walls -1, 0, 1)
+            al = al.at[..., 0].set(C1 * Q(-3, -3)[..., 0] + C2 * Q(-2, -2)[..., 0]
+                                   + C3 * Q(-1, -1)[..., 0])
+            xt_w = _edge_extrap(Q(-2, -2)[..., 0], Q(-1, -1)[..., 0],
+                                Q(0, 0)[..., 0], Q(1, 1)[..., 0],
+                                DXA(-2, -2)[..., 0], DXA(-1, -1)[..., 0],
+                                DXA(0, 0)[..., 0], DXA(1, 1)[..., 0])
+            al = al.at[..., 1].set(xt_w)
+            al = al.at[..., 2].set(C3 * Q(0, 0)[..., 0] + C2 * Q(1, 1)[..., 0]
+                                   + C1 * Q(2, 2)[..., 0])
+            # east edge (walls n-1, n, n+1)
+            al = al.at[..., n].set(C1 * Q(n - 3, n - 3)[..., 0]
+                                   + C2 * Q(n - 2, n - 2)[..., 0]
+                                   + C3 * Q(n - 1, n - 1)[..., 0])
+            xt_e = _edge_extrap(Q(n - 2, n - 2)[..., 0], Q(n - 1, n - 1)[..., 0],
+                                Q(n, n)[..., 0], Q(n + 1, n + 1)[..., 0],
+                                DXA(n - 2, n - 2)[..., 0], DXA(n - 1, n - 1)[..., 0],
+                                DXA(n, n)[..., 0], DXA(n + 1, n + 1)[..., 0])
+            al = al.at[..., n + 1].set(xt_e)
+            al = al.at[..., n + 2].set(C3 * Q(n, n)[..., 0] + C2 * Q(n + 1, n + 1)[..., 0]
+                                       + C1 * Q(n + 2, n + 2)[..., 0])
+        if iord < 0:
+            al = jnp.maximum(0.0, al)
+
+        qc = Q(-1, n)                      # cells -1..n, [..., n+2]
+        bl = al[..., :-1] - qc             # bl(c), c in [-1, n]
+        br = al[..., 1:] - qc
+        b0 = bl + br
+
+        if mord == 1:
+            smt5 = jnp.abs(lim_fac * b0) < jnp.abs(bl - br)
+        elif mord == 2:
+            smt5 = jnp.ones(b0.shape, bool)
+        elif mord == 3:
+            smt5 = jnp.abs(b0) < jnp.abs(bl - br)
+            smt6 = 3.0 * jnp.abs(b0) < jnp.abs(bl - br)
+        elif mord == 4:
+            smt5 = jnp.abs(b0) < jnp.abs(bl - br)
+            smt6 = 3.0 * jnp.abs(b0) < jnp.abs(bl - br)
+        else:  # 5, 6
+            if iord == 5 or iord == -5:
+                smt5 = bl * br < 0.0
+            else:
+                smt5 = 3.0 * jnp.abs(b0) < jnp.abs(bl - br)
+            if iord == -5:
+                da1 = br - bl
+                a4 = -3.0 * b0
+                cond = (jnp.abs(da1) < -a4) & (
+                    qc + 0.25 / jnp.where(a4 == 0, 1.0, a4) * da1 ** 2 + a4 * R12 < 0.0)
+                brn = jnp.where(~smt5, 0.0, jnp.where(da1 > 0.0, -2.0 * bl, br))
+                bln = jnp.where(~smt5, 0.0, jnp.where(da1 > 0.0, bl, -2.0 * br))
+                b0n = jnp.where(~smt5, 0.0, jnp.where(da1 > 0.0, -bl, -br))
+                bl = jnp.where(cond, bln, bl)
+                br = jnp.where(cond, brn, br)
+                b0 = jnp.where(cond, b0n, b0)
+            if edges:
+                # edge smt5 fix (tp_core.F90:536-546): cells -1,0 and n-1,n
+                crossed = bl * br < 0.0
+                for cc in (-1, 0, n - 1, n):
+                    smt5 = smt5.at[..., cc + 1].set(crossed[..., cc + 1])
+
+        cpos = c > 0.0
+        # upwind cells: left cell (w-1) for c>0 -> index w in bl/br arrays
+        # (bl/br index c+1; left cell w-1 -> w; right cell w -> w+1)
+        blL, brL, b0L = bl[..., :-1], br[..., :-1], b0[..., :-1]
+        blR, brR, b0R = bl[..., 1:], br[..., 1:], b0[..., 1:]
+        qL, qR = qc[..., :-1], qc[..., 1:]
+        fx1 = jnp.where(cpos, (1.0 - c) * (brL - c * b0L),
+                        (1.0 + c) * (blR + c * b0R))
+        low = jnp.where(cpos, qL, qR)
+        if mord == 2:
+            flux = low + fx1
+        elif mord == 3:
+            s5L, s5R = smt5[..., :-1], smt5[..., 1:]
+            s6L, s6R = smt6[..., :-1], smt6[..., 1:]
+            add = jnp.where(cpos, s5L | s6R, s6L | s5R)
+            flux = low + jnp.where(add, fx1, 0.0)
+        elif mord == 4:
+            s5 = smt5[..., :-1] & smt5[..., 1:]
+            s6 = smt6[..., :-1] | smt6[..., 1:]
+            flux = low + jnp.where(s5 | s6, fx1, 0.0)
+        else:  # 1, 5, 6
+            add = smt5[..., :-1] | smt5[..., 1:]
+            flux = low + jnp.where(add, fx1, 0.0)
+        return flux
+
+    # ---- monotone / PD families (iord >= 7) ------------------------------
+    # dm over cells [-2, n+1]
+    q3m = Q(-3, n)        # c-1 for cells [-2, n+1]
+    q3c = Q(-2, n + 1)
+    q3p = Q(-1, n + 2)
+    xt = 0.25 * (q3p - q3m)
+    dmax = jnp.maximum(jnp.maximum(q3m, q3c), q3p) - q3c
+    dmin = q3c - jnp.minimum(jnp.minimum(q3m, q3c), q3p)
+    dm = jnp.sign(xt) * jnp.minimum(jnp.minimum(jnp.abs(xt), dmax), dmin)
+    # dm index: cell c at c+2
+
+    # al over walls [-1, n+1] (index w+1): 0.5*(q(w-1)+q(w)) + (dm(w-1)-dm(w))/3
+    al = (0.5 * (Q(-2, n) + Q(-1, n + 1))
+          + R3 * (dm[..., :-1] - dm[..., 1:]))
+
+    qc = Q(-1, n)
+    dmc = dm[..., 1:]          # dm at cells [-1, n]
+
+    if iord == 8:
+        xt2 = 2.0 * dmc
+        bl = -jnp.sign(xt2) * jnp.minimum(jnp.abs(xt2), jnp.abs(al[..., :-1] - qc))
+        br = jnp.sign(xt2) * jnp.minimum(jnp.abs(xt2), jnp.abs(al[..., 1:] - qc))
+    elif iord == 11:
+        xt2 = PPM_FAC * dmc
+        bl = -jnp.sign(xt2) * jnp.minimum(jnp.abs(xt2), jnp.abs(al[..., :-1] - qc))
+        br = jnp.sign(xt2) * jnp.minimum(jnp.abs(xt2), jnp.abs(al[..., 1:] - qc))
+    elif iord == 10:
+        bl = al[..., :-1] - qc
+        br = al[..., 1:] - qc
+        # dq(c) = 2*(q(c+1)-q(c)) needed at cells c-2..c+1 around each cell
+        dq = 2.0 * (Q(-2, n + 3 - 1)[..., 1:] - Q(-2, n + 2)[..., :])  # placeholder
+        dq = 2.0 * (Q(-2, n + 2) - Q(-3, n + 1))  # dq(c-? ) -- recompute below
+        # dq(c) for c in [-3, n+1]: 2*(q(c+1) - q(c))
+        dqf = 2.0 * (Q(-2, n + 2) - Q(-3, n + 1))   # index c+3
+        def dqat(off):
+            # dq at cell c+off for c in [-1, n] -> index (c+off)+3
+            return dqf[..., 2 + off: 2 + off + n + 2]
+        dm_m = dm[..., :-1][..., :]                  # dm at c-1 (index c+1)
+        dm_c = dmc
+        dm_p = jnp.concatenate([dm[..., 2:], dm[..., -1:]], axis=-1)  # dm at c+1
+        # dm at c+1 for c in [-1, n] = dm index c+3 -> dm[..., 3:n+4] but dm has
+        # cells [-2, n+1] (length n+4): c+1 max = n+1 ok
+        dm_p = dm[..., 2:]
+        flat = (jnp.abs(dm[..., :-2]) + jnp.abs(dm[..., 1:-1])
+                + jnp.abs(dm[..., 2:])) < NEAR_ZERO
+        # ^ |dm(c-1)|+|dm(c)|+|dm(c+1)| for c in [-1, n]
+        big = jnp.abs(3.0 * (bl + br)) > jnp.abs(bl - br)
+        pmp_2 = dqat(-1)
+        lac_2 = pmp_2 - 0.75 * dqat(-2)
+        br_c = jnp.minimum(jnp.maximum(0.0, jnp.maximum(pmp_2, lac_2)),
+                           jnp.maximum(br, jnp.minimum(0.0, jnp.minimum(pmp_2, lac_2))))
+        pmp_1 = -dqat(0)
+        lac_1 = pmp_1 + 0.75 * dqat(1)
+        bl_c = jnp.minimum(jnp.maximum(0.0, jnp.maximum(pmp_1, lac_1)),
+                           jnp.maximum(bl, jnp.minimum(0.0, jnp.minimum(pmp_1, lac_1))))
+        bl = jnp.where(flat, 0.0, jnp.where(big, bl_c, bl))
+        br = jnp.where(flat, 0.0, jnp.where(big, br_c, br))
+    elif iord == 7 or iord == 12:
+        bl = al[..., :-1] - qc
+        br = al[..., 1:] - qc
+        a4 = -3.0 * (bl + br)
+        da1 = br - bl
+        ext5 = br * bl > 0.0
+        ext6 = jnp.abs(da1) < -a4
+        fmin = qc + 0.25 / jnp.where(a4 == 0, 1.0, a4) * da1 ** 2 + a4 * R12
+        fix = ext6 & (fmin < 0.0)
+        br_n = jnp.where(ext5, 0.0, jnp.where(da1 > 0.0, -2.0 * bl, br))
+        bl_n = jnp.where(ext5, 0.0, jnp.where(da1 > 0.0, bl, -2.0 * br))
+        bl = jnp.where(fix, bl_n, bl)
+        br = jnp.where(fix, br_n, br)
+    else:   # 9, 13 and others: plain al then pert_ppm PD constraint
+        bl = al[..., :-1] - qc
+        br = al[..., 1:] - qc
+
+    if iord in (9, 13):
+        bl, br = _pert_ppm_iv0(qc, bl, br)
+
+    if edges:
+        # ---- tile-edge overrides (tp_core.F90:634-676) -------------------
+        def q0(cc):
+            return q[..., h + cc]
+
+        def dx0(cc):
+            return dxa[..., h + cc]
+
+        def dm0(cc):
+            return dm[..., cc + 2]
+        # west: cells -1, 0, 1 (bl/br index c+1 -> 0,1,2)
+        bl_m1 = S14 * dm0(-2) + S11 * (q0(-2) - q0(-1))
+        xt_w = _edge_extrap(q0(-2), q0(-1), q0(0), q0(1),
+                            dx0(-2), dx0(-1), dx0(0), dx0(1))
+        qmin = jnp.minimum(jnp.minimum(q0(-2), q0(-1)), jnp.minimum(q0(0), q0(1)))
+        qmax = jnp.maximum(jnp.maximum(q0(-2), q0(-1)), jnp.maximum(q0(0), q0(1)))
+        xt_w = jnp.clip(xt_w, qmin, qmax)
+        br_m1 = xt_w - q0(-1)
+        bl_0 = xt_w - q0(0)
+        xt2 = S15 * q0(0) + S11 * q0(1) - S14 * dm0(1)
+        br_0 = xt2 - q0(0)
+        bl_1 = xt2 - q0(1)
+        br_1 = al[..., 3] - q0(1)        # al at wall 2
+        blw = jnp.stack([bl_m1, bl_0, bl_1], axis=-1)
+        brw = jnp.stack([br_m1, br_0, br_1], axis=-1)
+        qw = jnp.stack([q0(-1), q0(0), q0(1)], axis=-1)
+        blw, brw = _pert_ppm_iv1(qw, blw, brw)
+        bl = bl.at[..., 0:3].set(blw)
+        br = br.at[..., 0:3].set(brw)
+        # east: cells n-2, n-1, n (index c+1 -> n-1, n, n+1)
+        bl_n2 = al[..., n - 1] - q0(n - 2)   # al at wall n-2
+        xt3 = S15 * q0(n - 1) + S11 * q0(n - 2) + S14 * dm0(n - 2)
+        br_n2 = xt3 - q0(n - 2)
+        bl_n1 = xt3 - q0(n - 1)
+        xt_e = _edge_extrap(q0(n - 2), q0(n - 1), q0(n), q0(n + 1),
+                            dx0(n - 2), dx0(n - 1), dx0(n), dx0(n + 1))
+        qmin = jnp.minimum(jnp.minimum(q0(n - 2), q0(n - 1)),
+                           jnp.minimum(q0(n), q0(n + 1)))
+        qmax = jnp.maximum(jnp.maximum(q0(n - 2), q0(n - 1)),
+                           jnp.maximum(q0(n), q0(n + 1)))
+        xt_e = jnp.clip(xt_e, qmin, qmax)
+        br_n1 = xt_e - q0(n - 1)
+        bl_n = xt_e - q0(n)
+        br_n = S11 * (q0(n + 1) - q0(n)) - S14 * dm0(n + 1)
+        ble = jnp.stack([bl_n2, bl_n1, bl_n], axis=-1)
+        bre = jnp.stack([br_n2, br_n1, br_n], axis=-1)
+        qe = jnp.stack([q0(n - 2), q0(n - 1), q0(n)], axis=-1)
+        ble, bre = _pert_ppm_iv1(qe, ble, bre)
+        bl = bl.at[..., n - 1:n + 2].set(ble)
+        br = br.at[..., n - 1:n + 2].set(bre)
+
+    b0 = bl + br
+    cpos = c > 0.0
+    qL, qR = qc[..., :-1], qc[..., 1:]
+    blL, brL, b0L = bl[..., :-1], br[..., :-1], b0[..., :-1]
+    blR, brR, b0R = bl[..., 1:], br[..., 1:], b0[..., 1:]
+    if iord == 7:
+        smt5 = bl * br < 0.0
+        fx1 = jnp.where(cpos, (1.0 - c) * (brL - c * b0L),
+                        (1.0 + c) * (blR + c * b0R))
+        add = smt5[..., :-1] | smt5[..., 1:]
+        return jnp.where(cpos, qL, qR) + jnp.where(add, fx1, 0.0)
+    return jnp.where(cpos,
+                     qL + (1.0 - c) * (brL - c * b0L),
+                     qR + (1.0 + c) * (blR + c * b0R))
+
+
+def yppm(q, c, dya, jord, lim_fac=1.0, edges=True):
+    """1-D PPM flux along the second-to-last axis (tp_core.F90 yppm:715)."""
+    qt = jnp.swapaxes(q, -1, -2)
+    ct = jnp.swapaxes(c, -1, -2)
+    dt = jnp.swapaxes(dya, -1, -2)
+    return jnp.swapaxes(xppm(qt, ct, dt, jord, lim_fac, edges), -1, -2)
+
+
+def fv_tp_2d(q, crx, cry, hord, xfx, yfx, area, ra_x, ra_y, dxa, dya,
+             h=3, lim_fac=1.0, mfx=None, mfy=None, edges=True):
+    """2-D flux-form advection operator (tp_core.F90 fv_tp_2d:85).
+
+    Shapes (n = cells/side, P = n+2h, W = n+1):
+      q:         [..., P, P]   padded scalar (halo-exchanged)
+      crx, xfx:  [..., P, W]   Courant/area-flux at x-walls, all padded rows
+      cry, yfx:  [..., W, P]   same at y-walls, all padded cols
+      area:      [..., P, P]   padded cell areas
+      ra_x:      [..., P, n]   area + xfx(w) - xfx(w+1), all padded rows
+      ra_y:      [..., n, P]
+      mfx/mfy:   [..., n, W] / [..., W, n]  optional mass fluxes
+    Returns (fx, fy): fluxes on compute walls [..., n, W], [..., W, n]
+    (already multiplied by mass flux / area flux).
+    """
+    n = q.shape[-1] - 2 * h
+    ord_in = 8 if hord == 10 else hord
+    ord_ou = hord
+    ctr = slice(h, h + n)
+
+    # y-inner sweep
+    qy = copy_corners(q, h, 2) if edges else q
+    fy2 = yppm(qy, cry, dya, ord_in, lim_fac, edges)          # [..., W, P]
+    fyy = yfx * fy2
+    q_i = (q[..., ctr, :] * area[..., ctr, :]
+           + fyy[..., :-1, :] - fyy[..., 1:, :]) / ra_y       # [..., n, P]
+    fx_ou = xppm(q_i, crx[..., ctr, :], dxa[..., ctr, :], ord_ou,
+                 lim_fac, edges)                               # [..., n, W]
+
+    # x-inner sweep
+    qx = copy_corners(q, h, 1) if edges else q
+    fx2 = xppm(qx, crx, dxa, ord_in, lim_fac, edges)          # [..., P, W]
+    fx1 = xfx * fx2
+    q_j = (q[..., :, ctr] * area[..., :, ctr]
+           + fx1[..., :, :-1] - fx1[..., :, 1:]) / ra_x       # [..., P, n]
+    fy_ou = yppm(q_j, cry[..., :, ctr], dya[..., :, ctr], ord_ou,
+                 lim_fac, edges)                               # [..., W, n]
+
+    if mfx is not None:
+        fx = 0.5 * (fx_ou + fx2[..., ctr, :]) * mfx
+        fy = 0.5 * (fy_ou + fy2[..., :, ctr]) * mfy
+    else:
+        fx = 0.5 * (fx_ou + fx2[..., ctr, :]) * xfx[..., ctr, :]
+        fy = 0.5 * (fy_ou + fy2[..., :, ctr]) * yfx[..., :, ctr]
+    return fx, fy

@@ -1,0 +1,168 @@
+"""Halo exchange for the single-array (whole-cube-on-device) execution mode.
+
+Replaces FMS ``mpp_update_domains`` / ``start|complete_group_halo_update``
+(/root/reference/tools/fv_mp_mod.F90:646-879) for the case where all 6 tiles
+live in one array ``[6, ..., ny, nx]``. Halos are materialized transiently as
+padded operand arrays via a single XLA gather with precomputed static indices
+(derived from the numeric cube topology); there are no persistent ghost cells
+in the state (SURVEY.md §7 design stance).
+
+The multi-device path (shard_map + ppermute) reuses the same index maps per
+tile edge; see parallel/mesh.py.
+
+`copy_corners` reproduces /root/reference/model/tp_core.F90:245-320: before a
+directional advection sweep, tile-corner halo blocks are filled from the
+tile's own halo strips (transposed) so that 1-D stencils can sweep straight
+through the corners.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..grid.topology import CubeTopology
+
+
+class HaloExchanger:
+    """Precomputed halo gather maps for one (n, h) configuration."""
+
+    def __init__(self, topo: CubeTopology, h: int):
+        self.topo = topo
+        self.n = topo.n
+        self.h = h
+        n = self.n
+        # cell-centered scalars
+        t, j, i, valid = topo.cell_halo_spec(h)
+        self._cell_flat = jnp.asarray(t * (n * n) + j * n + i)
+        # corner-point (B-grid) scalars
+        t, j, i, valid = topo.corner_halo_spec(h)
+        m = n + 1
+        self._corner_flat = jnp.asarray(t * (m * m) + j * m + i)
+        # D-grid vector (u on y-walls, v on x-walls)
+        self._dgrid = self._vector_spec(h, "D")
+        # C-grid vector (uc on x-walls, vc on y-walls)
+        self._cgrid = self._vector_spec(h, "C")
+
+    def _vector_spec(self, h, grid):
+        n = self.n
+        specs = self.topo.vector_halo_spec(h, grid)
+        ly = (n + 1) * n          # y-wall component length (u / vc)
+        out = {}
+        for name, s in specs.items():
+            # comp 0 = y-wall field, 1 = x-wall field; flat offset within tile
+            inner = jnp.asarray(
+                np.where(s["comp"] == 0,
+                         s["jidx"] * n + s["iidx"],
+                         ly + s["jidx"] * (n + 1) + s["iidx"])
+                + s["tidx"] * ((n + 1) * n * 2))
+            out[name] = (inner, jnp.asarray(s["sign"].astype(np.float32)))
+        return out
+
+    # -- scalar pads ---------------------------------------------------
+
+    def pad_cell(self, q):
+        """[6, ..., n, n] -> [6, ..., n+2h, n+2h] (corner blocks garbage)."""
+        return self._gather(q, self._cell_flat, self.n * self.n)
+
+    def pad_corner(self, q):
+        m = self.n + 1
+        return self._gather(q, self._corner_flat, m * m)
+
+    def _gather(self, q, flat_idx, L):
+        batch = q.shape[1:-2]
+        qf = jnp.moveaxis(q.reshape(q.shape[0], *batch, L), 0, -2)
+        qf = qf.reshape(*batch, q.shape[0] * L)
+        out = qf[..., flat_idx]                      # [batch..., 6, P, P]
+        return jnp.moveaxis(out, -3, 0)
+
+    # -- vector pads -----------------------------------------------------
+
+    def _pad_vector(self, u, v, spec):
+        """u: y-wall [6, ..., n+1, n]; v: x-wall [6, ..., n, n+1] (or the
+        C-grid equivalents with u<->x-wall). Returns padded (u, v) with
+        cross-edge component rotation and sign flips."""
+        n = self.n
+        batch = u.shape[1:-2]
+        ly = (n + 1) * n
+        src = jnp.concatenate(
+            [u.reshape(u.shape[0], *batch, ly), v.reshape(v.shape[0], *batch, ly)],
+            axis=-1)
+        src = jnp.moveaxis(src, 0, -2).reshape(*batch, u.shape[0] * 2 * ly)
+        outs = []
+        for name in ("u", "v"):
+            idx, sign = spec[name]
+            o = src[..., idx] * sign
+            outs.append(jnp.moveaxis(o, -3, 0))
+        return tuple(outs)
+
+    def pad_dgrid(self, u, v):
+        """D-grid winds: u [6,...,n+1,n], v [6,...,n,n+1] ->
+        padded [6,...,n+1+2h,n+2h], [6,...,n+2h,n+1+2h]."""
+        return self._pad_vector(u, v, self._dgrid)
+
+    def pad_cgrid(self, uc, vc):
+        """C-grid winds: uc x-wall [6,...,n,n+1], vc y-wall [6,...,n+1,n]."""
+        # internal spec convention (topology.vector_halo_spec grid="C"):
+        # 'u' output = uc (x-wall), 'v' output = vc (y-wall); source comp 0 is
+        # the y-wall field which for C grid is vc.
+        n = self.n
+        batch = uc.shape[1:-2]
+        ly = (n + 1) * n
+        src = jnp.concatenate(
+            [vc.reshape(vc.shape[0], *batch, ly),
+             uc.reshape(uc.shape[0], *batch, ly)], axis=-1)
+        src = jnp.moveaxis(src, 0, -2).reshape(*batch, uc.shape[0] * 2 * ly)
+        idx, sign = self._cgrid["u"]
+        uc_p = jnp.moveaxis(src[..., idx] * sign, -3, 0)
+        idx, sign = self._cgrid["v"]
+        vc_p = jnp.moveaxis(src[..., idx] * sign, -3, 0)
+        return uc_p, vc_p
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=32)
+def _corner_fill_idx(n, h, direction):
+    """Corner-block source index maps, transcribed 1:1 from the Fortran
+    formulas in tp_core.F90:258-318. Returns a list of
+    (jslice, islice, src_j [h,h], src_i [h,h]) in padded coordinates.
+    Fortran cell index if in [1-h, n+h]; padded index = if - 1 + h."""
+    npx = npy = n + 1
+    out = []
+
+    def block(i_f, j_f, src):
+        jj, ii = np.meshgrid(j_f, i_f, indexing="ij")
+        si, sj = src(ii, jj)                 # formulas give (i', j') in f idx
+        jsl = slice(j_f[0] - 1 + h, j_f[-1] + h)
+        isl = slice(i_f[0] - 1 + h, i_f[-1] + h)
+        return (jsl, isl, (sj - 1 + h).astype(np.int32),
+                (si - 1 + h).astype(np.int32))
+
+    lo = np.arange(1 - h, 1)                 # f halo indices 1-h..0
+    hi_i = np.arange(npx, npx + h)
+    hi_j = np.arange(npy, npy + h)
+    if direction == 1:   # XDir (tp_core.F90:258-287)
+        out.append(block(lo, lo, lambda i, j: (j, 1 - i)))                  # sw
+        out.append(block(hi_i, lo, lambda i, j: (npy - j, i - npx + 1)))    # se
+        out.append(block(hi_i, hi_j, lambda i, j: (j, 2 * npx - 1 - i)))    # ne
+        out.append(block(lo, hi_j, lambda i, j: (npy - j, i - 1 + npx)))    # nw
+    else:                # YDir (tp_core.F90:289-318)
+        out.append(block(lo, lo, lambda i, j: (1 - j, i)))                  # sw
+        out.append(block(hi_i, lo, lambda i, j: (npy + j - 1, npx - i)))    # se
+        out.append(block(hi_i, hi_j, lambda i, j: (i, 2 * npy - 1 - j)))    # ne
+        out.append(block(lo, hi_j, lambda i, j: (j + 1 - npx, npy - i)))    # nw
+    return out
+
+
+def copy_corners(q, h, direction):
+    """Fill the 4 corner halo blocks of a padded cell array for a directional
+    sweep (tp_core.F90:245-320). q: [..., P, P] padded with halo h,
+    direction: 1 = x-sweep, 2 = y-sweep. Returns updated array."""
+    P = q.shape[-1]
+    n = P - 2 * h
+    for jsl, isl, sj, si in _corner_fill_idx(n, h, direction):
+        q = q.at[..., jsl, isl].set(q[..., sj, si])
+    return q

@@ -540,6 +540,7 @@ def build_grid_geometry(npx, ng=3, radius=con.RADIUS, omega=con.OMEGA,
         edge_vect_s=edge_vect_s, edge_vect_n=edge_vect_n,
         fC=cornc(fC), f0=cellc(f0),
     )
+    _fill_metric_corners(arrays, n, hg)
     # reciprocals
     for nm, rec in (("dx", "rdx"), ("dy", "rdy"), ("dxa", "rdxa"),
                     ("dya", "rdya"), ("dxc", "rdxc"), ("dyc", "rdyc"),
@@ -557,6 +558,71 @@ def build_grid_geometry(npx, ng=3, radius=con.RADIUS, omega=con.OMEGA,
     geom.da_min_c, geom.da_max_c = float(aci.min()), float(aci.max())
     geom.global_area = float(ai.sum())
     return geom
+
+
+def _fill_metric_corners(arrays, n, hg):
+    """Corner-region fills of the metric arrays, matching the reference
+    (fv_grid_tools.F90:782 fill_corners(dx,dy,DGRID), :827 (dxa,dya,AGRID),
+    :942 (dxc,dyc,CGRID), :981 area_c BGRID; fv_mp_mod.F90:1249-1456
+    formulas, mySign=+1 for the length metrics). Without these the stencil
+    sweeps through tile corners consume big_number poison exactly where the
+    reference consumes filled values."""
+    npx = npy = n + 1
+    ng = hg
+
+    def f(i):
+        return i - 1 + hg
+
+    dxa, dya = arrays["dxa"], arrays["dya"]
+    dx, dy = arrays["dx"], arrays["dy"]
+    dxc, dyc = arrays["dxc"], arrays["dyc"]
+    for j in range(1, ng + 1):
+        for i in range(1, ng + 1):
+            # ---- AGRID (dxa = x, dya = y) -------------------------------
+            dxa[:, f(1 - j), f(1 - i)] = dya[:, f(i), f(1 - j)]
+            dxa[:, f(npy - 1 + j), f(1 - i)] = dya[:, f(npy - i), f(1 - j)]
+            dxa[:, f(1 - j), f(npx - 1 + i)] = dya[:, f(i), f(npx - 1 + j)]
+            dxa[:, f(npy - 1 + j), f(npx - 1 + i)] = dya[:, f(npy - i), f(npx - 1 + j)]
+    for j in range(1, ng + 1):
+        for i in range(1, ng + 1):
+            dya[:, f(1 - i), f(1 - j)] = dxa[:, f(1 - j), f(i)]
+            dya[:, f(npy - 1 + i), f(1 - j)] = dxa[:, f(npy - 1 + j), f(i)]
+            dya[:, f(1 - i), f(npx - 1 + j)] = dxa[:, f(1 - j), f(npx - i)]
+            dya[:, f(npy - 1 + i), f(npx - 1 + j)] = dxa[:, f(npy - 1 + j), f(npx - i)]
+    for j in range(1, ng + 1):
+        for i in range(1, ng + 1):
+            # ---- DGRID (dx = x on y-walls, dy = y on x-walls) -----------
+            dx[:, f(1 - j), f(1 - i)] = dy[:, f(i), f(1 - j)]
+            dx[:, f(npy + j), f(1 - i)] = dy[:, f(npy - i), f(1 - j)]
+            dx[:, f(1 - j), f(npx - 1 + i)] = dy[:, f(i), f(npx + j)]
+            dx[:, f(npy + j), f(npx - 1 + i)] = dy[:, f(npy - i), f(npx + j)]
+    for j in range(1, ng + 1):
+        for i in range(1, ng + 1):
+            dy[:, f(1 - j), f(1 - i)] = dx[:, f(1 - i), f(j)]
+            dy[:, f(npy - 1 + j), f(1 - i)] = dx[:, f(npy + i), f(j)]
+            dy[:, f(1 - j), f(npx + i)] = dx[:, f(1 - i), f(npx - j)]
+            dy[:, f(npy - 1 + j), f(npx + i)] = dx[:, f(npy + i), f(npx - j)]
+    for j in range(1, ng + 1):
+        for i in range(1, ng + 1):
+            # ---- CGRID (dxc = x on x-walls, dyc = y on y-walls) ---------
+            dxc[:, f(1 - j), f(1 - i)] = dyc[:, f(1 - i), f(j)]
+            dxc[:, f(npy - 1 + j), f(1 - i)] = dyc[:, f(npy + i), f(j)]
+            dxc[:, f(1 - j), f(npx + i)] = dyc[:, f(1 - i), f(npx - j)]
+            dxc[:, f(npy - 1 + j), f(npx + i)] = dyc[:, f(npy + i), f(npx - j)]
+    for j in range(1, ng + 1):
+        for i in range(1, ng + 1):
+            dyc[:, f(1 - j), f(1 - i)] = dxc[:, f(i), f(1 - j)]
+            dyc[:, f(npy + j), f(1 - i)] = dxc[:, f(npy - i), f(1 - j)]
+            dyc[:, f(1 - j), f(npx - 1 + i)] = dxc[:, f(i), f(npx + j)]
+            dyc[:, f(npy + j), f(npx - 1 + i)] = dxc[:, f(npy - i), f(npx + j)]
+    # ---- area_c: BGRID XDir fill (fv_mp_mod.F90:952-961) ----------------
+    ac = arrays["area_c"]
+    for j in range(1, ng + 1):
+        for i in range(1, ng + 1):
+            ac[:, f(1 - j), f(1 - i)] = ac[:, f(i + 1), f(1 - j)]
+            ac[:, f(npy + j), f(1 - i)] = ac[:, f(npy - i), f(1 - j)]
+            ac[:, f(1 - j), f(npx + i)] = ac[:, f(i + 1), f(npx + j)]
+            ac[:, f(npy + j), f(npx + i)] = ac[:, f(npy - i), f(npx + j)]
 
 
 @lru_cache(maxsize=4)

@@ -1,0 +1,183 @@
+"""Williamson shallow-water test-case initializations (cases 1, 2, 5, 6).
+
+Host-side f64 transcriptions of /root/reference/tools/test_cases.F90
+(init_case SW select at :784; case 1 cosine bell :923, case 2 balanced zonal
+flow :943, case 5 mountain flow :1120, case 6 Rossby-Haurwitz :1160) and
+init_winds (:211; defOnGrid 1 = C-grid streamfunction winds, 5 = D-grid
+edge-projected analytic winds).
+
+In SW mode delp carries the geopotential g*h (the reference stores it in the
+delp slot), pt == 1. Returned fields are compute-domain arrays [6, 1, ...]
+except case 1's uc/vc which are returned PADDED (they are analytic constants
+consumed directly by d_sw's advection branch).
+"""
+
+import numpy as np
+
+from .. import constants as con
+from ..grid.gnomonic import xyz_to_lonlat, normalize, great_circle_angle
+
+H = 3
+DAY = 86400.0
+
+
+def _unit_vect_latlon(lon, lat):
+    sl, cl = np.sin(lon), np.cos(lon)
+    st, ct = np.sin(lat), np.cos(lat)
+    elon = np.stack([-sl, cl, np.zeros_like(sl)], axis=-1)
+    elat = np.stack([-st * cl, -st * sl, ct], axis=-1)
+    return elon, elat
+
+
+def _unit_vect2(p1, p2):
+    """Unit vector at the p1-p2 midpoint pointing p1 -> p2 (great circle)."""
+    pm = normalize(p1 + p2)
+    p3 = np.cross(p2, p1)
+    return normalize(np.cross(pm, p3))
+
+
+def _project_dgrid(fn, geom):
+    """Project an analytic lat-lon wind field onto D-grid walls
+    (test_cases.F90:464-495, defOnGrid==5). fn(lon, lat) -> (u_ll, v_ll).
+    Returns padded (u [6,NW,NC], v [6,NC,NW]) float64."""
+    gxyz = geom.arrays["grid_xyz"]
+
+    def comp(p1, p2):
+        mid = normalize(p1 + p2)
+        e = _unit_vect2(p1, p2)
+        lon, lat = xyz_to_lonlat(mid)
+        ex, ey = _unit_vect_latlon(lon, lat)
+        ul, vl = fn(lon, lat)
+        return ul * np.sum(e * ex, -1) + vl * np.sum(e * ey, -1)
+
+    u = comp(gxyz[:, :, :-1], gxyz[:, :, 1:])        # y-walls
+    v = comp(gxyz[:, :-1, :], gxyz[:, 1:, :])        # x-walls
+    return np.nan_to_num(u), np.nan_to_num(v)
+
+
+def _interior(a, geom, kind):
+    n, h = geom.n, H
+    if kind == "cell":
+        return a[:, h:h + n, h:h + n]
+    if kind == "u":
+        return a[:, h:h + n + 1, h:h + n]
+    if kind == "v":
+        return a[:, h:h + n, h:h + n + 1]
+    raise ValueError(kind)
+
+
+def _k1(a):
+    return np.asarray(a)[:, None]
+
+
+def solid_body(ubar, alpha=0.0):
+    def fn(lon, lat):
+        u = ubar * (np.cos(lat) * np.cos(alpha)
+                    + np.sin(lat) * np.cos(lon) * np.sin(alpha))
+        v = -ubar * np.sin(lon) * np.sin(alpha)
+        return u, v
+    return fn
+
+
+def case1(geom, alpha=0.0):
+    """Cosine-bell advection (test_cases.F90:923-942). Returns dict with
+    delp [6,1,n,n], padded uc/vc, phi0 (the initial bell, for error norms)."""
+    R = geom.radius
+    ubar = 2.0 * np.pi * R / (12.0 * DAY)
+    gh0 = 1.0
+    r0 = R / 3.0
+    lam = geom.arrays["aglon"]
+    th = geom.arrays["aglat"]
+    # great-circle distance from (pi/2, 0)
+    p1 = np.stack([np.cos(0.0) * np.cos(np.pi / 2.0),
+                   np.cos(0.0) * np.sin(np.pi / 2.0), np.sin(0.0)])
+    pa = np.stack([np.cos(th) * np.cos(lam), np.cos(th) * np.sin(lam),
+                   np.sin(th)], axis=-1)
+    r = great_circle_angle(pa, p1) * R
+    delp = np.where(r < r0, gh0 * 0.5 * (1.0 + np.cos(np.pi * r / r0)), 0.0)
+    delp = np.nan_to_num(delp)
+
+    # C-grid streamfunction winds (init_winds defOnGrid==1, :385-403)
+    lon = geom.arrays["lon"]
+    lat = geom.arrays["lat"]
+    psi_b = -ubar * R * (np.sin(lat) * np.cos(alpha)
+                         - np.cos(lon) * np.cos(lat) * np.sin(alpha))
+    with np.errstate(all="ignore"):
+        vc = (psi_b[:, :, 1:] - psi_b[:, :, :-1]) / geom.arrays["dx"]
+        uc = -(psi_b[:, 1:, :] - psi_b[:, :-1, :]) / geom.arrays["dy"]
+    uc = np.nan_to_num(uc)
+    vc = np.nan_to_num(vc)
+    return dict(delp=_k1(_interior(delp, geom, "cell")),
+                uc=_k1(uc), vc=_k1(vc),
+                phi0=_k1(_interior(delp, geom, "cell")))
+
+
+def case2(geom, alpha=0.0):
+    """Geostrophically balanced zonal flow (test_cases.F90:943-992)."""
+    R, omega = geom.radius, geom.omega
+    ubar = 2.0 * np.pi * R / (12.0 * DAY)
+    gh0 = 2.94e4
+    lam = geom.arrays["aglon"]
+    th = geom.arrays["aglat"]
+    delp = gh0 - (R * omega * ubar + 0.5 * ubar ** 2) * (
+        -np.cos(lam) * np.cos(th) * np.sin(alpha)
+        + np.sin(th) * np.cos(alpha)) ** 2
+    u, v = _project_dgrid(solid_body(ubar, alpha), geom)
+    phis = np.zeros_like(delp)
+    return dict(delp=_k1(_interior(np.nan_to_num(delp), geom, "cell")),
+                u=_k1(_interior(u, geom, "u")),
+                v=_k1(_interior(v, geom, "v")),
+                phis=_k1(_interior(phis, geom, "cell")))
+
+
+def case5(geom):
+    """Zonal flow over an isolated mountain (test_cases.F90:1120-1158)."""
+    R, omega = geom.radius, geom.omega
+    ubar = 20.0
+    gh0 = 5960.0 * con.GRAV
+    r0 = np.pi / 9.0
+    lam = geom.arrays["aglon"]
+    th = geom.arrays["aglat"]
+    r = np.sqrt(np.minimum(r0 ** 2, (lam - 0.5 * np.pi) ** 2
+                           + (th - np.pi / 6.0) ** 2))
+    phis = 2000.0 * con.GRAV * (1.0 - r / r0)
+    delp = gh0 - (R * omega * ubar + 0.5 * ubar ** 2) * np.sin(th) ** 2 - phis
+    u, v = _project_dgrid(solid_body(ubar), geom)
+    return dict(delp=_k1(_interior(np.nan_to_num(delp), geom, "cell")),
+                u=_k1(_interior(u, geom, "u")),
+                v=_k1(_interior(v, geom, "v")),
+                phis=_k1(_interior(np.nan_to_num(phis), geom, "cell")))
+
+
+def case6(geom):
+    """Rossby-Haurwitz wavenumber-4 (test_cases.F90:1160-1212)."""
+    R_, omega = geom.radius, geom.omega
+    gh0 = 8.0e3 * con.GRAV
+    Rw = 4.0
+    omg = 7.848e-6
+    rk = 7.848e-6
+    lam = geom.arrays["aglon"]
+    th = geom.arrays["aglat"]
+    c = np.cos(th)
+    A = (0.5 * omg * (2.0 * omega + omg) * c ** 2
+         + 0.25 * rk * rk * c ** (2.0 * Rw) * (
+             (Rw + 1.0) * c ** 2 + (2.0 * Rw * Rw - Rw - 2.0)
+             - 2.0 * Rw * Rw * c ** (-2.0)))
+    B = (2.0 * (omega + omg) * rk / ((Rw + 1.0) * (Rw + 2.0)) * c ** Rw
+         * ((Rw * Rw + 2.0 * Rw + 2.0) - ((Rw + 1.0) * c) ** 2))
+    Cc = 0.25 * rk * rk * c ** (2.0 * Rw) * ((Rw + 1.0) * c ** 2 - (Rw + 2.0))
+    delp = gh0 + R_ ** 2 * (A + B * np.cos(Rw * lam) + Cc * np.cos(2.0 * Rw * lam))
+
+    def fn(lon, lat):
+        cl = np.cos(lat)
+        u = (R_ * omg * cl + R_ * rk * cl ** (Rw - 1.0)
+             * (Rw * np.sin(lat) ** 2 - cl ** 2) * np.cos(Rw * lon))
+        v = -R_ * rk * Rw * np.sin(lat) * np.sin(Rw * lon) * cl ** (Rw - 1.0)
+        return u, v
+
+    u, v = _project_dgrid(fn, geom)
+    phis = np.zeros_like(delp)
+    return dict(delp=_k1(_interior(np.nan_to_num(delp), geom, "cell")),
+                u=_k1(_interior(u, geom, "u")),
+                v=_k1(_interior(v, geom, "v")),
+                phis=_k1(_interior(phis, geom, "cell")))

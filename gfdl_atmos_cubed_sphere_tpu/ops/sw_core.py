@@ -1,0 +1,1025 @@
+"""Lin-Rood shallow-water solvers on Lagrangian surfaces (C-grid + D-grid).
+
+Re-implementation of /root/reference/model/sw_core.F90 (c_sw:79, d_sw:494,
+d2a2c_vect:3006, divergence_corner:1740, del6_vt_flux:1608, xtp_u:2154,
+ytp_v:2524) as vectorized JAX ops on padded whole-face arrays [..., y, x].
+
+Index conventions (H = 3 halo; Fortran 1-based index p -> padded index p-1+H):
+  cell arrays    [..., NC, NC],  NC = n+2H     (delp, pt, w, ua, va)
+  y-wall arrays  [..., NW, NC],  NW = n+1+2H   (u, vc, vt, cry, yfx)
+  x-wall arrays  [..., NC, NW]                 (v, uc, ut, crx, xfx)
+  corner arrays  [..., NW, NW]                 (divg_d, ke, vort, ub, vb)
+
+Every tile spans a full cube face, so all four edges/corners are present and
+the reference's per-rank `is==1`-style conditionals become static index ops.
+"""
+
+from types import SimpleNamespace
+
+import jax.numpy as jnp
+
+from .tp_core import fv_tp_2d, deln_damp_fluxes, _pert_ppm_iv1
+from .a2b_edge import a2b_ord4, a2b_ord2
+from .fill_corners import (fill_4corners_cell, fill_corners_bgrid,
+                           fill_corners_dgrid_vector, fi)
+from ..parallel.halo import copy_corners
+
+H = 3
+A1, A2 = 0.5625, -0.0625
+C1, C2, C3 = -2.0 / 14.0, 11.0 / 14.0, 5.0 / 14.0
+S11, S14, S15 = 11.0 / 14.0, 4.0 / 7.0, 3.0 / 14.0
+P1, P2 = 7.0 / 12.0, -1.0 / 12.0
+R3 = 1.0 / 3.0
+NEAR_ZERO = 1.0e-9          # KE limiter threshold (sw_core.F90:39)
+
+
+def fs(i0, i1):
+    """Inclusive Fortran-index slice."""
+    return slice(i0 - 1 + H, i1 + H)
+
+
+def _cl(q):
+    """cell i-1 viewed at wall i (pad one column left)."""
+    pad = [(0, 0)] * (q.ndim - 1) + [(1, 0)]
+    return jnp.pad(q, pad)
+
+
+def _cr(q):
+    """cell i viewed at wall i (pad one column right)."""
+    pad = [(0, 0)] * (q.ndim - 1) + [(0, 1)]
+    return jnp.pad(q, pad)
+
+
+def _rl(q):
+    """cell j-1 viewed at wall j (pad one row on top)."""
+    pad = [(0, 0)] * (q.ndim - 2) + [(1, 0), (0, 0)]
+    return jnp.pad(q, pad)
+
+
+def _rr(q):
+    pad = [(0, 0)] * (q.ndim - 2) + [(0, 1), (0, 0)]
+    return jnp.pad(q, pad)
+
+
+def edge_interpolate4(ua, dxa, axis=-1):
+    """sw_core.F90 edge_interpolate4:3338 on a 4-point window along `axis`."""
+    ua = jnp.moveaxis(ua, axis, -1)
+    dxa = jnp.moveaxis(dxa, axis, -1)
+    t1 = dxa[..., 0] + dxa[..., 1]
+    t2 = dxa[..., 2] + dxa[..., 3]
+    return 0.5 * (((t1 + dxa[..., 1]) * ua[..., 1] - dxa[..., 1] * ua[..., 0]) / t1
+                  + ((t2 + dxa[..., 2]) * ua[..., 2] - dxa[..., 2] * ua[..., 3]) / t2)
+
+
+# ===========================================================================
+# d2a2c_vect (sw_core.F90:3006): D-grid winds -> A-grid + C-grid winds
+# ===========================================================================
+
+def d2a2c_vect(u, v, g):
+    """u: [..., NW, NC] D x-wind; v: [..., NC, NW] D y-wind (halo-exchanged).
+
+    Returns (ua, va, uc, vc, ut, vt): A-grid winds + contravariant forms on
+    cells, C-grid winds on walls, contravariant C winds ut/vt.
+    """
+    npx = g.npx
+    n = g.n
+    f = fi
+    npt = 4
+    NC = n + 2 * H
+    NW = n + 1 + 2 * H
+    batch = u.shape[:-2]
+    dt_ = u.dtype
+
+    # --- utmp / vtmp: D winds averaged to cell centers ---------------------
+    utmp = 0.5 * (u[..., :-1, :] + u[..., 1:, :])
+    vtmp = 0.5 * (v[..., :, :-1] + v[..., :, 1:])
+    L = npx - 2 * npt + 1                  # box cells [npt, npx-npt]
+    j0 = f(npt)
+    w0 = f(npt - 1)                        # wall j-1 for first box cell
+    u4 = (A2 * (u[..., w0:w0 + L, :] + u[..., w0 + 3:w0 + 3 + L, :])
+          + A1 * (u[..., w0 + 1:w0 + 1 + L, :] + u[..., w0 + 2:w0 + 2 + L, :]))
+    utmp = utmp.at[..., j0:j0 + L, j0:j0 + L].set(u4[..., :, j0:j0 + L])
+    v4 = (A2 * (v[..., :, w0:w0 + L] + v[..., :, w0 + 3:w0 + 3 + L])
+          + A1 * (v[..., :, w0 + 1:w0 + 1 + L] + v[..., :, w0 + 2:w0 + 2 + L]))
+    vtmp = vtmp.at[..., j0:j0 + L, j0:j0 + L].set(v4[..., j0:j0 + L, :])
+
+    ua = (utmp - vtmp * g.cosa_s) * g.rsin2
+    va = (vtmp - utmp * g.cosa_s) * g.rsin2
+
+    r0, rn = f(0), f(npx)
+    je = npx - 1
+
+    # --- utmp corner fills (sw_core.F90:3165-3185) -------------------------
+    utmp = utmp.at[..., r0, f(-2):r0 + 1].set(
+        -jnp.flip(vtmp[..., f(1):f(3) + 1, r0], -1))
+    utmp = utmp.at[..., r0, f(npx):f(npx + 2) + 1].set(
+        vtmp[..., f(1):f(3) + 1, rn])
+    utmp = utmp.at[..., rn, f(npx):f(npx + 2) + 1].set(
+        -jnp.flip(vtmp[..., f(je - 2):f(je) + 1, rn], -1))
+    utmp = utmp.at[..., rn, f(-2):r0 + 1].set(
+        vtmp[..., f(je - 2):f(je) + 1, r0])
+
+    # --- uc: 4th-order A->C in x ------------------------------------------
+    uc = jnp.zeros(batch + (NC, NW), dt_)
+    Lc = npx + 2                            # walls [0, npx+1]
+    s = f(-2)
+    uc_m = (A2 * (utmp[..., :, s:s + Lc] + utmp[..., :, s + 3:s + 3 + Lc])
+            + A1 * (utmp[..., :, s + 1:s + 1 + Lc] + utmp[..., :, s + 2:s + 2 + Lc]))
+    uc = uc.at[..., :, r0:r0 + Lc].set(uc_m)
+
+    # ua corner fills (sw_core.F90:3202-3218)
+    ua = ua.at[..., r0, f(-1)].set(-va[..., f(2), r0])
+    ua = ua.at[..., r0, f(0)].set(-va[..., f(1), r0])
+    ua = ua.at[..., r0, f(npx)].set(va[..., f(1), rn])
+    ua = ua.at[..., r0, f(npx + 1)].set(va[..., f(2), rn])
+    ua = ua.at[..., rn, f(npx)].set(-va[..., f(npx - 1), rn])
+    ua = ua.at[..., rn, f(npx + 1)].set(-va[..., f(npx - 2), rn])
+    ua = ua.at[..., rn, f(-1)].set(va[..., f(npx - 2), r0])
+    ua = ua.at[..., rn, f(0)].set(va[..., f(npx - 1), r0])
+
+    # west edge (sw_core.F90:3220-3236)
+    uc0 = (C1 * utmp[..., :, f(-2)] + C2 * utmp[..., :, f(-1)]
+           + C3 * utmp[..., :, f(0)])
+    ut1 = edge_interpolate4(ua[..., :, f(-1):f(2) + 1],
+                            g.dxa[..., :, f(-1):f(2) + 1])
+    uc1 = jnp.where(ut1 > 0.0, ut1 * g.sin_sg3[..., :, f(0)],
+                    ut1 * g.sin_sg1[..., :, f(1)])
+    uc2 = (C1 * utmp[..., :, f(3)] + C2 * utmp[..., :, f(2)]
+           + C3 * utmp[..., :, f(1)])
+    uc = uc.at[..., :, f(0)].set(uc0)
+    uc = uc.at[..., :, f(1)].set(uc1)
+    uc = uc.at[..., :, f(2)].set(uc2)
+    # east edge (sw_core.F90:3238-3253)
+    ucm = (C1 * utmp[..., :, f(npx - 3)] + C2 * utmp[..., :, f(npx - 2)]
+           + C3 * utmp[..., :, f(npx - 1)])
+    utn = edge_interpolate4(ua[..., :, f(npx - 2):f(npx + 1) + 1],
+                            g.dxa[..., :, f(npx - 2):f(npx + 1) + 1])
+    ucn = jnp.where(utn > 0.0, utn * g.sin_sg3[..., :, f(npx - 1)],
+                    utn * g.sin_sg1[..., :, f(npx)])
+    ucp = (C3 * utmp[..., :, f(npx)] + C2 * utmp[..., :, f(npx + 1)]
+           + C1 * utmp[..., :, f(npx + 2)])
+    uc = uc.at[..., :, f(npx - 1)].set(ucm)
+    uc = uc.at[..., :, f(npx)].set(ucn)
+    uc = uc.at[..., :, f(npx + 1)].set(ucp)
+
+    ut = (uc - v * g.cosa_u) * g.rsin_u
+    ut = ut.at[..., :, f(1)].set(ut1)
+    ut = ut.at[..., :, f(npx)].set(utn)
+
+    # --- vtmp corner fills (sw_core.F90:3258-3278) -------------------------
+    vtmp = vtmp.at[..., f(-2):r0 + 1, r0].set(
+        -jnp.flip(utmp[..., r0, f(1):f(3) + 1], -1))
+    vtmp = vtmp.at[..., f(npx):f(npx + 2) + 1, r0].set(
+        utmp[..., rn, f(1):f(3) + 1])
+    vtmp = vtmp.at[..., f(-2):r0 + 1, rn].set(
+        utmp[..., r0, f(je - 2):f(je) + 1])
+    vtmp = vtmp.at[..., f(npx):f(npx + 2) + 1, rn].set(
+        -jnp.flip(utmp[..., rn, f(je - 2):f(je) + 1], -1))
+    # va corner fills (sw_core.F90:3280-3296)
+    va = va.at[..., f(-1), r0].set(-ua[..., r0, f(2)])
+    va = va.at[..., f(0), r0].set(-ua[..., r0, f(1)])
+    va = va.at[..., f(0), rn].set(ua[..., r0, f(npx - 1)])
+    va = va.at[..., f(-1), rn].set(ua[..., r0, f(npx - 2)])
+    va = va.at[..., f(npx), rn].set(-ua[..., rn, f(npx - 1)])
+    va = va.at[..., f(npx + 1), rn].set(-ua[..., rn, f(npx - 2)])
+    va = va.at[..., f(npx), r0].set(ua[..., rn, f(1)])
+    va = va.at[..., f(npx + 1), r0].set(ua[..., rn, f(2)])
+
+    # --- vc: 4th-order A->C in y (sw_core.F90:3298-3334) -------------------
+    vc = jnp.zeros(batch + (NW, NC), dt_)
+    vc_m = (A2 * (vtmp[..., s:s + Lc, :] + vtmp[..., s + 3:s + 3 + Lc, :])
+            + A1 * (vtmp[..., s + 1:s + 1 + Lc, :] + vtmp[..., s + 2:s + 2 + Lc, :]))
+    vc = vc.at[..., r0:r0 + Lc, :].set(vc_m)
+    vc = vc.at[..., f(0), :].set(
+        C1 * vtmp[..., f(-2), :] + C2 * vtmp[..., f(-1), :] + C3 * vtmp[..., f(0), :])
+    vt1 = edge_interpolate4(va[..., f(-1):f(2) + 1, :],
+                            g.dya[..., f(-1):f(2) + 1, :], axis=-2)
+    vc = vc.at[..., f(1), :].set(
+        jnp.where(vt1 > 0.0, vt1 * g.sin_sg4[..., f(0), :],
+                  vt1 * g.sin_sg2[..., f(1), :]))
+    vc = vc.at[..., f(2), :].set(
+        C1 * vtmp[..., f(3), :] + C2 * vtmp[..., f(2), :] + C3 * vtmp[..., f(1), :])
+    vc = vc.at[..., f(npx - 1), :].set(
+        C1 * vtmp[..., f(npx - 3), :] + C2 * vtmp[..., f(npx - 2), :]
+        + C3 * vtmp[..., f(npx - 1), :])
+    vtn = edge_interpolate4(va[..., f(npx - 2):f(npx + 1) + 1, :],
+                            g.dya[..., f(npx - 2):f(npx + 1) + 1, :], axis=-2)
+    vc = vc.at[..., f(npx), :].set(
+        jnp.where(vtn > 0.0, vtn * g.sin_sg4[..., f(npx - 1), :],
+                  vtn * g.sin_sg2[..., f(npx), :]))
+    vc = vc.at[..., f(npx + 1), :].set(
+        C1 * vtmp[..., f(npx + 2), :] + C2 * vtmp[..., f(npx + 1), :]
+        + C3 * vtmp[..., f(npx), :])
+
+    vt = (vc - u * g.cosa_v) * g.rsin_v
+    vt = vt.at[..., f(1), :].set(vt1)
+    vt = vt.at[..., f(npx), :].set(vtn)
+    return ua, va, uc, vc, ut, vt
+
+
+# ===========================================================================
+# divergence_corner (sw_core.F90:1740)
+# ===========================================================================
+
+def divergence_corner(u, v, ua, va, g):
+    npx = g.npx
+    f = fi
+    uf = ((u - 0.25 * (_rl(va) + _rr(va)) * (_rl(g.cos_sg4) + _rr(g.cos_sg2)))
+          * g.dyc * 0.5 * (_rl(g.sin_sg4) + _rr(g.sin_sg2)))
+    for jw in (1, npx):
+        uf = uf.at[..., f(jw), :].set(
+            u[..., f(jw), :] * g.dyc[..., f(jw), :] * 0.5
+            * (g.sin_sg4[..., f(jw - 1), :] + g.sin_sg2[..., f(jw), :]))
+    vf = ((v - 0.25 * (_cl(ua) + _cr(ua)) * (_cl(g.cos_sg3) + _cr(g.cos_sg1)))
+          * g.dxc * 0.5 * (_cl(g.sin_sg3) + _cr(g.sin_sg1)))
+    for iw in (1, npx):
+        vf = vf.at[..., :, f(iw)].set(
+            v[..., :, f(iw)] * g.dxc[..., :, f(iw)] * 0.5
+            * (g.sin_sg3[..., :, f(iw - 1)] + g.sin_sg1[..., :, f(iw)]))
+    # divg(i,j) = vf(i,j-1) - vf(i,j) + uf(i-1,j) - uf(i,j)  (corners)
+    divg = (_rl(vf) - _rr(vf) + _cl(uf) - _cr(uf))
+    divg = divg.at[..., f(1), f(1)].add(-vf[..., f(0), f(1)])
+    divg = divg.at[..., f(1), f(npx)].add(-vf[..., f(0), f(npx)])
+    divg = divg.at[..., f(npx), f(npx)].add(vf[..., f(npx), f(npx)])
+    divg = divg.at[..., f(npx), f(1)].add(vf[..., f(npx), f(1)])
+    return divg * g.rarea_c
+
+
+# ===========================================================================
+# c_sw (sw_core.F90:79): C-grid half-step
+# ===========================================================================
+
+def c_sw(delp, pt, w, u, v, g, dt2, hydrostatic=True, nord=0, sw_mode=False):
+    """All inputs padded (halo-exchanged). Returns SimpleNamespace with
+    delpc, ptc, wc (cell arrays, valid on rim [0..npx] cells), uc, vc
+    (updated on compute walls), ua, va, divg_d."""
+    npx = g.npx
+    f = fi
+    ua, va, uc, vc, ut, vt = d2a2c_vect(u, v, g)
+    divg_d = divergence_corner(u, v, ua, va, g) if nord > 0 else None
+
+    ut_s = dt2 * ut * g.dy * jnp.where(ut > 0.0, _cl(g.sin_sg3), _cr(g.sin_sg1))
+    vt_s = dt2 * vt * g.dx * jnp.where(vt > 0.0, _rl(g.sin_sg4), _rr(g.sin_sg2))
+
+    # ---- transport delp (pt, w) ------------------------------------------
+    dx1 = fill_4corners_cell(delp, 1, npx)
+    fx1 = ut_s * jnp.where(ut_s > 0.0, _cl(dx1), _cr(dx1))
+    if not sw_mode:
+        px1 = fill_4corners_cell(pt, 1, npx)
+        fxp = fx1 * jnp.where(ut_s > 0.0, _cl(px1), _cr(px1))
+    if not hydrostatic:
+        wx1 = fill_4corners_cell(w, 1, npx)
+        fxw = fx1 * jnp.where(ut_s > 0.0, _cl(wx1), _cr(wx1))
+
+    dy1 = fill_4corners_cell(delp, 2, npx)
+    fy1 = vt_s * jnp.where(vt_s > 0.0, _rl(dy1), _rr(dy1))
+    if not sw_mode:
+        py1 = fill_4corners_cell(pt, 2, npx)
+        fyp = fy1 * jnp.where(vt_s > 0.0, _rl(py1), _rr(py1))
+    if not hydrostatic:
+        wy1 = fill_4corners_cell(w, 2, npx)
+        fyw = fy1 * jnp.where(vt_s > 0.0, _rl(wy1), _rr(wy1))
+
+    def div(fx, fy):
+        return (fx[..., :, :-1] - fx[..., :, 1:]
+                + fy[..., :-1, :] - fy[..., 1:, :]) * g.rarea
+
+    delpc = delp + div(fx1, fy1)
+    if sw_mode:
+        ptc = pt
+    else:
+        ptc = (pt * delp + div(fxp, fyp)) / delpc
+    wc = None if hydrostatic else (w * delp + div(fxw, fyw)) / delpc
+
+    # ---- KE (sw_core.F90:297-372) ----------------------------------------
+    kepos = uc[..., :, :-1]
+    keneg = uc[..., :, 1:]
+    kepos = kepos.at[..., :, f(1)].set(
+        uc[..., :, f(1)] * g.sin_sg1[..., :, f(1)]
+        + v[..., :, f(1)] * g.cos_sg1[..., :, f(1)])
+    kepos = kepos.at[..., :, f(npx)].set(
+        uc[..., :, f(npx)] * g.sin_sg1[..., :, f(npx)]
+        + v[..., :, f(npx)] * g.cos_sg1[..., :, f(npx)])
+    keneg = keneg.at[..., :, f(0)].set(
+        uc[..., :, f(1)] * g.sin_sg3[..., :, f(0)]
+        + v[..., :, f(1)] * g.cos_sg3[..., :, f(0)])
+    keneg = keneg.at[..., :, f(npx - 1)].set(
+        uc[..., :, f(npx)] * g.sin_sg3[..., :, f(npx - 1)]
+        + v[..., :, f(npx)] * g.cos_sg3[..., :, f(npx - 1)])
+    ke = jnp.where(ua > 0.0, kepos, keneg)
+
+    vtpos = vc[..., :-1, :]
+    vtneg = vc[..., 1:, :]
+    vtpos = vtpos.at[..., f(1), :].set(
+        vc[..., f(1), :] * g.sin_sg2[..., f(1), :]
+        + u[..., f(1), :] * g.cos_sg2[..., f(1), :])
+    vtpos = vtpos.at[..., f(npx), :].set(
+        vc[..., f(npx), :] * g.sin_sg2[..., f(npx), :]
+        + u[..., f(npx), :] * g.cos_sg2[..., f(npx), :])
+    vtneg = vtneg.at[..., f(0), :].set(
+        vc[..., f(1), :] * g.sin_sg4[..., f(0), :]
+        + u[..., f(1), :] * g.cos_sg4[..., f(0), :])
+    vtneg = vtneg.at[..., f(npx - 1), :].set(
+        vc[..., f(npx), :] * g.sin_sg4[..., f(npx - 1), :]
+        + u[..., f(npx), :] * g.cos_sg4[..., f(npx - 1), :])
+    vortk = jnp.where(va > 0.0, vtpos, vtneg)
+
+    ke = (0.5 * dt2) * (ua * ke + va * vortk)
+
+    # ---- absolute vorticity on corners (sw_core.F90:374-404) -------------
+    fxc = uc * g.dxc
+    fyc = vc * g.dyc
+    circ = _rl(fxc) - _rr(fxc) - _cl(fyc) + _cr(fyc)
+    circ = circ.at[..., f(1), f(1)].add(fyc[..., f(1), f(0)])
+    circ = circ.at[..., f(1), f(npx)].add(-fyc[..., f(1), f(npx)])
+    circ = circ.at[..., f(npx), f(npx)].add(-fyc[..., f(npx), f(npx)])
+    circ = circ.at[..., f(npx), f(1)].add(fyc[..., f(npx), f(0)])
+    vortB = g.fC + g.rarea_c * circ
+
+    # ---- transport absolute vorticity; update uc/vc ----------------------
+    fy1v = dt2 * (v - uc * g.cosa_u) / g.sina_u
+    fy1v = fy1v.at[..., :, f(1)].set(dt2 * v[..., :, f(1)])
+    fy1v = fy1v.at[..., :, f(npx)].set(dt2 * v[..., :, f(npx)])
+    fyv = jnp.where(fy1v > 0.0, vortB[..., :-1, :], vortB[..., 1:, :])
+
+    fx1u = dt2 * (u - vc * g.cosa_v) / g.sina_v
+    fx1u = fx1u.at[..., f(1), :].set(dt2 * u[..., f(1), :])
+    fx1u = fx1u.at[..., f(npx), :].set(dt2 * u[..., f(npx), :])
+    fxu = jnp.where(fx1u > 0.0, vortB[..., :, :-1], vortB[..., :, 1:])
+
+    wall_c = slice(f(1), f(npx) + 1)
+    cell_c = slice(f(1), f(npx - 1) + 1)
+    uc_inc = fy1v * fyv + g.rdxc * (_cl(ke) - _cr(ke))
+    uc = uc.at[..., cell_c, wall_c].add(uc_inc[..., cell_c, wall_c])
+    vc_inc = -fx1u * fxu + g.rdyc * (_rl(ke) - _rr(ke))
+    vc = vc.at[..., wall_c, cell_c].add(vc_inc[..., wall_c, cell_c])
+
+    return SimpleNamespace(delpc=delpc, ptc=ptc, wc=wc, uc=uc, vc=vc,
+                           ua=ua, va=va, divg_d=divg_d)
+
+
+# ===========================================================================
+# xtp_u / ytp_v (sw_core.F90:2154 / 2524): wind advection to B points
+# ===========================================================================
+
+def xtp_u(c, u, dx, rdx, iord, lim_fac=1.0):
+    """Flux of the D-grid u wind to cell corners.
+
+    c: [..., NW, NW] advective courant at corners (valid [1..npx] cols,
+       [1..npy] rows); u, dx, rdx: [..., NW, NC] y-wall arrays.
+    Returns [..., NW, NW] flux (valid on the same corner range).
+    """
+    npx = c.shape[-1] - 2 * H
+    n = npx - 1
+    f = fi
+    NC = n + 2 * H
+
+    def ucol(i):
+        return u[..., :, f(i)]
+
+    def dxc_(i):
+        return dx[..., :, f(i)]
+
+    if iord < 8:
+        # al over walls [3, npx-2]
+        s = f(1)                     # cell i-2 for wall 3
+        La = npx - 4
+        al_m = (P1 * (u[..., :, s + 1:s + 1 + La] + u[..., :, s + 2:s + 2 + La])
+                + P2 * (u[..., :, s:s + La] + u[..., :, s + 3:s + 3 + La]))
+        # bl/br over cells [3, npx-3]
+        Lb = npx - 5
+        q = u[..., :, f(3):f(npx - 3) + 1]
+        bl = jnp.zeros_like(u)
+        br = jnp.zeros_like(u)
+        bl = bl.at[..., :, f(3):f(npx - 3) + 1].set(al_m[..., :, :Lb] - q)
+        br = br.at[..., :, f(3):f(npx - 3) + 1].set(al_m[..., :, 1:1 + Lb] - q)
+        # west edge (sw_core.F90:2200-2219)
+        xt = C3 * ucol(1) + C2 * ucol(2) + C1 * ucol(3)
+        br = br.at[..., :, f(1)].set(xt - ucol(1))
+        bl = bl.at[..., :, f(2)].set(xt - ucol(2))
+        br = br.at[..., :, f(2)].set(al_m[..., :, 0] - ucol(2))
+        bl = bl.at[..., :, f(0)].set(
+            C1 * ucol(-2) + C2 * ucol(-1) + C3 * ucol(0) - ucol(0))
+        xt0 = 0.5 * (((2.0 * dxc_(0) + dxc_(-1)) * ucol(0) - dxc_(0) * ucol(-1))
+                     / (dxc_(0) + dxc_(-1))
+                     + ((2.0 * dxc_(1) + dxc_(2)) * ucol(1) - dxc_(1) * ucol(2))
+                     / (dxc_(1) + dxc_(2)))
+        br = br.at[..., :, f(0)].set(xt0 - ucol(0))
+        bl = bl.at[..., :, f(1)].set(xt0 - ucol(1))
+        # east edge
+        bl = bl.at[..., :, f(npx - 2)].set(al_m[..., :, -1] - ucol(npx - 2))
+        xte = C1 * ucol(npx - 3) + C2 * ucol(npx - 2) + C3 * ucol(npx - 1)
+        br = br.at[..., :, f(npx - 2)].set(xte - ucol(npx - 2))
+        bl = bl.at[..., :, f(npx - 1)].set(xte - ucol(npx - 1))
+        br = br.at[..., :, f(npx)].set(
+            C3 * ucol(npx) + C2 * ucol(npx + 1) + C1 * ucol(npx + 2) - ucol(npx))
+        xtn = 0.5 * (((2.0 * dxc_(npx - 1) + dxc_(npx - 2)) * ucol(npx - 1)
+                      - dxc_(npx - 1) * ucol(npx - 2))
+                     / (dxc_(npx - 1) + dxc_(npx - 2))
+                     + ((2.0 * dxc_(npx) + dxc_(npx + 1)) * ucol(npx)
+                        - dxc_(npx) * ucol(npx + 1))
+                     / (dxc_(npx) + dxc_(npx + 1)))
+        br = br.at[..., :, f(npx - 1)].set(xtn - ucol(npx - 1))
+        bl = bl.at[..., :, f(npx)].set(xtn - ucol(npx))
+        # zero at tile-edge rows (corner rows 1 and npy): cells -? the four
+        # cells adjacent to the edge in the stencil
+        for jr in (f(1), f(npx)):
+            for ic in (f(0), f(1), f(npx - 1), f(npx)):
+                bl = bl.at[..., jr, ic].set(0.0)
+                br = br.at[..., jr, ic].set(0.0)
+        b0 = bl + br
+
+        if iord == 5:
+            smt5 = bl * br < 0.0
+        else:  # 6, 7
+            smt5 = 3.0 * jnp.abs(b0) < jnp.abs(bl - br)
+            for ic in (f(0), f(1), f(npx - 1), f(npx)):
+                smt5 = smt5.at[..., :, ic].set(
+                    bl[..., :, ic] * br[..., :, ic] < 0.0)
+        cpos = c > 0.0
+        cfl = c * jnp.where(cpos, _cl(rdx), _cr(rdx))
+        fx0 = jnp.where(cpos, (1.0 - cfl) * (_cl(br) - cfl * _cl(b0)),
+                        (1.0 + cfl) * (_cr(bl) + cfl * _cr(b0)))
+        low = jnp.where(cpos, _cl(u), _cr(u))
+        add = _cl(smt5) | _cr(smt5)
+        return low + jnp.where(add, fx0, 0.0)
+
+    # ---- iord >= 8 -------------------------------------------------------
+    up = u[..., :, 2:]
+    um = u[..., :, :-2]
+    uc_ = u[..., :, 1:-1]
+    xt = 0.25 * (up - um)
+    dmax = jnp.maximum(jnp.maximum(um, uc_), up) - uc_
+    dmin = uc_ - jnp.minimum(jnp.minimum(um, uc_), up)
+    dm_i = jnp.sign(xt) * jnp.minimum(jnp.minimum(jnp.abs(xt), dmax), dmin)
+    dm = jnp.pad(dm_i, [(0, 0)] * (u.ndim - 1) + [(1, 1)])     # cells, full NC
+    dq = jnp.pad(u[..., :, 1:] - u[..., :, :-1],
+                 [(0, 0)] * (u.ndim - 1) + [(0, 1)])           # dq(i)=u(i+1)-u(i)
+
+    def dmc(i):
+        return dm[..., :, f(i)]
+
+    def dqc(i):
+        return dq[..., :, f(i)]
+
+    # al over walls [3, npx-2]
+    s = f(2)
+    La = npx - 4
+    al_m = (0.5 * (u[..., :, s:s + La] + u[..., :, s + 1:s + 1 + La])
+            + R3 * (dm[..., :, s:s + La] - dm[..., :, s + 1:s + 1 + La]))
+    al = jnp.zeros(u.shape[:-1] + (n + 1 + 2 * H,), u.dtype)
+    al = al.at[..., :, f(3):f(npx - 2) + 1].set(al_m)
+
+    bl = jnp.zeros_like(u)
+    br = jnp.zeros_like(u)
+    cs = slice(f(3), f(npx - 3) + 1)        # cells [3, npx-3]
+    alL = al[..., :, f(3):f(npx - 3) + 1]
+    alR = al[..., :, f(4):f(npx - 2) + 1]
+    qq = u[..., :, cs]
+    if iord == 8:
+        x2 = 2.0 * dm[..., :, cs]
+        bl = bl.at[..., :, cs].set(
+            -jnp.sign(x2) * jnp.minimum(jnp.abs(x2), jnp.abs(alL - qq)))
+        br = br.at[..., :, cs].set(
+            jnp.sign(x2) * jnp.minimum(jnp.abs(x2), jnp.abs(alR - qq)))
+    elif iord in (9, 10):
+        dq0 = dq[..., :, cs]
+        dqp = dq[..., :, f(4):f(npx - 2) + 1]
+        dqm = dq[..., :, f(2):f(npx - 4) + 1]
+        dqmm = dq[..., :, f(1):f(npx - 5) + 1]
+        pmp_1 = -2.0 * dq0
+        lac_1 = pmp_1 + 1.5 * dqp
+        blv = jnp.minimum(jnp.maximum(0.0, jnp.maximum(pmp_1, lac_1)),
+                          jnp.maximum(alL - qq, jnp.minimum(0.0, jnp.minimum(pmp_1, lac_1))))
+        pmp_2 = 2.0 * dqm
+        lac_2 = pmp_2 - 1.5 * dqmm
+        brv = jnp.minimum(jnp.maximum(0.0, jnp.maximum(pmp_2, lac_2)),
+                          jnp.maximum(alR - qq, jnp.minimum(0.0, jnp.minimum(pmp_2, lac_2))))
+        if iord == 10:
+            bl0 = alL - qq
+            br0 = alR - qq
+            dmm = dm[..., :, f(2):f(npx - 4) + 1]
+            dm0 = dm[..., :, cs]
+            dmp = dm[..., :, f(4):f(npx - 2) + 1]
+            flat = (jnp.abs(dm0) < NEAR_ZERO) & (jnp.abs(dmm) + jnp.abs(dmp) < NEAR_ZERO)
+            big = jnp.abs(3.0 * (bl0 + br0)) > jnp.abs(bl0 - br0)
+            blc = jnp.minimum(jnp.maximum(0.0, jnp.maximum(pmp_1, lac_1)),
+                              jnp.maximum(bl0, jnp.minimum(0.0, jnp.minimum(pmp_1, lac_1))))
+            brc = jnp.minimum(jnp.maximum(0.0, jnp.maximum(pmp_2, lac_2)),
+                              jnp.maximum(br0, jnp.minimum(0.0, jnp.minimum(pmp_2, lac_2))))
+            blv = jnp.where(flat, 0.0, jnp.where(big, blc, bl0))
+            brv = jnp.where(flat, 0.0, jnp.where(big, brc, br0))
+        bl = bl.at[..., :, cs].set(blv)
+        br = br.at[..., :, cs].set(brv)
+    else:  # 11: unlimited
+        bl = bl.at[..., :, cs].set(alL - qq)
+        br = br.at[..., :, cs].set(alR - qq)
+
+    # west edge (sw_core.F90:2462-2495)
+    br = br.at[..., :, f(2)].set(al[..., :, f(3)] - ucol(2))
+    xt = S15 * ucol(1) + S11 * ucol(2) - S14 * dmc(2)
+    bl = bl.at[..., :, f(2)].set(xt - ucol(2))
+    br = br.at[..., :, f(1)].set(xt - ucol(1))
+    bl = bl.at[..., :, f(0)].set(S14 * dmc(-1) - S11 * dqc(-1))
+    x0L = 0.5 * ((2.0 * dxc_(0) + dxc_(-1)) * ucol(0)
+                 - dxc_(0) * ucol(-1)) / (dxc_(0) + dxc_(-1))
+    x0R = 0.5 * ((2.0 * dxc_(1) + dxc_(2)) * ucol(1)
+                 - dxc_(1) * ucol(2)) / (dxc_(1) + dxc_(2))
+    xt = x0L + x0R
+    br = br.at[..., :, f(0)].set(xt - ucol(0))
+    bl = bl.at[..., :, f(1)].set(xt - ucol(1))
+    # east edge
+    bl = bl.at[..., :, f(npx - 2)].set(al[..., :, f(npx - 2)] - ucol(npx - 2))
+    xt = S15 * ucol(npx - 1) + S11 * ucol(npx - 2) + S14 * dmc(npx - 2)
+    br = br.at[..., :, f(npx - 2)].set(xt - ucol(npx - 2))
+    bl = bl.at[..., :, f(npx - 1)].set(xt - ucol(npx - 1))
+    br = br.at[..., :, f(npx)].set(S11 * dqc(npx) - S14 * dmc(npx + 1))
+    x0L = 0.5 * ((2.0 * dxc_(npx - 1) + dxc_(npx - 2)) * ucol(npx - 1)
+                 - dxc_(npx - 1) * ucol(npx - 2)) / (dxc_(npx - 1) + dxc_(npx - 2))
+    x0R = 0.5 * ((2.0 * dxc_(npx) + dxc_(npx + 1)) * ucol(npx)
+                 - dxc_(npx) * ucol(npx + 1)) / (dxc_(npx) + dxc_(npx + 1))
+    xt = x0L + x0R
+    br = br.at[..., :, f(npx - 1)].set(xt - ucol(npx - 1))
+    bl = bl.at[..., :, f(npx)].set(xt - ucol(npx))
+    # zero the edge rows
+    for jr in (f(1), f(npx)):
+        for ic in (f(0), f(1), f(npx - 1), f(npx)):
+            bl = bl.at[..., jr, ic].set(0.0)
+            br = br.at[..., jr, ic].set(0.0)
+    # pert_ppm on cells 2 and npx-2
+    for ic in (f(2), f(npx - 2)):
+        b, r = _pert_ppm_iv1(u[..., :, ic], bl[..., :, ic], br[..., :, ic])
+        bl = bl.at[..., :, ic].set(b)
+        br = br.at[..., :, ic].set(r)
+
+    b0 = bl + br
+    cpos = c > 0.0
+    cfl = c * jnp.where(cpos, _cl(rdx), _cr(rdx))
+    return jnp.where(cpos,
+                     _cl(u) + (1.0 - cfl) * (_cl(br) - cfl * _cl(b0)),
+                     _cr(u) + (1.0 + cfl) * (_cr(bl) + cfl * _cr(b0)))
+
+
+def ytp_v(c, v, dy, rdy, jord, lim_fac=1.0):
+    """Flux of D-grid v to corners; v, dy, rdy: [..., NC, NW] x-wall arrays."""
+    ct = jnp.swapaxes(c, -1, -2)
+    vt_ = jnp.swapaxes(v, -1, -2)
+    dyt = jnp.swapaxes(dy, -1, -2)
+    rdyt = jnp.swapaxes(rdy, -1, -2)
+    return jnp.swapaxes(xtp_u(ct, vt_, dyt, rdyt, jord, lim_fac), -1, -2)
+
+
+# ===========================================================================
+# d_sw (sw_core.F90:494): full D-grid forward step for one layer group
+# ===========================================================================
+
+def d_sw(delp, pt, w, u, v, uc, vc, ua, va, divg_d, g, *,
+         dt, hord_mt, hord_vt, hord_dp, hord_tm, nord, nord_v,
+         dddmp, d2_bg, d4_bg, damp_v, d_con=0.0, ke_bg=0.0,
+         damp_w=0.0, nord_w=0, hydrostatic=True, sw_mode=False,
+         advection_only=False, lim_fac=1.0):
+    """All inputs padded. Returns SimpleNamespace of interior (compute-domain)
+    updated fields + fluxes:
+      u [*, n+1, n], v [*, n, n+1], delp/pt/w [*, n, n],
+      fx/crx/xfx..., heat_source, divg_d (corner padded), ke.
+    """
+    npx = g.npx
+    n = g.n
+    f = fi
+    ctr = slice(H, H + n)
+    wsl = slice(f(1), f(npx) + 1)
+
+    # ---- advective C-grid winds -> courant / area fluxes ------------------
+    if advection_only:
+        xfx = dt * uc / g.sina_u
+        crx = xfx * jnp.where(xfx > 0.0, _cl(g.rdxa), _cr(g.rdxa))
+        xfx = g.dy * xfx * g.sina_u
+        yfx = dt * vc / g.sina_v
+        cry = yfx * jnp.where(yfx > 0.0, _rl(g.rdya), _rr(g.rdya))
+        yfx = g.dx * yfx * g.sina_v
+        ut = vt = None
+    else:
+        vsum = (_cl(vc)[..., :-1, :] + _cr(vc)[..., :-1, :]
+                + _cl(vc)[..., 1:, :] + _cr(vc)[..., 1:, :])
+        ut = (uc - 0.25 * g.cosa_u * vsum) * g.rsin_u
+        usum = (_rl(uc)[..., :, :-1] + _rl(uc)[..., :, 1:]
+                + _rr(uc)[..., :, :-1] + _rr(uc)[..., :, 1:])
+        vt = (vc - 0.25 * g.cosa_v * usum) * g.rsin_v
+
+        # --- west/east edges (sw_core.F90:700-760) ---
+        ut = ut.at[..., :, f(1)].set(jnp.where(
+            uc[..., :, f(1)] * dt > 0.0,
+            uc[..., :, f(1)] / g.sin_sg3[..., :, f(0)],
+            uc[..., :, f(1)] / g.sin_sg1[..., :, f(1)]))
+        ut = ut.at[..., :, f(npx)].set(jnp.where(
+            uc[..., :, f(npx)] * dt > 0.0,
+            uc[..., :, f(npx)] / g.sin_sg3[..., :, f(npx - 1)],
+            uc[..., :, f(npx)] / g.sin_sg1[..., :, f(npx)]))
+        jmid = slice(f(3), f(npx - 2) + 1)      # wall rows [3, npy-2]
+        for ic in (0, 1, npx - 1, npx):
+            vt = vt.at[..., jmid, f(ic)].set(
+                vc[..., jmid, f(ic)] - 0.25 * g.cosa_v[..., jmid, f(ic)]
+                * (ut[..., f(2):f(npx - 3) + 1, f(ic)]
+                   + ut[..., f(2):f(npx - 3) + 1, f(ic + 1)]
+                   + ut[..., f(3):f(npx - 2) + 1, f(ic)]
+                   + ut[..., f(3):f(npx - 2) + 1, f(ic + 1)]))
+        # --- south/north edges ---
+        vt = vt.at[..., f(1), :].set(jnp.where(
+            vc[..., f(1), :] * dt > 0.0,
+            vc[..., f(1), :] / g.sin_sg4[..., f(0), :],
+            vc[..., f(1), :] / g.sin_sg2[..., f(1), :]))
+        vt = vt.at[..., f(npx), :].set(jnp.where(
+            vc[..., f(npx), :] * dt > 0.0,
+            vc[..., f(npx), :] / g.sin_sg4[..., f(npx - 1), :],
+            vc[..., f(npx), :] / g.sin_sg2[..., f(npx), :]))
+        imid = slice(f(3), f(npx - 2) + 1)
+        for jc in (0, 1, npx - 1, npx):
+            ut = ut.at[..., f(jc), imid].set(
+                uc[..., f(jc), imid] - 0.25 * g.cosa_u[..., f(jc), imid]
+                * (vt[..., f(jc), f(2):f(npx - 3) + 1]
+                   + vt[..., f(jc), f(3):f(npx - 2) + 1]
+                   + vt[..., f(jc + 1), f(2):f(npx - 3) + 1]
+                   + vt[..., f(jc + 1), f(3):f(npx - 2) + 1]))
+
+        ut, vt = _dsw_corner_solve(ut, vt, uc, vc, g, npx)
+
+        xfx = dt * ut
+        crx = xfx * jnp.where(xfx > 0.0, _cl(g.rdxa), _cr(g.rdxa))
+        xfx = g.dy * xfx * jnp.where(xfx > 0.0, _cl(g.sin_sg3), _cr(g.sin_sg1))
+        yfx = dt * vt
+        cry = yfx * jnp.where(yfx > 0.0, _rl(g.rdya), _rr(g.rdya))
+        yfx = g.dx * yfx * jnp.where(yfx > 0.0, _rl(g.sin_sg4), _rr(g.sin_sg2))
+
+    ra_x = g.area + xfx[..., :, :-1] - xfx[..., :, 1:]
+    ra_y = g.area + yfx[..., :-1, :] - yfx[..., 1:, :]
+
+    # ---- transport delp ---------------------------------------------------
+    fx, fy = fv_tp_2d(delp, crx, cry, hord_dp, xfx, yfx, g.area, ra_x, ra_y,
+                      g.dxa, g.dya, lim_fac=lim_fac,
+                      nord=nord_v, damp_c=damp_v, g=g)
+
+    def div_c(fxc, fyc):
+        return (fxc[..., :, :-1] - fxc[..., :, 1:]
+                + fyc[..., :-1, :] - fyc[..., 1:, :]) * g.rarea[..., ctr, ctr]
+
+    heat_source = None
+    w_new = None
+    if not hydrostatic:
+        dw = None
+        if damp_w > 1.0e-5:
+            dd8 = ke_bg * abs(dt)
+            damp4 = (damp_w * g.da_min_c) ** (nord_w + 1)
+            fx2w, fy2w = deln_damp_fluxes(w, nord_w, g, prefac=damp4)
+            dw = ((fx2w[..., ctr, wsl][..., :, :-1] - fx2w[..., ctr, wsl][..., :, 1:]
+                   + fy2w[..., wsl, ctr][..., :-1, :] - fy2w[..., wsl, ctr][..., 1:, :])
+                  * g.rarea[..., ctr, ctr])
+            heat_source = dd8 - dw * (w[..., ctr, ctr] + 0.5 * dw)
+        gx, gy = fv_tp_2d(w, crx, cry, hord_vt, xfx, yfx, g.area, ra_x, ra_y,
+                          g.dxa, g.dya, lim_fac=lim_fac, mfx=fx, mfy=fy)
+        w_new = delp[..., ctr, ctr] * w[..., ctr, ctr] + div_c(gx, gy)
+
+    if not sw_mode:
+        gx, gy = fv_tp_2d(pt, crx, cry, hord_tm, xfx, yfx, g.area, ra_x, ra_y,
+                          g.dxa, g.dya, lim_fac=lim_fac, mfx=fx, mfy=fy,
+                          nord=nord_v, damp_c=damp_v, g=g, mass=delp)
+
+    delp_int = delp[..., ctr, ctr]
+    delp_new = delp_int + div_c(fx, fy)
+    if not sw_mode:
+        pt_new = (pt[..., ctr, ctr] * delp_int + div_c(gx, gy)) / delp_new
+    else:
+        pt_new = pt[..., ctr, ctr]
+    if not hydrostatic:
+        w_new = w_new / delp_new
+        if damp_w > 1.0e-5:
+            w_new = w_new + dw
+
+    if advection_only:
+        return SimpleNamespace(
+            u=None if u is None else u[..., wsl, ctr],
+            v=None if v is None else v[..., ctr, wsl],
+            delp=delp_new, pt=pt_new, w=w_new,
+            fx=fx, fy=fy, crx=crx, cry=cry, xfx=xfx, yfx=yfx,
+            ra_x=ra_x, ra_y=ra_y, divg_d=divg_d, heat_source=heat_source)
+
+    # ---- kinetic energy (sw_core.F90:1063-1225) ---------------------------
+    dt5 = 0.5 * dt
+    dt4 = 0.25 * dt
+    vb = dt5 * (_cl(vc) + _cr(vc) - (_rl(uc) + _rr(uc)) * g.cosa) * g.rsina
+    mid = slice(f(2), f(npx - 1) + 1)
+    vb = vb.at[..., mid, f(1)].set(
+        dt4 * (-vt[..., mid, f(-1)] + 3.0 * (vt[..., mid, f(0)] + vt[..., mid, f(1)])
+               - vt[..., mid, f(2)]))
+    vb = vb.at[..., mid, f(npx)].set(
+        dt4 * (-vt[..., mid, f(npx - 2)]
+               + 3.0 * (vt[..., mid, f(npx - 1)] + vt[..., mid, f(npx)])
+               - vt[..., mid, f(npx + 1)]))
+    vb = vb.at[..., f(1), :].set(dt5 * (_cl(vt)[..., f(1), :] + _cr(vt)[..., f(1), :]))
+    vb = vb.at[..., f(npx), :].set(
+        dt5 * (_cl(vt)[..., f(npx), :] + _cr(vt)[..., f(npx), :]))
+
+    ke = vb * ytp_v(vb, v, g.dy, g.rdy, hord_mt, lim_fac)
+
+    ub = dt5 * (_rl(uc) + _rr(uc) - (_cl(vc) + _cr(vc)) * g.cosa) * g.rsina
+    ub = ub.at[..., f(1), mid].set(
+        dt4 * (-ut[..., f(-1), mid] + 3.0 * (ut[..., f(0), mid] + ut[..., f(1), mid])
+               - ut[..., f(2), mid]))
+    ub = ub.at[..., f(npx), mid].set(
+        dt4 * (-ut[..., f(npx - 2), mid]
+               + 3.0 * (ut[..., f(npx - 1), mid] + ut[..., f(npx), mid])
+               - ut[..., f(npx + 1), mid]))
+    ub = ub.at[..., :, f(1)].set(dt5 * (_rl(ut)[..., :, f(1)] + _rr(ut)[..., :, f(1)]))
+    ub = ub.at[..., :, f(npx)].set(
+        dt5 * (_rl(ut)[..., :, f(npx)] + _rr(ut)[..., :, f(npx)]))
+
+    ke = 0.5 * (ke + ub * xtp_u(ub, u, g.dx, g.rdx, hord_mt, lim_fac))
+
+    # corner KE fixes (sw_core.F90:1203-1228)
+    dt6 = dt / 6.0
+    ke = ke.at[..., f(1), f(1)].set(dt6 * (
+        (ut[..., f(1), f(1)] + ut[..., f(0), f(1)]) * u[..., f(1), f(1)]
+        + (vt[..., f(1), f(1)] + vt[..., f(1), f(0)]) * v[..., f(1), f(1)]
+        + (ut[..., f(1), f(1)] + vt[..., f(1), f(1)]) * u[..., f(1), f(0)]))
+    ke = ke.at[..., f(1), f(npx)].set(dt6 * (
+        (ut[..., f(1), f(npx)] + ut[..., f(0), f(npx)]) * u[..., f(1), f(npx - 1)]
+        + (vt[..., f(1), f(npx)] + vt[..., f(1), f(npx - 1)]) * v[..., f(1), f(npx)]
+        + (ut[..., f(1), f(npx)] - vt[..., f(1), f(npx - 1)]) * u[..., f(1), f(npx)]))
+    ke = ke.at[..., f(npx), f(npx)].set(dt6 * (
+        (ut[..., f(npx), f(npx)] + ut[..., f(npx - 1), f(npx)]) * u[..., f(npx), f(npx - 1)]
+        + (vt[..., f(npx), f(npx)] + vt[..., f(npx), f(npx - 1)]) * v[..., f(npx - 1), f(npx)]
+        + (ut[..., f(npx - 1), f(npx)] + vt[..., f(npx), f(npx - 1)]) * u[..., f(npx), f(npx)]))
+    ke = ke.at[..., f(npx), f(1)].set(dt6 * (
+        (ut[..., f(npx), f(1)] + ut[..., f(npx - 1), f(1)]) * u[..., f(npx), f(1)]
+        + (vt[..., f(npx), f(1)] + vt[..., f(npx), f(0)]) * v[..., f(npx - 1), f(1)]
+        + (ut[..., f(npx - 1), f(1)] - vt[..., f(npx), f(1)]) * u[..., f(npx), f(0)]))
+
+    # ---- relative vorticity (cell mean) -----------------------------------
+    vt_w = u * g.dx                       # circulation along y-walls
+    ut_w = v * g.dy
+    wk = g.rarea * (vt_w[..., :-1, :] - vt_w[..., 1:, :]
+                    - ut_w[..., :, :-1] + ut_w[..., :, 1:])
+
+    # ---- divergence damping ----------------------------------------------
+    if nord == 0:
+        ptc_d = (u - 0.5 * (_rl(va) + _rr(va)) * g.cosa_v) * g.dyc * g.sina_v
+        for jw in (1, npx):
+            ptc_d = ptc_d.at[..., f(jw), :].set(jnp.where(
+                vc[..., f(jw), :] > 0.0,
+                u[..., f(jw), :] * g.dyc[..., f(jw), :] * g.sin_sg4[..., f(jw - 1), :],
+                u[..., f(jw), :] * g.dyc[..., f(jw), :] * g.sin_sg2[..., f(jw), :]))
+        vort_d = (v - 0.5 * (_cl(ua) + _cr(ua)) * g.cosa_u) * g.dxc * g.sina_u
+        for iw in (1, npx):
+            vort_d = vort_d.at[..., :, f(iw)].set(jnp.where(
+                uc[..., :, f(iw)] > 0.0,
+                v[..., :, f(iw)] * g.dxc[..., :, f(iw)] * g.sin_sg3[..., :, f(iw - 1)],
+                v[..., :, f(iw)] * g.dxc[..., :, f(iw)] * g.sin_sg1[..., :, f(iw)]))
+        delpc_d = _rl(vort_d) - _rr(vort_d) + _cl(ptc_d) - _cr(ptc_d)
+        delpc_d = delpc_d.at[..., f(1), f(1)].add(-vort_d[..., f(0), f(1)])
+        delpc_d = delpc_d.at[..., f(1), f(npx)].add(-vort_d[..., f(0), f(npx)])
+        delpc_d = delpc_d.at[..., f(npx), f(npx)].add(vort_d[..., f(npx), f(npx)])
+        delpc_d = delpc_d.at[..., f(npx), f(1)].add(vort_d[..., f(npx), f(1)])
+        delpc_d = delpc_d * g.rarea_c
+        damp = g.da_min_c * jnp.maximum(
+            d2_bg, jnp.minimum(0.20, dddmp * jnp.abs(delpc_d * dt)))
+        vortB = damp * delpc_d
+        ke = ke + vortB
+        divg_out = divg_d
+    else:
+        delpc_d = divg_d
+        dd = divg_d
+        for nn in range(1, nord + 1):
+            nt = nord - nn
+            if nt != 0:
+                dd = fill_corners_bgrid(dd, 1, npx)
+            vc_g = (dd[..., :, 1:] - dd[..., :, :-1]) * g.divg_u
+            if nt != 0:
+                dd = fill_corners_bgrid(dd, 2, npx)
+            uc_g = (dd[..., 1:, :] - dd[..., :-1, :]) * g.divg_v
+            if nt != 0:
+                vc_g, uc_g = fill_corners_dgrid_vector(vc_g, uc_g, npx, sign=-1.0)
+            dd = _rl(uc_g) - _rr(uc_g) + _cl(vc_g) - _cr(vc_g)
+            dd = dd.at[..., f(1), f(1)].add(-uc_g[..., f(0), f(1)])
+            dd = dd.at[..., f(1), f(npx)].add(-uc_g[..., f(0), f(npx)])
+            dd = dd.at[..., f(npx), f(npx)].add(uc_g[..., f(npx), f(npx)])
+            dd = dd.at[..., f(npx), f(1)].add(uc_g[..., f(npx), f(1)])
+            dd = dd * g.rarea_c
+        if dddmp < 1.0e-5:
+            vortS = jnp.zeros_like(dd)
+        else:
+            vortS = a2b_ord4(wk, g)
+            vortS = jnp.abs(dt) * jnp.sqrt(delpc_d ** 2 + vortS ** 2)
+        dd8 = (g.da_min_c * d4_bg) ** (nord + 1)
+        damp2 = g.da_min_c * jnp.maximum(
+            d2_bg, jnp.minimum(0.20, dddmp * vortS))
+        vortB = damp2 * delpc_d + dd8 * dd
+        ke = ke + vortB
+        divg_out = dd
+
+    do_heat = d_con > 1.0e-5
+    if do_heat:
+        ub_h = vortB[..., :, :-1] - vortB[..., :, 1:]       # y-wall shape
+        vb_h = vortB[..., :-1, :] - vortB[..., 1:, :]       # x-wall shape
+
+    # ---- vorticity transport & wind update -------------------------------
+    vort_abs = wk + g.f0
+    fxv, fyv = fv_tp_2d(vort_abs, crx, cry, hord_vt, xfx, yfx, g.area,
+                        ra_x, ra_y, g.dxa, g.dya, lim_fac=lim_fac)
+
+    keB = ke
+    u_full = vt_w + (keB[..., :, :-1] - keB[..., :, 1:])
+    v_full = ut_w + (keB[..., :-1, :] - keB[..., 1:, :])
+    u_new = u_full[..., wsl, ctr] + fyv
+    v_new = v_full[..., ctr, wsl] - fxv
+
+    # ---- vorticity damping (sw_core.F90:1513-1529) ------------------------
+    if damp_v > 1.0e-5:
+        damp4 = (damp_v * g.da_min_c) ** (nord_v + 1)
+        fx2d, fy2d = deln_damp_fluxes(wk, nord_v, g, prefac=damp4)
+    else:
+        fx2d = fy2d = None
+
+    if do_heat:
+        rdx_c = g.rdx[..., wsl, ctr]
+        rdy_c = g.rdy[..., ctr, wsl]
+        ub2 = (ub_h[..., wsl, ctr]
+               + (fy2d[..., wsl, ctr] if fy2d is not None else 0.0)) * rdx_c
+        fy_d = u_new * rdx_c
+        gy = fy_d * ub2
+        vb2 = (vb_h[..., ctr, wsl]
+               - (fx2d[..., ctr, wsl] if fx2d is not None else 0.0)) * rdy_c
+        fx_d = v_new * rdy_c
+        gx = fx_d * vb2
+        u2 = fy_d[..., :-1, :] + fy_d[..., 1:, :]
+        du2 = ub2[..., :-1, :] + ub2[..., 1:, :]
+        v2 = fx_d[..., :, :-1] + fx_d[..., :, 1:]
+        dv2 = vb2[..., :, :-1] + vb2[..., :, 1:]
+        rs2 = g.rsin2[..., ctr, ctr]
+        cs_ = g.cosa_s[..., ctr, ctr]
+        tmp = rs2 * ((ub2[..., :-1, :] ** 2 + ub2[..., 1:, :] ** 2
+                      + vb2[..., :, :-1] ** 2 + vb2[..., :, 1:] ** 2)
+                     + 2.0 * (gy[..., :-1, :] + gy[..., 1:, :]
+                              + gx[..., :, :-1] + gx[..., :, 1:])
+                     - cs_ * (u2 * dv2 + v2 * du2 + du2 * dv2))
+        hs0 = heat_source if heat_source is not None else 0.0
+        heat_source = delp[..., ctr, ctr] * (hs0 - 0.25 * d_con * tmp)
+
+    if fx2d is not None:
+        u_new = u_new + fy2d[..., wsl, ctr]
+        v_new = v_new - fx2d[..., ctr, wsl]
+
+    return SimpleNamespace(
+        u=u_new, v=v_new, delp=delp_new, pt=pt_new, w=w_new,
+        fx=fx, fy=fy, crx=crx, cry=cry, xfx=xfx, yfx=yfx,
+        ra_x=ra_x, ra_y=ra_y, divg_d=divg_out, ke=ke,
+        heat_source=heat_source)
+
+
+def _dsw_corner_solve(ut, vt, uc, vc, g, npx):
+    """2x2 corner systems for parallel-to-edge uc/vc (sw_core.F90:763-860)."""
+    f = fi
+
+    def U(i, j):
+        return ut[..., f(j), f(i)]
+
+    def V(i, j):
+        return vt[..., f(j), f(i)]
+
+    def UC(i, j):
+        return uc[..., f(j), f(i)]
+
+    def VC(i, j):
+        return vc[..., f(j), f(i)]
+
+    def CU(i, j):
+        return g.cosa_u[..., f(j), f(i)]
+
+    def CV(i, j):
+        return g.cosa_v[..., f(j), f(i)]
+
+    npy = npx
+
+    # SW corner
+    damp = 1.0 / (1.0 - 0.0625 * CU(2, 0) * CV(1, 0))
+    ut = ut.at[..., f(0), f(2)].set(
+        (UC(2, 0) - 0.25 * CU(2, 0) * (V(1, 1) + V(2, 1) + V(2, 0) + VC(1, 0)
+         - 0.25 * CV(1, 0) * (U(1, 0) + U(1, -1) + U(2, -1)))) * damp)
+    damp = 1.0 / (1.0 - 0.0625 * CU(0, 1) * CV(0, 2))
+    vt = vt.at[..., f(2), f(0)].set(
+        (VC(0, 2) - 0.25 * CV(0, 2) * (U(1, 1) + U(1, 2) + U(0, 2) + UC(0, 1)
+         - 0.25 * CU(0, 1) * (V(0, 1) + V(-1, 1) + V(-1, 2)))) * damp)
+    damp = 1.0 / (1.0 - 0.0625 * CU(2, 1) * CV(1, 2))
+    ut = ut.at[..., f(1), f(2)].set(
+        (UC(2, 1) - 0.25 * CU(2, 1) * (V(1, 1) + V(2, 1) + V(2, 2) + VC(1, 2)
+         - 0.25 * CV(1, 2) * (U(1, 1) + U(1, 2) + U(2, 2)))) * damp)
+    vt = vt.at[..., f(2), f(1)].set(
+        (VC(1, 2) - 0.25 * CV(1, 2) * (U(1, 1) + U(1, 2) + U(2, 2) + UC(2, 1)
+         - 0.25 * CU(2, 1) * (V(1, 1) + V(2, 1) + V(2, 2)))) * damp)
+
+    # SE corner
+    damp = 1.0 / (1.0 - 0.0625 * CU(npx - 1, 0) * CV(npx - 1, 0))
+    ut = ut.at[..., f(0), f(npx - 1)].set(
+        (UC(npx - 1, 0) - 0.25 * CU(npx - 1, 0) * (
+            V(npx - 1, 1) + V(npx - 2, 1) + V(npx - 2, 0) + VC(npx - 1, 0)
+            - 0.25 * CV(npx - 1, 0) * (U(npx, 0) + U(npx, -1) + U(npx - 1, -1)))) * damp)
+    damp = 1.0 / (1.0 - 0.0625 * CU(npx + 1, 1) * CV(npx, 2))
+    vt = vt.at[..., f(2), f(npx)].set(
+        (VC(npx, 2) - 0.25 * CV(npx, 2) * (
+            U(npx, 1) + U(npx, 2) + U(npx + 1, 2) + UC(npx + 1, 1)
+            - 0.25 * CU(npx + 1, 1) * (V(npx, 1) + V(npx + 1, 1) + V(npx + 1, 2)))) * damp)
+    damp = 1.0 / (1.0 - 0.0625 * CU(npx - 1, 1) * CV(npx - 1, 2))
+    ut = ut.at[..., f(1), f(npx - 1)].set(
+        (UC(npx - 1, 1) - 0.25 * CU(npx - 1, 1) * (
+            V(npx - 1, 1) + V(npx - 2, 1) + V(npx - 2, 2) + VC(npx - 1, 2)
+            - 0.25 * CV(npx - 1, 2) * (U(npx, 1) + U(npx, 2) + U(npx - 1, 2)))) * damp)
+    vt = vt.at[..., f(2), f(npx - 1)].set(
+        (VC(npx - 1, 2) - 0.25 * CV(npx - 1, 2) * (
+            U(npx, 1) + U(npx, 2) + U(npx - 1, 2) + UC(npx - 1, 1)
+            - 0.25 * CU(npx - 1, 1) * (V(npx - 1, 1) + V(npx - 2, 1) + V(npx - 2, 2)))) * damp)
+
+    # NE corner
+    damp = 1.0 / (1.0 - 0.0625 * CU(npx - 1, npy) * CV(npx - 1, npy + 1))
+    ut = ut.at[..., f(npy), f(npx - 1)].set(
+        (UC(npx - 1, npy) - 0.25 * CU(npx - 1, npy) * (
+            V(npx - 1, npy) + V(npx - 2, npy) + V(npx - 2, npy + 1) + VC(npx - 1, npy + 1)
+            - 0.25 * CV(npx - 1, npy + 1) * (
+                U(npx, npy) + U(npx, npy + 1) + U(npx - 1, npy + 1)))) * damp)
+    damp = 1.0 / (1.0 - 0.0625 * CU(npx + 1, npy - 1) * CV(npx, npy - 1))
+    vt = vt.at[..., f(npy - 1), f(npx)].set(
+        (VC(npx, npy - 1) - 0.25 * CV(npx, npy - 1) * (
+            U(npx, npy - 1) + U(npx, npy - 2) + U(npx + 1, npy - 2) + UC(npx + 1, npy - 1)
+            - 0.25 * CU(npx + 1, npy - 1) * (
+                V(npx, npy) + V(npx + 1, npy) + V(npx + 1, npy - 1)))) * damp)
+    damp = 1.0 / (1.0 - 0.0625 * CU(npx - 1, npy - 1) * CV(npx - 1, npy - 1))
+    ut = ut.at[..., f(npy - 1), f(npx - 1)].set(
+        (UC(npx - 1, npy - 1) - 0.25 * CU(npx - 1, npy - 1) * (
+            V(npx - 1, npy) + V(npx - 2, npy) + V(npx - 2, npy - 1) + VC(npx - 1, npy - 1)
+            - 0.25 * CV(npx - 1, npy - 1) * (
+                U(npx, npy - 1) + U(npx, npy - 2) + U(npx - 1, npy - 2)))) * damp)
+    vt = vt.at[..., f(npy - 1), f(npx - 1)].set(
+        (VC(npx - 1, npy - 1) - 0.25 * CV(npx - 1, npy - 1) * (
+            U(npx, npy - 1) + U(npx, npy - 2) + U(npx - 1, npy - 2) + UC(npx - 1, npy - 1)
+            - 0.25 * CU(npx - 1, npy - 1) * (
+                V(npx - 1, npy) + V(npx - 2, npy) + V(npx - 2, npy - 1)))) * damp)
+
+    # NW corner
+    damp = 1.0 / (1.0 - 0.0625 * CU(2, npy) * CV(1, npy + 1))
+    ut = ut.at[..., f(npy), f(2)].set(
+        (UC(2, npy) - 0.25 * CU(2, npy) * (
+            V(1, npy) + V(2, npy) + V(2, npy + 1) + VC(1, npy + 1)
+            - 0.25 * CV(1, npy + 1) * (U(1, npy) + U(1, npy + 1) + U(2, npy + 1)))) * damp)
+    damp = 1.0 / (1.0 - 0.0625 * CU(0, npy - 1) * CV(0, npy - 1))
+    vt = vt.at[..., f(npy - 1), f(0)].set(
+        (VC(0, npy - 1) - 0.25 * CV(0, npy - 1) * (
+            U(1, npy - 1) + U(1, npy - 2) + U(0, npy - 2) + UC(0, npy - 1)
+            - 0.25 * CU(0, npy - 1) * (V(0, npy) + V(-1, npy) + V(-1, npy - 1)))) * damp)
+    damp = 1.0 / (1.0 - 0.0625 * CU(2, npy - 1) * CV(1, npy - 1))
+    ut = ut.at[..., f(npy - 1), f(2)].set(
+        (UC(2, npy - 1) - 0.25 * CU(2, npy - 1) * (
+            V(1, npy) + V(2, npy) + V(2, npy - 1) + VC(1, npy - 1)
+            - 0.25 * CV(1, npy - 1) * (U(1, npy - 1) + U(1, npy - 2) + U(2, npy - 2)))) * damp)
+    vt = vt.at[..., f(npy - 1), f(1)].set(
+        (VC(1, npy - 1) - 0.25 * CV(1, npy - 1) * (
+            U(1, npy - 1) + U(1, npy - 2) + U(2, npy - 2) + UC(2, npy - 1)
+            - 0.25 * CU(2, npy - 1) * (V(1, npy) + V(2, npy) + V(2, npy - 1)))) * damp)
+
+    return ut, vt
+
+
+# ===========================================================================
+# del2_cubed (dyn_core.F90:2356): Laplacian filter
+# ===========================================================================
+
+def del2_cubed(q, cd, g, nmax):
+    """q: [..., P, P] padded cells (halo-exchanged). cd = K*da_min."""
+    npx = g.npx
+    f = fi
+    ie = npx - 1
+    ntimes = min(3, nmax)
+    for _ in range(ntimes):
+        # 3-cell corner averaging
+        qsw = (q[..., f(1), f(1)] + q[..., f(1), f(0)] + q[..., f(0), f(1)]) * R3
+        q = q.at[..., f(1), f(1)].set(qsw)
+        q = q.at[..., f(1), f(0)].set(qsw)
+        q = q.at[..., f(0), f(1)].set(qsw)
+        qse = (q[..., f(1), f(ie)] + q[..., f(1), f(npx)] + q[..., f(0), f(ie)]) * R3
+        q = q.at[..., f(1), f(ie)].set(qse)
+        q = q.at[..., f(1), f(npx)].set(qse)
+        q = q.at[..., f(0), f(ie)].set(qse)
+        qne = (q[..., f(ie), f(ie)] + q[..., f(ie), f(npx)] + q[..., f(npx), f(ie)]) * R3
+        q = q.at[..., f(ie), f(ie)].set(qne)
+        q = q.at[..., f(ie), f(npx)].set(qne)
+        q = q.at[..., f(npx), f(ie)].set(qne)
+        qnw = (q[..., f(ie), f(1)] + q[..., f(ie), f(0)] + q[..., f(npx), f(1)]) * R3
+        q = q.at[..., f(ie), f(1)].set(qnw)
+        q = q.at[..., f(ie), f(0)].set(qnw)
+        q = q.at[..., f(npx), f(1)].set(qnw)
+
+        qx = copy_corners(q, H, 1)
+        fx = g.del6_v[..., :, 1:-1] * (qx[..., :, :-1] - qx[..., :, 1:])
+        fx = jnp.pad(fx, [(0, 0)] * (q.ndim - 1) + [(1, 1)])
+        qy = copy_corners(q, H, 2)
+        fyp = g.del6_u[..., 1:-1, :] * (qy[..., :-1, :] - qy[..., 1:, :])
+        fyp = jnp.pad(fyp, [(0, 0)] * (q.ndim - 2) + [(1, 1), (0, 0)])
+        q = q + cd * g.rarea * (fx[..., :, :-1] - fx[..., :, 1:]
+                                + fyp[..., :-1, :] - fyp[..., 1:, :])
+    return q

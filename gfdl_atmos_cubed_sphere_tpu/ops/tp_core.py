@@ -200,7 +200,7 @@ def xppm(q, c, dxa, iord, lim_fac=1.0, edges=True):
           + R3 * (dm[..., :-1] - dm[..., 1:]))
 
     qc = Q(-1, n)
-    dmc = dm[..., 1:]          # dm at cells [-1, n]
+    dmc = dm[..., 1:-1]        # dm at cells [-1, n]
 
     if iord == 8:
         xt2 = 2.0 * dmc
@@ -213,21 +213,14 @@ def xppm(q, c, dxa, iord, lim_fac=1.0, edges=True):
     elif iord == 10:
         bl = al[..., :-1] - qc
         br = al[..., 1:] - qc
-        # dq(c) = 2*(q(c+1)-q(c)) needed at cells c-2..c+1 around each cell
-        dq = 2.0 * (Q(-2, n + 3 - 1)[..., 1:] - Q(-2, n + 2)[..., :])  # placeholder
-        dq = 2.0 * (Q(-2, n + 2) - Q(-3, n + 1))  # dq(c-? ) -- recompute below
-        # dq(c) for c in [-3, n+1]: 2*(q(c+1) - q(c))
-        dqf = 2.0 * (Q(-2, n + 2) - Q(-3, n + 1))   # index c+3
+        # dq(c) = 2*(q(c+1)-q(c)) over cells [-3, n+1], stored at index c+3
+        dqf = 2.0 * (Q(-2, n + 2) - Q(-3, n + 1))
+
         def dqat(off):
             # dq at cell c+off for c in [-1, n] -> index (c+off)+3
             return dqf[..., 2 + off: 2 + off + n + 2]
-        dm_m = dm[..., :-1][..., :]                  # dm at c-1 (index c+1)
-        dm_c = dmc
-        dm_p = jnp.concatenate([dm[..., 2:], dm[..., -1:]], axis=-1)  # dm at c+1
-        # dm at c+1 for c in [-1, n] = dm index c+3 -> dm[..., 3:n+4] but dm has
-        # cells [-2, n+1] (length n+4): c+1 max = n+1 ok
-        dm_p = dm[..., 2:]
-        flat = (jnp.abs(dm[..., :-2]) + jnp.abs(dm[..., 1:-1])
+
+        flat = (jnp.abs(dm[..., :-2]) + jnp.abs(dmc)
                 + jnp.abs(dm[..., 2:])) < NEAR_ZERO
         # ^ |dm(c-1)|+|dm(c)|+|dm(c+1)| for c in [-1, n]
         big = jnp.abs(3.0 * (bl + br)) > jnp.abs(bl - br)
@@ -336,8 +329,70 @@ def yppm(q, c, dya, jord, lim_fac=1.0, edges=True):
     return jnp.swapaxes(xppm(qt, ct, dt, jord, lim_fac, edges), -1, -2)
 
 
+def deln_damp_fluxes(q, nord, g, prefac=None):
+    """Del-n damping fluxes (tp_core.F90 deln_flux:1267, sw_core del6_vt_flux).
+
+    q: [..., P, P] padded cells (halo-exchanged). Returns (fx2, fy2) full-size
+    x-wall / y-wall flux arrays, valid on the compute walls for nord <= 2.
+    prefac: optional scalar premultiplier applied to q (the no-mass deln_flux
+    path multiplies d2 = damp*q up front).
+    Sign convention alternates per pass exactly as the reference.
+    """
+    h = 3
+    pad = [(0, 0)] * (q.ndim - 1)
+
+    def dgx(d2, s):
+        # x-wall flux: del6_v * s*(d2(i) - d2(i-1)); zero-pad outermost walls
+        f = g.del6_v[..., :, 1:-1] * s * (d2[..., :, 1:] - d2[..., :, :-1])
+        return jnp.pad(f, pad[:-1] + [(0, 0), (1, 1)])
+
+    def dgy(d2, s):
+        f = g.del6_u[..., 1:-1, :] * s * (d2[..., 1:, :] - d2[..., :-1, :])
+        return jnp.pad(f, pad[:-1] + [(1, 1), (0, 0)])
+
+    d2 = q if prefac is None else prefac * q
+    if nord > 0:
+        fx2 = dgx(copy_corners(d2, h, 1), -1.0)
+        fy2 = dgy(copy_corners(d2, h, 2), -1.0)
+    else:
+        fx2 = dgx(d2, -1.0)
+        fy2 = dgy(d2, -1.0)
+    for _ in range(nord):
+        d2 = (fx2[..., :, :-1] - fx2[..., :, 1:]
+              + fy2[..., :-1, :] - fy2[..., 1:, :]) * g.rarea
+        fx2 = dgx(copy_corners(d2, h, 1), 1.0)
+        fy2 = dgy(copy_corners(d2, h, 2), 1.0)
+    return fx2, fy2
+
+
+def deln_flux_add(q, fx, fy, nord, damp4, g, mass=None):
+    """Add del-n diffusive fluxes to advective fluxes on the compute walls.
+
+    fx: [..., n, W] x-fluxes at compute walls; fy: [..., W, n].
+    Reproduces deln_flux (tp_core.F90:1267): without mass the damping
+    coefficient premultiplies the field; with mass the fluxes are
+    mass-weighted at the end.
+    """
+    h = 3
+    n = q.shape[-1] - 2 * h
+    ctr = slice(h, h + n)
+    wsl = slice(h, h + n + 1)
+    fx2, fy2 = deln_damp_fluxes(q, nord, g, prefac=None if mass is not None else damp4)
+    fx2c = fx2[..., ctr, wsl]
+    fy2c = fy2[..., wsl, ctr]
+    if mass is None:
+        return fx + fx2c, fy + fy2c
+    mxl = mass[..., ctr, h - 1:h + n]      # mass(i-1) at walls 0..n
+    mxr = mass[..., ctr, h:h + n + 1]
+    myl = mass[..., h - 1:h + n, ctr]
+    myr = mass[..., h:h + n + 1, ctr]
+    return (fx + 0.5 * damp4 * (mxl + mxr) * fx2c,
+            fy + 0.5 * damp4 * (myl + myr) * fy2c)
+
+
 def fv_tp_2d(q, crx, cry, hord, xfx, yfx, area, ra_x, ra_y, dxa, dya,
-             h=3, lim_fac=1.0, mfx=None, mfy=None, edges=True):
+             h=3, lim_fac=1.0, mfx=None, mfy=None, edges=True,
+             nord=None, damp_c=None, g=None, mass=None):
     """2-D flux-form advection operator (tp_core.F90 fv_tp_2d:85).
 
     Shapes (n = cells/side, P = n+2h, W = n+1):
@@ -355,6 +410,18 @@ def fv_tp_2d(q, crx, cry, hord, xfx, yfx, area, ra_x, ra_y, dxa, dya,
     ord_in = 8 if hord == 10 else hord
     ord_ou = hord
     ctr = slice(h, h + n)
+
+    wsl = slice(h, h + n + 1)
+    if crx.shape[-1] == n + 1 + 2 * h:      # full-wall arrays from d_sw
+        crx = crx[..., :, wsl]
+        xfx = xfx[..., :, wsl]
+    if cry.shape[-2] == n + 1 + 2 * h:
+        cry = cry[..., wsl, :]
+        yfx = yfx[..., wsl, :]
+    if ra_x.shape[-1] == q.shape[-1]:
+        ra_x = ra_x[..., :, ctr]
+    if ra_y.shape[-2] == q.shape[-2]:
+        ra_y = ra_y[..., ctr, :]
 
     # y-inner sweep
     qy = copy_corners(q, h, 2) if edges else q
@@ -380,4 +447,8 @@ def fv_tp_2d(q, crx, cry, hord, xfx, yfx, area, ra_x, ra_y, dxa, dya,
     else:
         fx = 0.5 * (fx_ou + fx2[..., ctr, :]) * xfx[..., ctr, :]
         fy = 0.5 * (fy_ou + fy2[..., :, ctr]) * yfx[..., :, ctr]
+
+    if nord is not None and damp_c is not None and damp_c > 1.0e-4 and g is not None:
+        damp4 = (damp_c * g.da_min_c) ** (nord + 1)
+        fx, fy = deln_flux_add(q, fx, fy, nord, damp4, g, mass=mass)
     return fx, fy

@@ -69,10 +69,13 @@ def _p_grad_c_sw(uc, vc, delpc_p, phis_p, g, dt2):
     pk2 = delpc_p
     wall_c = slice(f(1), f(npx) + 1)
     cell_c = slice(f(1), f(npx - 1) + 1)
-    termx = ((_cl(gz1) - _cr(gz2)) * _cr(pk2) + (_cl(gz2) - _cr(gz1)) * _cl(pk2))
+    # (gz(i-1,k+1)-gz(i,k))*(pk(i,k+1)-pk(i-1,k)) + (gz(i-1,k)-gz(i,k+1))*
+    # (pk(i-1,k+1)-pk(i,k)); k=1, pk(.,1)=0: level pairing matters — gz2 (the
+    # bottom) pairs with pk2(i), gz1 (top) with pk2(i-1) (dyn_core.F90:1684).
+    termx = ((_cl(gz2) - _cr(gz1)) * _cr(pk2) + (_cl(gz1) - _cr(gz2)) * _cl(pk2))
     uc = uc.at[..., cell_c, wall_c].add(
         (dt2 * g.rdxc * termx / (_cl(delpc_p) + _cr(delpc_p)))[..., cell_c, wall_c])
-    termy = ((_rl(gz1) - _rr(gz2)) * _rr(pk2) + (_rl(gz2) - _rr(gz1)) * _rl(pk2))
+    termy = ((_rl(gz2) - _rr(gz1)) * _rr(pk2) + (_rl(gz1) - _rr(gz2)) * _rl(pk2))
     vc = vc.at[..., wall_c, cell_c].add(
         (dt2 * g.rdyc * termy / (_rl(delpc_p) + _rr(delpc_p)))[..., wall_c, cell_c])
     return uc, vc

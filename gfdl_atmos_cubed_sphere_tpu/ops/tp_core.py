@@ -449,6 +449,6 @@ def fv_tp_2d(q, crx, cry, hord, xfx, yfx, area, ra_x, ra_y, dxa, dya,
         fy = 0.5 * (fy_ou + fy2[..., :, ctr]) * yfx[..., :, ctr]
 
     if nord is not None and damp_c is not None and damp_c > 1.0e-4 and g is not None:
-        damp4 = (damp_c * g.da_min_c) ** (nord + 1)
+        damp4 = (damp_c * g.da_min) ** (nord + 1)   # NOTE: da_min (tp_core.F90:204)
         fx, fy = deln_flux_add(q, fx, fy, nord, damp4, g, mass=mass)
     return fx, fy

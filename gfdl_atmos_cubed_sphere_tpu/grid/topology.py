@@ -332,6 +332,50 @@ class CubeTopology:
         return specs
 
 
+    def dgrid_edge_owner_spec(self):
+        """Owner-copy spec for the duplicated D-wind walls on tile N/E edges.
+
+        Every cube contact pairs an {E,N} edge with a {W,S} edge (the W/S side
+        owns the shared wall, the FMS mpp_get_boundary convention that
+        dyn_core.F90:1152-1170 uses to 'prevent accumulation of rounding
+        errors at overlapped domain edges'). Returns dict with, for each
+        tile's N-edge u row and E-edge v col, (comp [6,n], tidx, jidx, iidx,
+        sign): comp 0 = neighbor u, 1 = neighbor v.
+        """
+        n = self.n
+        out = {}
+        seg = np.arange(n)
+        # N edge u row: wall from corner (n, i) to (n, i+1), x-component
+        c = {t: self.contacts[(t, "N")] for t in range(self.ntiles)}
+        comp = np.empty((self.ntiles, n), np.int32)
+        tidx = np.empty_like(comp)
+        jidx = np.empty_like(comp)
+        iidx = np.empty_like(comp)
+        sign = np.empty_like(comp)
+        for t in range(self.ntiles):
+            is_yw, jw, iw, sg = self._map_wall(
+                c[t], (np.full(n, n), seg), (np.full(n, n), seg + 1), (0, 1))
+            comp[t] = np.where(is_yw, 0, 1)
+            tidx[t] = c[t].tile
+            jidx[t], iidx[t], sign[t] = jw, iw, sg
+        out["u_n"] = (comp, tidx, jidx, iidx, sign)
+        # E edge v col: wall from corner (j, n) to (j+1, n), y-component
+        c = {t: self.contacts[(t, "E")] for t in range(self.ntiles)}
+        comp = np.empty((self.ntiles, n), np.int32)
+        tidx = np.empty_like(comp)
+        jidx = np.empty_like(comp)
+        iidx = np.empty_like(comp)
+        sign = np.empty_like(comp)
+        for t in range(self.ntiles):
+            is_yw, jw, iw, sg = self._map_wall(
+                c[t], (seg, np.full(n, n)), (seg + 1, np.full(n, n)), (1, 0))
+            comp[t] = np.where(is_yw, 0, 1)
+            tidx[t] = c[t].tile
+            jidx[t], iidx[t], sign[t] = jw, iw, sg
+        out["v_e"] = (comp, tidx, jidx, iidx, sign)
+        return out
+
+
 @lru_cache(maxsize=8)
 def cube_topology(npx, shift_fac=18.0):
     """Build (and cache) the topology for an npx-corner gnomonic cube."""

@@ -1,0 +1,260 @@
+"""Hydrostatic acoustic-loop core (the 3-D generalization of sw_dynamics).
+
+Re-implements /root/reference/model/dyn_core.F90 (dyn_core:94, geopk:2202,
+p_grad_c:1635, one_grad_p:1909) for the hydrostatic Euler equations on
+Lagrangian surfaces: per acoustic iteration
+  c_sw (per level) -> geopk(C) -> p_grad_c -> halo(uc,vc, divg) ->
+  d_sw (per level) -> geopk(D) -> one_grad_p.
+
+Fields are [6, npz, y, x]; level-interface fields [6, npz+1, y, x]. The
+reference's OpenMP k-loops are the batched level dimension here.
+"""
+
+from dataclasses import dataclass, field
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as con
+from ..ops import sw_core
+from ..ops.sw_core import _cl, _cr, _rl, _rr
+from ..ops.a2b_edge import a2b_ord4
+from ..ops.fill_corners import fi
+
+H = 3
+
+
+@dataclass(frozen=True)
+class DynConfig:
+    """Hydrostatic-core subset of fv_core_nml (fv_arrays.F90 defaults)."""
+    npx: int
+    npz: int
+    dt: float
+    n_split: int = 5
+    k_split: int = 1
+    hord_mt: int = 10
+    hord_vt: int = 10
+    hord_tm: int = 10
+    hord_dp: int = 10
+    hord_tr: int = 8
+    kord_mt: int = 8
+    kord_tm: int = -8
+    kord_tr: int = 8
+    nord: int = 1
+    dddmp: float = 0.0
+    d2_bg: float = 0.0
+    d4_bg: float = 0.16
+    # sponge-layer del-2 strengths; the raw fv_arrays defaults (4./2.) are
+    # "must specify" sentinels clamped by fv_control.F90:1032 to these values
+    d2_bg_k1: float = 0.20
+    d2_bg_k2: float = 0.015
+    do_vort_damp: bool = True
+    vtdm4: float = 0.02
+    d_con: float = 0.0
+    ke_bg: float = 0.0
+    lim_fac: float = 1.0
+    n_sponge: int = 1
+    adiabatic: bool = True
+    consv_te: float = 0.0
+    fill: bool = False
+    is_ideal_case: bool = True
+
+
+def geopk(delp_p, pt_p, phis_p, akap, ptop):
+    """Hydrostatic pressures + geopotential (dyn_core.F90 geopk:2202).
+
+    delp_p, pt_p: [6, K, Y, X] padded; pt is virtual potential temperature.
+    Returns pe, peln, pk [6, K+1, Y, X], gz [6, K+1, Y, X], pkz [6, K, Y, X].
+    """
+    pe = ptop + jnp.cumsum(delp_p, axis=1)
+    pe = jnp.concatenate([jnp.full_like(pe[:, :1], ptop), pe], axis=1)
+    peln = jnp.log(pe)
+    pk = jnp.exp(akap * peln)
+    # bottom-up: gz(k) = gz(k+1) + cp_air*pt(k)*(pk(k+1)-pk(k))
+    incr = con.CP_AIR * pt_p * (pk[:, 1:] - pk[:, :-1])
+    gz_above = jnp.cumsum(incr[:, ::-1], axis=1)[:, ::-1]
+    gz = jnp.concatenate([gz_above, jnp.zeros_like(gz_above[:, :1])], axis=1)
+    gz = gz + phis_p
+    pkz = (pk[:, 1:] - pk[:, :-1]) / (akap * (peln[:, 1:] - peln[:, :-1]))
+    return pe, peln, pk, gz, pkz
+
+
+def p_grad_c(uc, vc, delpc_p, pkc, gz, g, dt2, npx):
+    """C-grid pressure-gradient wind update (dyn_core.F90 p_grad_c:1635),
+    hydrostatic: wk = pk(k+1)-pk(k)."""
+    f = fi
+    wall_c = slice(f(1), f(npx) + 1)
+    cell_c = slice(f(1), f(npx - 1) + 1)
+    wk = pkc[:, 1:] - pkc[:, :-1]
+    gz1 = gz[:, :-1]
+    gz2 = gz[:, 1:]
+    pk1 = pkc[:, :-1]
+    pk2 = pkc[:, 1:]
+    termx = ((_cl(gz2) - _cr(gz1)) * (_cr(pk2) - _cl(pk1))
+             + (_cl(gz1) - _cr(gz2)) * (_cl(pk2) - _cr(pk1)))
+    uc = uc.at[..., cell_c, wall_c].add(
+        (dt2 * g.rdxc * termx / (_cl(wk) + _cr(wk)))[..., cell_c, wall_c])
+    termy = ((_rl(gz2) - _rr(gz1)) * (_rr(pk2) - _rl(pk1))
+             + (_rl(gz1) - _rr(gz2)) * (_rl(pk2) - _rr(pk1)))
+    vc = vc.at[..., wall_c, cell_c].add(
+        (dt2 * g.rdyc * termy / (_rl(wk) + _rr(wk)))[..., wall_c, cell_c])
+    return uc, vc
+
+
+def one_grad_p(u_acc, v_acc, pk, gz, g, dt, npx, ptk):
+    """Hydrostatic D-grid pressure gradient (dyn_core.F90 one_grad_p:1909).
+
+    pk, gz: [6, K+1, Y, X] padded cell-point interface fields; u_acc/v_acc are
+    the d_sw outputs in circulation form (u*dx + ...). Returns final D winds
+    (interior)."""
+    f = fi
+    n = g.n
+    ctr = slice(H, H + n)
+    wsl = slice(f(1), f(npx) + 1)
+    pkB = a2b_ord4(pk, g)
+    pkB = pkB.at[:, 0].set(jnp.full_like(pkB[:, 0], ptk))
+    gzB = a2b_ord4(gz, g)
+    wk = pkB[:, 1:] - pkB[:, :-1]
+
+    cl_ = slice(f(1), f(npx - 1) + 1)
+    cr_ = slice(f(2), f(npx) + 1)
+    gz1 = gzB[:, :-1]
+    gz2 = gzB[:, 1:]
+    pk1 = pkB[:, :-1]
+    pk2 = pkB[:, 1:]
+    u_new = g.rdx[..., wsl, ctr] * (u_acc + dt / (
+        wk[..., wsl, cl_] + wk[..., wsl, cr_]) * (
+        (gz2[..., wsl, cl_] - gz1[..., wsl, cr_])
+        * (pk2[..., wsl, cr_] - pk1[..., wsl, cl_])
+        + (gz1[..., wsl, cl_] - gz2[..., wsl, cr_])
+        * (pk2[..., wsl, cl_] - pk1[..., wsl, cr_])))
+    v_new = g.rdy[..., ctr, wsl] * (v_acc + dt / (
+        wk[..., cl_, wsl] + wk[..., cr_, wsl]) * (
+        (gz2[..., cl_, wsl] - gz1[..., cr_, wsl])
+        * (pk2[..., cr_, wsl] - pk1[..., cl_, wsl])
+        + (gz1[..., cl_, wsl] - gz2[..., cr_, wsl])
+        * (pk2[..., cl_, wsl] - pk1[..., cr_, wsl])))
+    return u_new, v_new
+
+
+def _sponge_groups(cfg):
+    """Per-level damping parameters (dyn_core.F90:675-733 sponge logic).
+
+    Returns a list of (k_slice, overrides) groups: level 0 (and 1 if
+    d2_bg_k2 > 0.01) get del-2 divergence damping; the rest use cfg values.
+    """
+    groups = []
+    base = dict(nord=cfg.nord, d2_divg=min(0.20, cfg.d2_bg),
+                nord_v=min(2, cfg.nord),
+                damp_v=cfg.vtdm4 if cfg.do_vort_damp else 0.0,
+                d_con=cfg.d_con)
+    if cfg.npz == 1 or cfg.n_sponge < 0:
+        groups.append((slice(0, cfg.npz), dict(base, d2_divg=cfg.d2_bg)))
+        return groups
+    top = dict(base)
+    top.update(nord=0, d2_divg=(max(cfg.d2_bg, cfg.d2_bg_k1) if cfg.is_ideal_case
+                                else max(0.01, cfg.d2_bg, cfg.d2_bg_k1)),
+               d_con=0.0)
+    if cfg.do_vort_damp:
+        top.update(nord_v=0, damp_v=0.5 * top["d2_divg"])
+    groups.append((slice(0, 1), top))
+    k0 = 1
+    if cfg.d2_bg_k2 > 0.01:
+        lvl2 = dict(base)
+        lvl2.update(nord=0, d2_divg=max(cfg.d2_bg, cfg.d2_bg_k2), d_con=0.0)
+        if cfg.do_vort_damp:
+            lvl2.update(nord_v=0, damp_v=0.5 * lvl2["d2_divg"])
+        groups.append((slice(1, 2), lvl2))
+        k0 = 2
+        if cfg.d2_bg_k2 > 0.05:
+            lvl3 = dict(base)
+            lvl3.update(nord=0, d2_divg=max(cfg.d2_bg, 0.2 * cfg.d2_bg_k2),
+                        d_con=0.0)
+            groups.append((slice(2, 3), lvl3))
+            k0 = 3
+    groups.append((slice(k0, cfg.npz), base))
+    return groups
+
+
+def dyn_core_hydro(delp, pt, u, v, phis, g, cfg: DynConfig, akap, ptop,
+                   n_split, dt_acoustic):
+    """Run the acoustic loop; returns updated fields + accumulated tracer
+    transport info (mfx/mfy/cx/cy on compute walls) + final pressures."""
+    halo = g.halo
+    f = fi
+    npx = g.npx
+    n = g.n
+    ctr = slice(H, H + n)
+    wsl = slice(f(1), f(npx) + 1)
+    dt = dt_acoustic
+    dt2 = 0.5 * dt
+    ptk = ptop ** akap
+    phis_p = g.phis_p
+
+    groups = _sponge_groups(cfg)
+    mfx = mfy = cx = cy = None
+
+    for it in range(n_split):
+        delp_p = halo.pad_cell(delp)
+        pt_p = halo.pad_cell(pt)
+        u_p, v_p = halo.pad_dgrid(u, v)
+
+        cs = sw_core.c_sw(delp_p, pt_p, None, u_p, v_p, g, dt2,
+                          hydrostatic=True, nord=cfg.nord, sw_mode=False)
+        _, _, pkc, gzc, _ = geopk(cs.delpc, cs.ptc, phis_p, akap, ptop)
+        uc, vc = p_grad_c(cs.uc, cs.vc, cs.delpc, pkc, gzc, g, dt2, npx)
+        uc_p, vc_p = halo.pad_cgrid(uc[..., ctr, wsl], vc[..., wsl, ctr])
+        divg_p = None
+        if cfg.nord > 0:
+            divg_p = halo.pad_corner(cs.divg_d[..., wsl, wsl])
+
+        # per-sponge-group d_sw
+        outs = []
+        for ksl, p in groups:
+            ds = sw_core.d_sw(
+                delp_p[:, ksl], pt_p[:, ksl], None, u_p[:, ksl], v_p[:, ksl],
+                uc_p[:, ksl], vc_p[:, ksl], cs.ua[:, ksl], cs.va[:, ksl],
+                None if divg_p is None else divg_p[:, ksl], g,
+                dt=dt, hord_mt=cfg.hord_mt, hord_vt=cfg.hord_vt,
+                hord_dp=cfg.hord_dp, hord_tm=cfg.hord_tm,
+                nord=p["nord"], nord_v=p["nord_v"], dddmp=cfg.dddmp,
+                d2_bg=p["d2_divg"], d4_bg=cfg.d4_bg, damp_v=p["damp_v"],
+                d_con=p["d_con"], hydrostatic=True, sw_mode=False,
+                lim_fac=cfg.lim_fac)
+            outs.append(ds)
+
+        def cat(name):
+            return jnp.concatenate([getattr(o, name) for o in outs], axis=1)
+
+        delp = cat("delp")
+        pt = cat("pt")
+        u_acc = cat("u")
+        v_acc = cat("v")
+        fx = cat("fx")
+        fy = cat("fy")
+        crx = cat("crx")
+        cry = cat("cry")
+        xfx = cat("xfx")
+        yfx = cat("yfx")
+
+        # flux capacitors for the large-timestep tracer transport
+        if mfx is None:
+            mfx, mfy = fx, fy
+            cx, cy = crx, cry
+        else:
+            mfx, mfy = mfx + fx, mfy + fy
+            cx, cy = cx + crx, cy + cry
+
+        delp_p2 = halo.pad_cell(delp)
+        pt_p2 = halo.pad_cell(pt)
+        pe, peln, pk, gz, pkz = geopk(delp_p2, pt_p2, phis_p, akap, ptop)
+        u, v = one_grad_p(u_acc, v_acc, pk, gz, g, dt, npx, ptk)
+        if it == n_split - 1:
+            # prevent accumulation of rounding/one-sided-stencil differences
+            # at the duplicated tile-edge walls (dyn_core.F90:1152-1170)
+            u, v = halo.reconcile_dgrid(u, v)
+
+    return SimpleNamespace(delp=delp, pt=pt, u=u, v=v,
+                           mfx=mfx, mfy=mfy, cx=cx, cy=cy,
+                           pe=pe, peln=peln, pk=pk, pkz=pkz, gz=gz)

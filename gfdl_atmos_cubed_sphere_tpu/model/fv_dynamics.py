@@ -1,0 +1,134 @@
+"""Hydrostatic FV3 dynamics driver: k_split remap loop over the acoustic core.
+
+Re-implements /root/reference/model/fv_dynamics.F90 (fv_dynamics:79, the
+k_split loop :460) and the hydrostatic branch of
+/root/reference/model/fv_mapz.F90 Lagrangian_to_Eulerian:56 (kord_tm < 0
+path: remap virtual temperature on log-p, winds on pe, tracers on pe).
+
+State carried between calls: u, v (D winds), delp, pt = TEMPERATURE, q dict.
+Inside the step pt becomes virtual potential temperature (fv_dynamics.F90
+:393-399) and is converted back on the last remap step (fv_mapz.F90:800-825).
+"""
+
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as con
+from ..ops import fv_mapz
+from ..ops.sw_core import _rl, _cl
+from ..ops.fill_corners import fi
+from .dyn_core import DynConfig, dyn_core_hydro, geopk
+
+H = 3
+
+
+def _k_last(a):
+    return jnp.moveaxis(a, 1, -1)
+
+
+def _k_lev(a):
+    return jnp.moveaxis(a, -1, 1)
+
+
+def remap_hydro(delp, ptv, u, v, q, pe_pad, peln_pad, pkz, ak, bk, g, cfg,
+                akap, last_step):
+    """Vertical remap back to the hybrid coordinate (fv_mapz.F90:56).
+
+    delp/ptv (theta_v)/u/v interior [6, K, ...]; pe_pad/peln_pad padded
+    interface arrays from the acoustic core. Returns updated fields (+pkz).
+    """
+    f = fi
+    npx = g.npx
+    n = g.n
+    ctr = slice(H, H + n)
+    wsl = slice(f(1), f(npx) + 1)
+    K = delp.shape[1]
+
+    pe1 = _k_last(pe_pad[..., ctr, ctr])              # [6, n, n, K+1]
+    peln1 = _k_last(peln_pad[..., ctr, ctr])
+    pkz_i = _k_last(pkz[..., ctr, ctr])
+
+    # theta_v -> virtual temperature (fv_mapz.F90:203-209)
+    tv = _k_last(ptv) * pkz_i
+
+    ps = pe1[..., -1:]
+    akl = ak.reshape((1,) * 3 + (K + 1,))
+    bkl = bk.reshape((1,) * 3 + (K + 1,))
+    pe2 = akl + bkl * ps
+    pn2 = jnp.log(pe2)
+    pk2 = jnp.exp(akap * pn2)
+    delp_new = _k_lev(pe2[..., 1:] - pe2[..., :-1])
+
+    # remap virtual T on log-p (map_scalar, kord_tm<0)
+    tv_new = fv_mapz.map1_ppm(tv, peln1, pn2, iv=1, kord=abs(cfg.kord_tm),
+                              qmin=fv_mapz.T_MIN)
+
+    # tracers on pe
+    q_new = {}
+    for name, qf in (q or {}).items():
+        qk = fv_mapz.map1_ppm(_k_last(qf), pe1, pe2, iv=0, kord=cfg.kord_tr)
+        if cfg.fill:
+            qk = fv_mapz.fillz(qk, pe2[..., 1:] - pe2[..., :-1])
+        q_new[name] = _k_lev(qk)
+
+    # winds: u at y-walls uses the average of the adjacent cell rows' edges
+    pe_u0 = 0.5 * (pe_pad[..., wsl, ctr] + _rl(pe_pad)[..., wsl, ctr])
+    # _rl pads on the cell axis: row j-1 under wall j
+    pe_u0 = _k_last(pe_u0)
+    ps_u = pe_u0[..., -1:]
+    pe_u1 = akl + bkl * ps_u
+    u_new = fv_mapz.map1_ppm(_k_last(u), pe_u0, pe_u1, iv=-1,
+                             kord=abs(cfg.kord_mt))
+    pe_v0 = 0.5 * (pe_pad[..., ctr, wsl] + _cl(pe_pad)[..., ctr, wsl])
+    pe_v0 = _k_last(pe_v0)
+    ps_v = pe_v0[..., -1:]
+    pe_v1 = akl + bkl * ps_v
+    v_new = fv_mapz.map1_ppm(_k_last(v), pe_v0, pe_v1, iv=-1,
+                             kord=abs(cfg.kord_mt))
+
+    pkz_new = (pk2[..., 1:] - pk2[..., :-1]) / (akap * (pn2[..., 1:] - pn2[..., :-1]))
+
+    if last_step:
+        pt_out = _k_lev(tv_new)          # virtual temperature (zvir=0: T)
+    else:
+        pt_out = _k_lev(tv_new / pkz_new)  # back to theta_v
+
+    return SimpleNamespace(delp=delp_new, pt=pt_out, u=_k_lev(u_new),
+                           v=_k_lev(v_new), q=q_new or None,
+                           pkz=_k_lev(pkz_new), ps=_k_lev(ps)[:, 0])
+
+
+def fv_dynamics_hydro(delp, pt, u, v, q, g, cfg: DynConfig, ak, bk, ptop):
+    """One big (physics) timestep of hydrostatic dynamics.
+
+    pt in/out is TEMPERATURE (adiabatic: zvir=0 so T == T_v). q: dict of
+    tracer fields or None."""
+    akap = con.KAPPA
+    mdt = cfg.dt / cfg.k_split
+    u, v = g.halo.reconcile_dgrid(u, v)
+
+    # entry pressures + pt -> theta_v (fv_dynamics.F90:275-399)
+    pe = ptop + jnp.cumsum(delp, axis=1)
+    pe = jnp.concatenate([jnp.full_like(pe[:, :1], ptop), pe], axis=1)
+    peln = jnp.log(pe)
+    pk = jnp.exp(akap * peln)
+    pkz = (pk[:, 1:] - pk[:, :-1]) / (akap * (peln[:, 1:] - peln[:, :-1]))
+    ptv = pt / pkz
+
+    for n_map in range(cfg.k_split):
+        last = n_map == cfg.k_split - 1
+        res = dyn_core_hydro(delp, ptv, u, v, None, g, cfg, akap, ptop,
+                             cfg.n_split, mdt / cfg.n_split)
+        # TODO: tracer_2d large-timestep transport with res.mfx/mfy/cx/cy
+        rm = remap_hydro(res.delp, res.pt, res.u, res.v, q, res.pe, res.peln,
+                         res.pkz, ak, bk, g, cfg, akap, last_step=last)
+        delp, u, v = rm.delp, rm.u, rm.v
+        q = rm.q
+        if last:
+            pt = rm.pt
+        else:
+            ptv = rm.pt
+
+    return SimpleNamespace(delp=delp, pt=pt, u=u, v=v, q=q, ps=rm.ps)

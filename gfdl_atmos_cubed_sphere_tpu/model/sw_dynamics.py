@@ -166,9 +166,13 @@ def make_sw_step(g, cfg: SWConfig):
     dt = cfg.dt / (cfg.n_split * cfg.k_split)
 
     def step(delp, u, v, uc, vc):
+        if not cfg.advection_only:
+            u, v = g.halo.reconcile_dgrid(u, v)
         st = SimpleNamespace(delp=delp, u=u, v=v, uc=uc, vc=vc)
         for _ in range(cfg.n_split * cfg.k_split):
             st = sw_acoustic_iteration(st, g, cfg, dt)
+        if not cfg.advection_only:
+            st.u, st.v = g.halo.reconcile_dgrid(st.u, st.v)
         return st.delp, st.u, st.v
 
     return step

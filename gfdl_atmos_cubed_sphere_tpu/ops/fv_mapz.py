@@ -1,0 +1,360 @@
+"""Vertical remapping operators (Lagrangian -> Eulerian coordinates).
+
+Re-implements /root/reference/model/fv_operators.F90 (cs_profile:919,
+scalar_profile:546, cs_limiters:1303, map1_ppm:137, map_scalar:40,
+mapn_tracer:234) as batched JAX column ops with the level axis LAST.
+
+The reconstruction produces per-layer PPM coefficients (al, ar, a6) with
+f(s) = al + s*[(ar-al) + a6*(1-s)], s in [0,1]; the remap integrates the
+piecewise-parabolic profile between new-coordinate edges via a cumulative
+antiderivative evaluated with one-hot layer location (replacing the
+reference's sequential goto search, map1_ppm:200-230, with a vectorized
+form that is exactly conservative by telescoping).
+"""
+
+import jax
+import jax.numpy as jnp
+
+R3 = 1.0 / 3.0
+R12 = 1.0 / 12.0
+R23 = 2.0 / 3.0
+T_MIN = 184.0       # fv_mapz.F90 t_min
+
+
+def _tridiag_interfaces(a1, delp, qs, iv):
+    """Cubic-spline interface values q[..., km+1] (cs_profile:967-1016).
+
+    a1, delp: [..., km]; qs: [..., ] bottom BC (iv == -2/-3 w variants).
+    """
+    km = a1.shape[-1]
+    a1f = jnp.moveaxis(a1, -1, 0)       # [km, ...]
+    dpf = jnp.moveaxis(delp, -1, 0)
+
+    # ---- general branch (cs_profile:967-1016) ----------------------------
+    grat = dpf[1] / dpf[0]
+    bet0 = grat * (grat + 0.5)
+    q1 = ((grat + grat) * (grat + 1.0) * a1f[0] + a1f[1]) / bet0
+    gam1 = (1.0 + grat * (grat + 1.5)) / bet0
+
+    def fwd(carry, x):
+        qkm1, gamkm1 = carry
+        a_km1, a_k, d4 = x
+        bet = 2.0 + d4 + d4 - gamkm1
+        qk = (3.0 * (a_km1 + d4 * a_k) - qkm1) / bet
+        gamk = d4 / bet
+        return (qk, gamk), (qk, gamk)
+
+    d4s = dpf[:-1] / dpf[1:]
+    (_, _), (qs_mid, gams_mid) = jax.lax.scan(fwd, (q1, gam1),
+                                              (a1f[:-1], a1f[1:], d4s))
+    d4 = d4s[-1]
+    a_bot = 1.0 + d4 * (d4 + 1.5)
+    q_bot = (2.0 * d4 * (d4 + 1.0) * a1f[-1] + a1f[-2]
+             - a_bot * qs_mid[-1]) / (d4 * (d4 + 0.5) - a_bot * gams_mid[-1])
+    q_fwd = jnp.concatenate([q1[None], qs_mid], 0)          # [km, ...]
+    gam = jnp.concatenate([gam1[None], gams_mid], 0)        # [km, ...]
+
+    def bwd(qnext, x):
+        qk, gamk = x
+        qk = qk - gamk * qnext
+        return qk, qk
+
+    _, qrev = jax.lax.scan(bwd, q_bot, (q_fwd[::-1], gam[::-1]))
+    qq = jnp.concatenate([qrev[::-1], q_bot[None]], 0)      # [km+1, ...]
+    return jnp.moveaxis(qq, 0, -1)
+
+
+def _cs_limiter(a1, al, ar, a6, extm, iv):
+    """cs_limiters (fv_operators.F90:1303), vectorized. iv in {0, 1, 2}."""
+    if iv == 0:
+        neg = a1 <= 0.0
+        da1 = ar - al
+        cond = (jnp.abs(da1) < -a6) & (
+            a1 + 0.25 * da1 * da1 / jnp.where(a6 == 0, 1.0, a6) + a6 * R12 < 0.0)
+        both = (a1 < ar) & (a1 < al)
+        # branch 1: flatten; branch 2/3: one-sided
+        al_n = jnp.where(both, a1, jnp.where(ar > al, al, ar - 3.0 * (ar - a1)))
+        ar_n = jnp.where(both, a1, jnp.where(ar > al, al - 3.0 * (al - a1), ar))
+        a6_n = jnp.where(both, 0.0, jnp.where(ar > al, 3.0 * (al - a1),
+                                              3.0 * (ar - a1)))
+        al2 = jnp.where(cond, al_n, al)
+        ar2 = jnp.where(cond, ar_n, ar)
+        a62 = jnp.where(cond, a6_n, a6)
+        al2 = jnp.where(neg, a1, al2)
+        ar2 = jnp.where(neg, a1, ar2)
+        a62 = jnp.where(neg, 0.0, a62)
+        return al2, ar2, a62
+    if iv == 1:
+        ext = (a1 - al) * (a1 - ar) >= 0.0
+    else:
+        ext = extm
+    da1 = ar - al
+    da2 = da1 * da1
+    a6da = a6 * da1
+    ar_lo = al - 3.0 * (al - a1)    # = a2 - a4 with a4=3(a2-a1)
+    al_hi = ar - 3.0 * (ar - a1)
+    a6_lo = 3.0 * (al - a1)
+    a6_hi = 3.0 * (ar - a1)
+    al2 = jnp.where(a6da < -da2, al, jnp.where(a6da > da2, al_hi, al))
+    ar2 = jnp.where(a6da < -da2, ar_lo, ar)
+    a62 = jnp.where(a6da < -da2, a6_lo, jnp.where(a6da > da2, a6_hi, a6))
+    al2 = jnp.where(ext, a1, al2)
+    ar2 = jnp.where(ext, a1, ar2)
+    a62 = jnp.where(ext, 0.0, a62)
+    return al2, ar2, a62
+
+
+def cs_profile(a1, delp, qs=None, iv=1, kord=8, qmin=None):
+    """PPM/cubic-spline reconstruction (cs_profile / scalar_profile).
+
+    a1, delp: [..., km]; qs: bottom BC [...] (winds/w). qmin non-None selects
+    the scalar_profile qmin-aware variants of kord 9/11.
+    Returns (al, ar, a6): [..., km].
+    """
+    km = a1.shape[-1]
+    akord = abs(kord)
+    if qs is None:
+        qs = jnp.zeros(a1.shape[:-1], a1.dtype)
+    if iv == -2:
+        raise NotImplementedError("w-with-lower-BC variant (nonhydrostatic)")
+    q = _tridiag_interfaces(a1, delp, qs, 1)
+
+    if akord == 17:
+        al = q[..., :-1]
+        ar = q[..., 1:]
+        return al, ar, 3.0 * (2.0 * a1 - (al + ar))
+
+    # ---- large-scale constraints on interface values ---------------------
+    dq = a1[..., 1:] - a1[..., :-1]                   # gam(k) at k=2..km
+    # q(2) bound (index 1)
+    hi = jnp.maximum(a1[..., :-1], a1[..., 1:])       # per interior interface
+    lo = jnp.minimum(a1[..., :-1], a1[..., 1:])
+    qi = q[..., 1:-1]                                 # interfaces 2..km
+    clamped = jnp.clip(qi, lo, hi)
+    # interior interfaces 3..km-1 (0-based 1..km-3 of qi): extremum-aware
+    gm = dq[..., :-1]                                 # gam(k-1) for interface k
+    gp = dq[..., 1:]                                  # gam(k+1)... shapes [km-2]
+    # build per-interface arrays for interfaces k=3..km-1 (qi index 1..km-3)
+    qmid = qi[..., 1:-1]
+    lo_m = lo[..., 1:-1]
+    hi_m = hi[..., 1:-1]
+    gkm1 = dq[..., :-2]                               # gam(k-1)
+    gkp1 = dq[..., 2:]                                # gam(k+1)
+    if akord >= 14:
+        qmid_n = jnp.clip(qmid, lo_m, hi_m)
+    else:
+        loc_max = gkm1 > 0.0
+        q_max = jnp.maximum(qmid, lo_m)               # local max branch
+        q_min = jnp.minimum(qmid, hi_m)               # local min branch
+        if iv == 0:
+            q_min = jnp.maximum(0.0, q_min)
+        qmid_n = jnp.where(gkm1 * gkp1 > 0.0, jnp.clip(qmid, lo_m, hi_m),
+                           jnp.where(loc_max, q_max, q_min))
+    qi = qi.at[..., 1:-1].set(qmid_n)
+    qi = qi.at[..., 0].set(clamped[..., 0])           # q(2)
+    qi = qi.at[..., -1].set(clamped[..., -1])         # q(km)
+    q = q.at[..., 1:-1].set(qi)
+
+    al = q[..., :-1]
+    ar = q[..., 1:]
+
+    # extremum flags
+    ext_edge = (al - a1) * (ar - a1) > 0.0
+    ext_int = jnp.pad(dq[..., :-1] * dq[..., 1:] < 0.0,
+                      [(0, 0)] * (a1.ndim - 1) + [(1, 1)])
+    extm = ext_int.at[..., 0].set(ext_edge[..., 0])
+    extm = extm.at[..., -1].set(ext_edge[..., -1])
+    x0 = 2.0 * a1 - (al + ar)
+    x1 = jnp.abs(al - ar)
+    ext5 = jnp.abs(x0) > x1
+    ext6 = jnp.abs(3.0 * x0) > x1
+
+    # ---- top boundary subgrid constraints --------------------------------
+    if iv == 0:
+        al = al.at[..., 0].set(jnp.maximum(0.0, al[..., 0]))
+    elif iv == -1:
+        al = al.at[..., 0].set(jnp.where(
+            al[..., 0] * a1[..., 0] <= 0.0, 0.0, al[..., 0]))
+    elif iv == 2:
+        al = al.at[..., 0].set(a1[..., 0])
+        ar = ar.at[..., 0].set(a1[..., 0])
+
+    a6 = 3.0 * (2.0 * a1 - (al + ar))
+
+    def lim_at(k, ivl):
+        a, r, s = _cs_limiter(a1[..., k], al[..., k], ar[..., k],
+                              3.0 * (2.0 * a1[..., k] - (al[..., k] + ar[..., k])),
+                              extm[..., k], ivl)
+        return a, r, s
+
+    # gam shifts for the Huynh constraints; gam(k) = a1(k)-a1(k-1) (1-based)
+    pad = [(0, 0)] * (a1.ndim - 1)
+    dqe = jnp.pad(dq, pad + [(2, 2)])      # dq index: gam(k) (1-based k=2..km) at dqe[k]
+    # 1-based layer k: gam(k) = dqe[..., k], gam(k-1) = dqe[..., k-1],
+    # gam(k+1) = dqe[..., k+1], gam(k+2) = dqe[..., k+2]; layer k -> 0-based k-1
+    G = lambda off: dqe[..., 1 + off: 1 + off + km]   # gam(k+off) per layer
+
+    pmp_1 = a1 - 2.0 * G(1)
+    lac_1 = pmp_1 + 1.5 * G(2)
+    al_h = jnp.minimum(jnp.maximum(al, jnp.minimum(jnp.minimum(a1, pmp_1), lac_1)),
+                       jnp.maximum(jnp.maximum(a1, pmp_1), lac_1))
+    pmp_2 = a1 + 2.0 * G(0)
+    lac_2 = pmp_2 - 1.5 * G(-1)
+    ar_h = jnp.minimum(jnp.maximum(ar, jnp.minimum(jnp.minimum(a1, pmp_2), lac_2)),
+                       jnp.maximum(jnp.maximum(a1, pmp_2), lac_2))
+
+    extm_m = jnp.pad(extm, pad + [(1, 1)], constant_values=False)
+    extm_km1 = extm_m[..., 0:km]
+    extm_kp1 = extm_m[..., 2:km + 2]
+    ext5_m = jnp.pad(ext5, pad + [(1, 1)], constant_values=False)
+    ext5_km1 = ext5_m[..., 0:km]
+    ext5_kp1 = ext5_m[..., 2:km + 2]
+    ext6_m = jnp.pad(ext6, pad + [(1, 1)], constant_values=False)
+    ext6_km1 = ext6_m[..., 0:km]
+    ext6_kp1 = ext6_m[..., 2:km + 2]
+
+    if akord <= 8:
+        al_i, ar_i = al_h, ar_h
+        a6_i = 3.0 * (2.0 * a1 - (al_i + ar_i))
+    elif akord == 9:
+        noisy = extm & (extm_km1 | extm_kp1)
+        if qmin is not None:
+            noisy = noisy | (extm & (a1 < qmin))
+        a6_0 = 3.0 * (2.0 * a1 - (al + ar))
+        nonmono = jnp.abs(a6_0) > jnp.abs(al - ar)
+        al_i = jnp.where(noisy, a1, jnp.where(nonmono, al_h, al))
+        ar_i = jnp.where(noisy, a1, jnp.where(nonmono, ar_h, ar))
+        a6_i = jnp.where(noisy, 0.0, 3.0 * (2.0 * a1 - (al_i + ar_i)))
+    elif akord == 10:
+        cond_flat = extm & (extm_km1 | extm_kp1)
+        if qmin is not None:
+            cond_flat = extm & ((a1 < qmin) | extm_km1 | extm_kp1)
+        a6_0 = 6.0 * a1 - 3.0 * (al + ar)
+        nonmono = (~extm) & (jnp.abs(a6_0) > jnp.abs(al - ar))
+        al_i = jnp.where(cond_flat, a1, jnp.where(nonmono, al_h, al))
+        ar_i = jnp.where(cond_flat, a1, jnp.where(nonmono, ar_h, ar))
+        a6_i = jnp.where(cond_flat, 0.0, 6.0 * a1 - 3.0 * (al_i + ar_i))
+    elif akord == 11:
+        noisy = ext5 & (ext5_km1 | ext5_kp1)
+        if qmin is not None:
+            noisy = ext5 & (ext5_km1 | ext5_kp1 | (a1 < qmin))
+        al_i = jnp.where(noisy, a1, al)
+        ar_i = jnp.where(noisy, a1, ar)
+        a6_i = jnp.where(noisy, 0.0, 3.0 * (2.0 * a1 - (al_i + ar_i)))
+    elif akord == 12:
+        flat = ext5 & (ext5_km1 | ext5_kp1)
+        huynh = (ext5 & (~(ext5_km1 | ext5_kp1)) & (ext6_km1 | ext6_kp1)) | (
+            (~ext5) & ext6 & (ext5_km1 | ext5_kp1))
+        al_i = jnp.where(flat, a1, jnp.where(huynh, al_h, al))
+        ar_i = jnp.where(flat, a1, jnp.where(huynh, ar_h, ar))
+        a6_i = 3.0 * (2.0 * a1 - (al_i + ar_i))
+    elif akord == 13:
+        al_i, ar_i = al, ar
+        a6_i = 3.0 * (2.0 * a1 - (al + ar))
+    elif akord in (14, 15):
+        a6_0 = 3.0 * (2.0 * a1 - (al + ar))
+        al_i, ar_i, a6_i = _cs_limiter(a1, al, ar, a6_0, extm, 2 if akord == 14 else 1)
+    else:
+        raise NotImplementedError(f"kord {kord}")
+
+    if iv == 0 and akord <= 13:
+        al_i, ar_i, a6_i = _cs_limiter(a1, al_i, ar_i, a6_i, extm, 0)
+
+    # ---- select: interior layers [2..km-3] (0-based) use the kord scheme;
+    # layers 0,1,km-2,km-1 use the monotone limiters ------------------------
+    a6_b = 3.0 * (2.0 * a1 - (al + ar))
+    al0, ar0, a60 = _cs_limiter(a1, al, ar, a6_b, extm, 1)      # k=1 (top)
+    al1, ar1, a61 = _cs_limiter(a1, al, ar, a6_b, extm, 2)      # k=2
+    # bottom subgrid constraints on ar(km)
+    if iv == 0:
+        ar_bot = jnp.maximum(0.0, ar)
+    elif iv == -1:
+        ar_bot = jnp.where(ar * a1 <= 0.0, 0.0, ar)
+    else:
+        ar_bot = ar
+    a6_bot = 3.0 * (2.0 * a1 - (al + ar_bot))
+    alm1, arm1, a6m1 = _cs_limiter(a1, al, ar_bot, a6_bot, extm, 2)  # km-1
+    alm0, arm0, a6m0 = _cs_limiter(a1, al, ar_bot, a6_bot, extm, 1)  # km
+
+    pos = jnp.arange(km)
+    shp = (1,) * (a1.ndim - 1) + (km,)
+    pos = pos.reshape(shp)
+    al_f = jnp.where(pos == 0, al0, jnp.where(pos == 1, al1,
+                     jnp.where(pos == km - 2, alm1,
+                     jnp.where(pos == km - 1, alm0, al_i))))
+    ar_f = jnp.where(pos == 0, ar0, jnp.where(pos == 1, ar1,
+                     jnp.where(pos == km - 2, arm1,
+                     jnp.where(pos == km - 1, arm0, ar_i))))
+    a6_f = jnp.where(pos == 0, a60, jnp.where(pos == 1, a61,
+                     jnp.where(pos == km - 2, a6m1,
+                     jnp.where(pos == km - 1, a6m0, a6_i))))
+    return al_f, ar_f, a6_f
+
+
+def remap_ppm(a1, pe1, pe2, al, ar, a6):
+    """Conservative remap of (al, ar, a6) reconstruction from pe1 to pe2.
+
+    a1, al, ar, a6: [..., km]; pe1: [..., km+1]; pe2: [..., kn+1]
+    (both monotone increasing with matching first/last edges).
+    Returns q2 [..., kn]. Conservative by telescoping the cumulative
+    antiderivative (replaces map1_ppm's sequential search).
+    """
+    km = a1.shape[-1]
+    dp1 = pe1[..., 1:] - pe1[..., :-1]
+    # cumulative integral at source interfaces
+    lay = dp1 * a1
+    C = jnp.cumsum(lay, axis=-1)
+    C = jnp.concatenate([jnp.zeros_like(C[..., :1]), C], axis=-1)  # [..., km+1]
+
+    p = jnp.clip(pe2, pe1[..., :1], pe1[..., -1:])
+    # locate source layer: l = #{pe1[m+1] < p} clipped to [0, km-1]
+    cnt = jnp.sum(p[..., :, None] > pe1[..., None, 1:], axis=-1)
+    l = jnp.clip(cnt, 0, km - 1)
+
+    def take(x):
+        return jnp.take_along_axis(x, l, axis=-1)
+
+    pl = (p - take(pe1[..., :-1])) / take(dp1)
+    s = jnp.clip(pl, 0.0, 1.0)
+    alx, arx, a6x = take(al), take(ar), take(a6)
+    # antiderivative of f(s) = al + s*(ar-al) + a6*s*(1-s):
+    Is = alx * s + 0.5 * (arx - alx) * s * s + a6x * (0.5 * s * s - R3 * s ** 3)
+    Q = take(C[..., :-1]) + take(dp1) * Is
+    dq = Q[..., 1:] - Q[..., :-1]
+    return dq / (pe2[..., 1:] - pe2[..., :-1])
+
+
+def map1_ppm(q, pe1, pe2, qs=None, iv=1, kord=8, qmin=None):
+    """Full remap of a field [..., km] from edges pe1 to pe2."""
+    al, ar, a6 = cs_profile(q, pe1[..., 1:] - pe1[..., :-1], qs=qs, iv=iv,
+                            kord=abs(kord), qmin=qmin)
+    return remap_ppm(q, pe1, pe2, al, ar, a6)
+
+
+def map_scalar_logp(q, peln1, peln2, iv=1, kord=8, qmin=T_MIN):
+    """map_scalar on log-p edges (temperature remap, kord_tm < 0)."""
+    return map1_ppm(q, peln1, peln2, iv=iv, kord=abs(kord), qmin=qmin)
+
+
+def fillz(q, dp):
+    """Vertical negative-tracer filler (fv_fill.F90 fillz:34), simplified
+    top-down borrowing: exactly conservative, removes negatives where
+    possible. q, dp: [..., km]."""
+    km = q.shape[-1]
+    qd = q * dp
+
+    def body(carry, x):
+        debt = carry
+        qk, dpk = x
+        avail = qk + debt
+        newq = jnp.maximum(avail, 0.0)
+        debt = jnp.minimum(avail, 0.0)
+        return debt, newq
+
+    qdf = jnp.moveaxis(qd, -1, 0)
+    dpf = jnp.moveaxis(dp, -1, 0)
+    debt, qfix = jax.lax.scan(body, jnp.zeros_like(qdf[0]), (qdf, dpf))
+    qfix = jnp.moveaxis(qfix, 0, -1)
+    # any residual negative mass is absorbed into the bottom layer
+    qfix = qfix.at[..., -1].add(debt)
+    return qfix / dp

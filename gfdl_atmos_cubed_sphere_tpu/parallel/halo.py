@@ -97,6 +97,43 @@ class HaloExchanger:
             outs.append(jnp.moveaxis(o, -3, 0))
         return tuple(outs)
 
+    def reconcile_dgrid(self, u, v):
+        """Overwrite the duplicated D-wind walls on each tile's N/E edges with
+        the owning (W/S side) tile's values — the mpp_get_boundary consistency
+        fix of dyn_core.F90:1152-1170. u: [6, ..., n+1, n]; v: [6, ..., n, n+1]
+        interior (unpadded) arrays."""
+        if not hasattr(self, "_own_spec"):
+            # keep as numpy: creating device constants lazily inside a jit
+            # trace and caching them on self leaks tracers across traces
+            self._own_spec = {
+                k: tuple(np.asarray(a) for a in v_)
+                for k, v_ in self.topo.dgrid_edge_owner_spec().items()}
+        n = self.n
+        batched = u.ndim == 4
+
+        def pick(comp, tid, jj, ii, sg):
+            # comp 0 -> neighbor u (wall row, cell col); 1 -> neighbor v
+            # (cell row, wall col). JAX clamps the out-of-range indices of the
+            # unselected component; jnp.where discards them.
+            if batched:
+                uu = u[tid, :, jj, ii]          # [6, n, K]
+                vv = v[tid, :, jj, ii]
+                w = jnp.where((comp == 0)[..., None], uu, vv)
+                return w * sg[..., None]
+            uu = u[tid, jj, ii]
+            vv = v[tid, jj, ii]
+            return jnp.where(comp == 0, uu, vv) * sg
+
+        un = pick(*self._own_spec["u_n"])
+        ve = pick(*self._own_spec["v_e"])
+        if batched:
+            u = u.at[:, :, n, :].set(jnp.moveaxis(un, 1, -1))
+            v = v.at[:, :, :, n].set(jnp.moveaxis(ve, 1, -1))
+        else:
+            u = u.at[:, n, :].set(un)
+            v = v.at[:, :, n].set(ve)
+        return u, v
+
     def pad_dgrid(self, u, v):
         """D-grid winds: u [6,...,n+1,n], v [6,...,n,n+1] ->
         padded [6,...,n+1+2h,n+2h], [6,...,n+2h,n+1+2h]."""

@@ -1,0 +1,83 @@
+"""Hydrostatic 3-D core tests: vertical coordinate, remap operators, and the
+Jablonowski-Williamson steady state (the analog of the reference CI `hydro`
+builds, .github/workflows: C96 baroclinic cases)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gfdl_atmos_cubed_sphere_tpu.grid.fv_eta import set_eta
+from gfdl_atmos_cubed_sphere_tpu.ops import fv_mapz
+from gfdl_atmos_cubed_sphere_tpu.model.grid_ops import build_grid_ops
+from gfdl_atmos_cubed_sphere_tpu.model.dyn_core import DynConfig
+from gfdl_atmos_cubed_sphere_tpu.model.fv_dynamics import fv_dynamics_hydro
+from gfdl_atmos_cubed_sphere_tpu.model import sw_dynamics as swd
+from gfdl_atmos_cubed_sphere_tpu.init.baroclinic import jw_baroclinic
+
+
+def test_set_eta_tables():
+    for km in (26, 32, 63):
+        ks, ptop, ak, bk = set_eta(km)
+        pe = ak + bk * 1.0e5
+        assert np.all(np.diff(pe) > 0)
+        assert bk[0] == 0.0 and abs(bk[-1] - 1.0) < 1e-12
+        assert np.all(bk[:ks + 1] == 0.0)
+        pe_min = ak + bk * 4.0e4        # still monotone at low surface p
+        assert np.all(np.diff(pe_min) > 0)
+
+
+def test_set_eta_var_hi():
+    ks, ptop, ak, bk = set_eta(79)
+    pe = ak + bk * 1.0e5
+    assert np.all(np.diff(pe) > 0) and ptop == pytest.approx(ak[0])
+
+
+def test_remap_conservation_and_monotonicity():
+    km = 32
+    rng = np.random.default_rng(0)
+    pe1 = np.sort(rng.uniform(100.0, 1e5, (8, km + 1)), axis=-1)
+    pe1[:, 0] = 100.0
+    pe1[:, -1] = 1e5
+    q = rng.uniform(0.0, 1.0, (8, km))
+    pe2 = np.sort(rng.uniform(100.0, 1e5, (8, km + 1)), axis=-1)
+    pe2[:, 0] = 100.0
+    pe2[:, -1] = 1e5
+    for kord in (8, 9, 10, 11, 13):
+        q2 = fv_mapz.map1_ppm(jnp.asarray(q), jnp.asarray(pe1),
+                              jnp.asarray(pe2), iv=0, kord=kord)
+        m1 = (q * np.diff(pe1)).sum()
+        m2 = (np.asarray(q2) * np.diff(pe2)).sum()
+        assert abs(m2 - m1) / m1 < 1e-12, kord
+        assert float(q2.min()) >= -1e-12, kord          # iv=0 positivity
+
+
+def test_jw_steady_state():
+    """Unperturbed JW (case 12) must remain close to balance for 2 days."""
+    npx, npz = 25, 26
+    g = build_grid_ops(npx, dtype=jnp.float64)
+    ks, ptop, ak, bk = set_eta(npz)
+    ic = jw_baroclinic(g.geom, npz, ak, bk, ptop, perturb=False)
+    swd.prepare_phis(g, ic["phis"])
+    cfg = DynConfig(npx=npx, npz=npz, dt=1800.0, n_split=5)
+    akj, bkj = jnp.asarray(ak), jnp.asarray(bk)
+
+    @jax.jit
+    def step(delp, pt, u, v):
+        r = fv_dynamics_hydro(delp, pt, u, v, None, g, cfg, akj, bkj, ptop)
+        return r.delp, r.pt, r.u, r.v, r.ps
+
+    d, p, u, v = map(jnp.asarray, (ic["delp"], ic["pt"], ic["u"], ic["v"]))
+    area = jnp.asarray(g.geom.interior("area")[:, None])
+    m0 = float((d * area).sum())
+    d1, p1, u1, v1 = d, p, u, v
+    for _ in range(96):                    # 2 days
+        d1, p1, u1, v1, ps = step(d1, p1, u1, v1)
+    assert not bool(jnp.isnan(p1).any())
+    assert abs(float((d1 * area).sum()) - m0) / m0 < 1e-8    # dry air mass
+    assert 205.0 < float(p1.min()) and float(p1.max()) < 315.0
+    # surface pressure stays near 1000 hPa (coarse-grid adjustment only)
+    assert float(jnp.abs(ps - 1.0e5).max()) < 500.0
+    # interior winds stay near the balanced jet
+    du = np.abs(np.asarray(u1 - u)).max(axis=(0, 2, 3))
+    assert du[4:].max() < 8.0

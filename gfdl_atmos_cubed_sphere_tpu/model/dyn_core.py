@@ -59,6 +59,11 @@ class DynConfig:
     consv_te: float = 0.0
     fill: bool = False
     is_ideal_case: bool = True
+    # acoustic loop as lax.scan (fast compile) vs python-unrolled. Unrolled is
+    # required under a GSPMD-sharded mesh: XLA mis-partitions the while-loop
+    # body's edge update-slice chains (wrong values / NaN on >1 device,
+    # correct unrolled or on one device). See parallel/mesh.py.
+    use_scan: bool = True
 
 
 def geopk(delp_p, pt_p, phis_p, akap, ptop):
@@ -193,9 +198,9 @@ def dyn_core_hydro(delp, pt, u, v, phis, g, cfg: DynConfig, akap, ptop,
     phis_p = g.phis_p
 
     groups = _sponge_groups(cfg)
-    mfx = mfy = cx = cy = None
 
-    for it in range(n_split):
+    def body(carry, _):
+        delp, pt, u, v, mfx, mfy, cx, cy = carry
         delp_p = halo.pad_cell(delp)
         pt_p = halo.pad_cell(pt)
         u_p, v_p = halo.pad_dgrid(u, v)
@@ -209,7 +214,7 @@ def dyn_core_hydro(delp, pt, u, v, phis, g, cfg: DynConfig, akap, ptop,
         if cfg.nord > 0:
             divg_p = halo.pad_corner(cs.divg_d[..., wsl, wsl])
 
-        # per-sponge-group d_sw
+        # per-sponge-group d_sw (the reference's per-k damping dispatch)
         outs = []
         for ksl, p in groups:
             ds = sw_core.d_sw(
@@ -229,32 +234,36 @@ def dyn_core_hydro(delp, pt, u, v, phis, g, cfg: DynConfig, akap, ptop,
 
         delp = cat("delp")
         pt = cat("pt")
-        u_acc = cat("u")
-        v_acc = cat("v")
-        fx = cat("fx")
-        fy = cat("fy")
-        crx = cat("crx")
-        cry = cat("cry")
-        xfx = cat("xfx")
-        yfx = cat("yfx")
-
-        # flux capacitors for the large-timestep tracer transport
-        if mfx is None:
-            mfx, mfy = fx, fy
-            cx, cy = crx, cry
-        else:
-            mfx, mfy = mfx + fx, mfy + fy
-            cx, cy = cx + crx, cy + cry
+        fx, fy = cat("fx"), cat("fy")
+        crx, cry = cat("crx"), cat("cry")
+        mfx, mfy = mfx + fx, mfy + fy
+        cx, cy = cx + crx, cy + cry
 
         delp_p2 = halo.pad_cell(delp)
         pt_p2 = halo.pad_cell(pt)
-        pe, peln, pk, gz, pkz = geopk(delp_p2, pt_p2, phis_p, akap, ptop)
-        u, v = one_grad_p(u_acc, v_acc, pk, gz, g, dt, npx, ptk)
-        if it == n_split - 1:
-            # prevent accumulation of rounding/one-sided-stencil differences
-            # at the duplicated tile-edge walls (dyn_core.F90:1152-1170)
-            u, v = halo.reconcile_dgrid(u, v)
+        _, _, pk, gz, _ = geopk(delp_p2, pt_p2, phis_p, akap, ptop)
+        u, v = one_grad_p(cat("u"), cat("v"), pk, gz, g, dt, npx, ptk)
+        return (delp, pt, u, v, mfx, mfy, cx, cy), None
 
+    K = delp.shape[1]
+    NC, NW = n + 2 * H, n + 1 + 2 * H
+    zsh = lambda *s: jnp.zeros((6, K) + s, delp.dtype)
+    carry0 = (delp, pt, u, v, zsh(n, n + 1), zsh(n + 1, n),
+              zsh(NC, NW), zsh(NW, NC))
+    if cfg.use_scan:
+        # lax.scan keeps compile time O(1) in n_split (single-device path;
+        # under a GSPMD mesh use_scan=False — see parallel/mesh.py note)
+        carry, _ = jax.lax.scan(body, carry0, None, length=n_split)
+    else:
+        carry = carry0
+        for _ in range(n_split):
+            carry, _ = body(carry, None)
+    delp, pt, u, v, mfx, mfy, cx, cy = carry
+    # prevent accumulation of rounding/one-sided-stencil differences at the
+    # duplicated tile-edge walls (dyn_core.F90:1152-1170)
+    u, v = halo.reconcile_dgrid(u, v)
+    pe, peln, pk, gz, pkz = geopk(halo.pad_cell(delp), halo.pad_cell(pt),
+                                  phis_p, akap, ptop)
     return SimpleNamespace(delp=delp, pt=pt, u=u, v=v,
                            mfx=mfx, mfy=mfy, cx=cx, cy=cy,
                            pe=pe, peln=peln, pk=pk, pkz=pkz, gz=gz)

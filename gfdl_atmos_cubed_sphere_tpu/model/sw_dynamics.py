@@ -47,6 +47,7 @@ class SWConfig:
     d_con: float = 0.0
     lim_fac: float = 1.0
     advection_only: bool = False   # Williamson case 1
+    use_scan: bool = True          # see DynConfig.use_scan (GSPMD mesh note)
 
 
 def sw_state(delp, u, v, phis, uc=None, vc=None):
@@ -165,14 +166,34 @@ def make_sw_step(g, cfg: SWConfig):
     """Jittable big-timestep function: state pytree -> state pytree."""
     dt = cfg.dt / (cfg.n_split * cfg.k_split)
 
+    nsteps = cfg.n_split * cfg.k_split
+
+    def loop(body, carry0):
+        if cfg.use_scan:
+            carry, _ = jax.lax.scan(body, carry0, None, length=nsteps)
+            return carry
+        carry = carry0
+        for _ in range(nsteps):
+            carry, _ = body(carry, None)
+        return carry
+
     def step(delp, u, v, uc, vc):
-        if not cfg.advection_only:
-            u, v = g.halo.reconcile_dgrid(u, v)
-        st = SimpleNamespace(delp=delp, u=u, v=v, uc=uc, vc=vc)
-        for _ in range(cfg.n_split * cfg.k_split):
+        if cfg.advection_only:
+            def body(d, _):
+                st = SimpleNamespace(delp=d, u=None, v=None, uc=uc, vc=vc)
+                st = sw_acoustic_iteration(st, g, cfg, dt)
+                return st.delp, None
+            return loop(body, delp), u, v
+        u, v = g.halo.reconcile_dgrid(u, v)
+
+        def body(carry, _):
+            st = SimpleNamespace(delp=carry[0], u=carry[1], v=carry[2],
+                                 uc=None, vc=None)
             st = sw_acoustic_iteration(st, g, cfg, dt)
-        if not cfg.advection_only:
-            st.u, st.v = g.halo.reconcile_dgrid(st.u, st.v)
-        return st.delp, st.u, st.v
+            return (st.delp, st.u, st.v), None
+
+        d, uu, vv = loop(body, (delp, u, v))
+        uu, vv = g.halo.reconcile_dgrid(uu, vv)
+        return d, uu, vv
 
     return step

@@ -38,6 +38,7 @@ class DynConfig:
     hord_tm: int = 10
     hord_dp: int = 10
     hord_tr: int = 8
+    q_split: int = 0
     kord_mt: int = 8
     kord_tm: int = -8
     kord_tr: int = 8
@@ -201,6 +202,13 @@ def dyn_core_hydro(delp, pt, u, v, phis, g, cfg: DynConfig, akap, ptop,
 
     def body(carry, _):
         delp, pt, u, v, mfx, mfy, cx, cy = carry
+        # reconcile duplicated tile-edge walls every iteration: the one-sided
+        # edge stencils are not exactly mirror-symmetric across tiles, and
+        # unreconciled walls (~1e-6 rel after one iteration) break the
+        # telescoping of mass fluxes => global mass drift. With this, delp
+        # mass conserves to ~1e-14/step (cf. dyn_core.F90:1152-1170, which
+        # reconciles only at it==n_split for comm cost).
+        u, v = halo.reconcile_dgrid(u, v)
         delp_p = halo.pad_cell(delp)
         pt_p = halo.pad_cell(pt)
         u_p, v_p = halo.pad_dgrid(u, v)

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from .. import constants as con
 from ..ops import fv_mapz
+from .tracer_2d import tracer_2d
 from ..ops.sw_core import _rl, _cl
 from ..ops.fill_corners import fi
 from .dyn_core import DynConfig, dyn_core_hydro, geopk
@@ -119,9 +120,16 @@ def fv_dynamics_hydro(delp, pt, u, v, q, g, cfg: DynConfig, ak, bk, ptop):
 
     for n_map in range(cfg.k_split):
         last = n_map == cfg.k_split - 1
+        dp1 = delp                                    # delp before acoustics
         res = dyn_core_hydro(delp, ptv, u, v, None, g, cfg, akap, ptop,
                              cfg.n_split, mdt / cfg.n_split)
-        # TODO: tracer_2d large-timestep transport with res.mfx/mfy/cx/cy
+        if q:
+            # large-timestep transport on the accumulated flux capacitors
+            # (fv_dynamics.F90:518-536)
+            q, _ = tracer_2d(q, dp1, res.mfx, res.mfy, res.cx, res.cy, g,
+                             hord_tr=cfg.hord_tr,
+                             q_split=cfg.q_split if cfg.use_scan else
+                             max(1, cfg.q_split))
         rm = remap_hydro(res.delp, res.pt, res.u, res.v, q, res.pe, res.peln,
                          res.pkz, ak, bk, g, cfg, akap, last_step=last)
         delp, u, v = rm.delp, rm.u, rm.v

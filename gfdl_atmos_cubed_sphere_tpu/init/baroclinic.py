@@ -146,6 +146,13 @@ def jw_baroclinic(geom, npz, ak, bk, ptop, perturb=True, moist=False):
 
     out = dict(delp=delp, pt=pt, u=u, v=v, phis=phis[:, None],
                ps=np.full((6, 1, n, n), ps0))
+    # nonhydrostatic state: w = 0, delz from hydrostatic balance
+    # (fv_restart-style init: delz = -R*Tv/g * dlnp)
+    pe = ptop + np.concatenate(
+        [np.zeros_like(delp[:, :1]), np.cumsum(delp, axis=1)], axis=1)
+    dlnp = np.log(pe[:, 1:]) - np.log(pe[:, :-1])
+    out["delz"] = -con.RDGAS * pt / con.GRAV * dlnp
+    out["w"] = np.zeros_like(delp)
     if moist:
         # test_cases.F90:1627-1642 moisture profile (layer-mean p via delp/dlnp)
         pek = ak + bk * ps0

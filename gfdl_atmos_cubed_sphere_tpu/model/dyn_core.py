@@ -15,6 +15,7 @@ from types import SimpleNamespace
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import constants as con
 from ..ops import sw_core
@@ -56,6 +57,9 @@ class DynConfig:
     ke_bg: float = 0.0
     lim_fac: float = 1.0
     n_sponge: int = 1
+    p_fac: float = 0.05
+    a_imp: float = 1.0
+    hydrostatic: bool = True
     adiabatic: bool = True
     consv_te: float = 0.0
     fill: bool = False
@@ -86,13 +90,16 @@ def geopk(delp_p, pt_p, phis_p, akap, ptop):
     return pe, peln, pk, gz, pkz
 
 
-def p_grad_c(uc, vc, delpc_p, pkc, gz, g, dt2, npx):
-    """C-grid pressure-gradient wind update (dyn_core.F90 p_grad_c:1635),
-    hydrostatic: wk = pk(k+1)-pk(k)."""
+def p_grad_c(uc, vc, delpc_p, pkc, gz, g, dt2, npx, hydrostatic=True):
+    """C-grid pressure-gradient wind update (dyn_core.F90 p_grad_c:1635).
+
+    hydrostatic: wk = pk(k+1)-pk(k) with pkc = pe**kappa;
+    nonhydrostatic: wk = delpc with pkc = full pressure (dyn_core.F90:1670).
+    """
     f = fi
     wall_c = slice(f(1), f(npx) + 1)
     cell_c = slice(f(1), f(npx - 1) + 1)
-    wk = pkc[:, 1:] - pkc[:, :-1]
+    wk = (pkc[:, 1:] - pkc[:, :-1]) if hydrostatic else delpc_p
     gz1 = gz[:, :-1]
     gz2 = gz[:, 1:]
     pk1 = pkc[:, :-1]
@@ -275,3 +282,196 @@ def dyn_core_hydro(delp, pt, u, v, phis, g, cfg: DynConfig, akap, ptop,
     return SimpleNamespace(delp=delp, pt=pt, u=u, v=v,
                            mfx=mfx, mfy=mfy, cx=cx, cy=cy,
                            pe=pe, peln=peln, pk=pk, pkz=pkz, gz=gz)
+
+
+def nh_p_grad(u_acc, v_acc, pp, pk3, gz, delp_p, g, dt, npx, ptk):
+    """Nonhydrostatic dual pressure gradient (dyn_core.F90 nh_p_grad:1696).
+
+    pp: nonhydro pressure perturbation at interfaces [6,K+1,Y,X] padded;
+    pk3: hydrostatic pe**kappa interfaces; gz: geopotential interfaces
+    (zh*grav); delp_p: padded layer thickness. u_acc/v_acc are d_sw outputs
+    in circulation form. Returns final interior D winds."""
+    f = fi
+    n = g.n
+    ctr = slice(H, H + n)
+    wsl = slice(f(1), f(npx) + 1)
+
+    ppB = a2b_ord4(pp, g)
+    ppB = ppB.at[:, 0].set(jnp.zeros_like(ppB[:, 0]))
+    pkB = a2b_ord4(pk3, g)
+    pkB = pkB.at[:, 0].set(jnp.full_like(pkB[:, 0], ptk))
+    gzB = a2b_ord4(gz, g)
+    dpB = a2b_ord4(delp_p, g)
+
+    wk = pkB[:, 1:] - pkB[:, :-1]
+    cl_ = slice(f(1), f(npx - 1) + 1)
+    cr_ = slice(f(2), f(npx) + 1)
+
+    def dual(acc, rdm, asel, bsel, A, B):
+        """acc + hydro(du1) + nonhydro parts on the requested stagger.
+        A = (row_slice, col wall slice); handled by closures below."""
+        raise NotImplementedError
+
+    gz1, gz2 = gzB[:, :-1], gzB[:, 1:]
+    pk1, pk2 = pkB[:, :-1], pkB[:, 1:]
+    pp1, pp2 = ppB[:, :-1], ppB[:, 1:]
+
+    # u update (y-walls): pairs along x
+    du1 = dt / (wk[..., wsl, cl_] + wk[..., wsl, cr_]) * (
+        (gz2[..., wsl, cl_] - gz1[..., wsl, cr_])
+        * (pk2[..., wsl, cr_] - pk1[..., wsl, cl_])
+        + (gz1[..., wsl, cl_] - gz2[..., wsl, cr_])
+        * (pk2[..., wsl, cl_] - pk1[..., wsl, cr_]))
+    du2 = dt / (dpB[..., wsl, cl_] + dpB[..., wsl, cr_]) * (
+        (gz2[..., wsl, cl_] - gz1[..., wsl, cr_])
+        * (pp2[..., wsl, cr_] - pp1[..., wsl, cl_])
+        + (gz1[..., wsl, cl_] - gz2[..., wsl, cr_])
+        * (pp2[..., wsl, cl_] - pp1[..., wsl, cr_]))
+    u_new = (u_acc + du1 + du2) * g.rdx[..., wsl, ctr]
+
+    dv1 = dt / (wk[..., cl_, wsl] + wk[..., cr_, wsl]) * (
+        (gz2[..., cl_, wsl] - gz1[..., cr_, wsl])
+        * (pk2[..., cr_, wsl] - pk1[..., cl_, wsl])
+        + (gz1[..., cl_, wsl] - gz2[..., cr_, wsl])
+        * (pk2[..., cl_, wsl] - pk1[..., cr_, wsl]))
+    dv2 = dt / (dpB[..., cl_, wsl] + dpB[..., cr_, wsl]) * (
+        (gz2[..., cl_, wsl] - gz1[..., cr_, wsl])
+        * (pp2[..., cr_, wsl] - pp1[..., cl_, wsl])
+        + (gz1[..., cl_, wsl] - gz2[..., cr_, wsl])
+        * (pp2[..., cl_, wsl] - pp1[..., cr_, wsl]))
+    v_new = (v_acc + dv1 + dv2) * g.rdy[..., ctr, wsl]
+    return u_new, v_new
+
+
+def dyn_core_nh(delp, pt, u, v, w, delz, phis, g, cfg: DynConfig, akap, ptop,
+                n_split, dt_acoustic, dp0):
+    """Nonhydrostatic acoustic loop (dyn_core.F90, hydrostatic=.false.):
+    per iteration c_sw -> update_dz_c -> Riem_Solver_C -> p_grad_c ->
+    d_sw -> update_dz_d -> Riem_Solver3 (SIM1) -> nh_p_grad.
+
+    w, delz: [6, K, n, n] interior. Returns updated fields + flux
+    capacitors + final pressures (pe/peln/pk/pkz on padded frame).
+    """
+    from ..ops import nh_core
+
+    halo = g.halo
+    f = fi
+    npx = g.npx
+    n = g.n
+    ctr = slice(H, H + n)
+    wsl = slice(f(1), f(npx) + 1)
+    dt = dt_acoustic
+    dt2 = 0.5 * dt
+    ptk = ptop ** akap
+    phis_p = g.phis_p
+    phis2 = phis_p[:, 0] if phis_p.ndim == 4 else phis_p
+    zs_p = phis2 / con.GRAV                       # [6, Y, X] surface height
+    groups = _sponge_groups(cfg)
+    dp0 = np.asarray(dp0, np.float64)   # static host profile
+
+    # initial height interfaces from delz (dyn_core.F90: zh saved from gz)
+    def zh_from_delz(dz_int):
+        incr = jnp.cumsum(dz_int[:, ::-1], axis=1)[:, ::-1]
+        zs_i = zs_p[..., ctr, ctr]
+        return jnp.concatenate([zs_i[:, None] - incr, zs_i[:, None]], axis=1)
+
+    zh = zh_from_delz(delz)
+
+    def body(carry, _):
+        delp, pt, u, v, w, zh, ws_c, mfx, mfy, cx, cy = carry
+        u, v = halo.reconcile_dgrid(u, v)
+        delp_p = halo.pad_cell(delp)
+        pt_p = halo.pad_cell(pt)
+        w_p = halo.pad_cell(w)
+        zh_p = halo.pad_cell(zh)
+        u_p, v_p = halo.pad_dgrid(u, v)
+
+        cs = sw_core.c_sw(delp_p, pt_p, w_p, u_p, v_p, g, dt2,
+                          hydrostatic=False, nord=cfg.nord, sw_mode=False)
+        gz_c, ws3 = nh_core.update_dz_c(g, cs.ut, cs.vt, zh_p, zs_p, dp0,
+                                        dt2, npx)
+        pkc, gzc = nh_core.riem_solver_c(dt2, cs.delpc, cs.ptc, cs.wc, gz_c,
+                                         phis2, ws3, akap, ptop, cfg.p_fac)
+        uc, vc = p_grad_c(cs.uc, cs.vc, cs.delpc, pkc, gzc, g, dt2, npx,
+                          hydrostatic=False)
+        uc_p, vc_p = halo.pad_cgrid(uc[..., ctr, wsl], vc[..., wsl, ctr])
+        divg_p = None
+        if cfg.nord > 0:
+            divg_p = halo.pad_corner(cs.divg_d[..., wsl, wsl])
+
+        outs = []
+        for ksl, p in groups:
+            ds = sw_core.d_sw(
+                delp_p[:, ksl], pt_p[:, ksl], w_p[:, ksl], u_p[:, ksl],
+                v_p[:, ksl], uc_p[:, ksl], vc_p[:, ksl], cs.ua[:, ksl],
+                cs.va[:, ksl],
+                None if divg_p is None else divg_p[:, ksl], g,
+                dt=dt, hord_mt=cfg.hord_mt, hord_vt=cfg.hord_vt,
+                hord_dp=cfg.hord_dp, hord_tm=cfg.hord_tm,
+                nord=p["nord"], nord_v=p["nord_v"], dddmp=cfg.dddmp,
+                d2_bg=p["d2_divg"], d4_bg=cfg.d4_bg, damp_v=p["damp_v"],
+                d_con=p["d_con"], damp_w=p["damp_v"], nord_w=p["nord_v"],
+                ke_bg=cfg.ke_bg, hydrostatic=False, sw_mode=False,
+                lim_fac=cfg.lim_fac)
+            outs.append(ds)
+
+        def cat(name):
+            return jnp.concatenate([getattr(o, name) for o in outs], axis=1)
+
+        delp = cat("delp")
+        pt = cat("pt")
+        w = cat("w")
+        fx, fy = cat("fx"), cat("fy")
+        crx, cry = cat("crx"), cat("cry")
+        xfx, yfx = cat("xfx"), cat("yfx")
+        mfx, mfy = mfx + fx, mfy + fy
+        cx, cy = cx + crx, cy + cry
+
+        # D-stage height advection on the pre-update zh
+        damp_zh = cfg.vtdm4 if cfg.do_vort_damp else 0.0
+        zh_int, _ = nh_core.update_dz_d(g, zh_p, crx, cry, xfx, yfx,
+                                        zs_p[..., ctr, ctr], dp0, dt,
+                                        cfg.hord_tm, npx,
+                                        damp_zh, min(2, cfg.nord),
+                                        lim_fac=cfg.lim_fac)
+        zh_p2 = halo.pad_cell(zh_int)
+        rdt = 1.0 / dt
+        ws_full = (zs_p - zh_p2[:, -1]) * rdt
+
+        delp_p2 = halo.pad_cell(delp)
+        pt_p2 = halo.pad_cell(pt)
+        w_p2 = halo.pad_cell(w)
+        rs = nh_core.riem_solver3(dt, delp_p2, pt_p2, w_p2, zh_p2, zs_p,
+                                  ws_full, akap, ptop, cfg.p_fac)
+        w = rs.w[..., ctr, ctr]
+        zh = rs.zh[..., ctr, ctr][:, :, :, :]
+        gz_geo = rs.zh * con.GRAV
+        u, v = nh_p_grad(cat("u"), cat("v"), rs.ppe, rs.pk3, gz_geo,
+                         delp_p2, g, dt, npx, ptk)
+        ws_c = ws_full[..., ctr, ctr]
+        return (delp, pt, u, v, w, zh, ws_c, mfx, mfy, cx, cy), rs.pem
+
+    K = delp.shape[1]
+    NC, NW = n + 2 * H, n + 1 + 2 * H
+    zsh = lambda *s: jnp.zeros((6, K) + s, delp.dtype)
+    carry0 = (delp, pt, u, v, w, zh, jnp.zeros_like(delp[:, 0]),
+              zsh(n, n + 1), zsh(n + 1, n), zsh(NC, NW), zsh(NW, NC))
+    if cfg.use_scan:
+        carry, pems = jax.lax.scan(body, carry0, None, length=n_split)
+        pem_last = pems[-1]
+    else:
+        carry = carry0
+        for _ in range(n_split):
+            carry, pem_last = body(carry, None)
+    delp, pt, u, v, w, zh, ws, mfx, mfy, cx, cy = carry
+    u, v = halo.reconcile_dgrid(u, v)
+    delz = zh[:, 1:] - zh[:, :-1]
+    # final pressures for the remap (pe from updated delp)
+    delp_p = halo.pad_cell(delp)
+    pe = ptop + jnp.concatenate(
+        [jnp.zeros_like(delp_p[:, :1]), jnp.cumsum(delp_p, axis=1)], axis=1)
+    peln = jnp.log(pe)
+    pk = jnp.exp(akap * peln)
+    return SimpleNamespace(delp=delp, pt=pt, u=u, v=v, w=w, delz=delz, zh=zh,
+                           ws=ws, mfx=mfx, mfy=mfy, cx=cx, cy=cy,
+                           pe=pe, peln=peln, pk=pk)

@@ -140,3 +140,119 @@ def fv_dynamics_hydro(delp, pt, u, v, q, g, cfg: DynConfig, ak, bk, ptop):
             ptv = rm.pt
 
     return SimpleNamespace(delp=delp, pt=pt, u=u, v=v, q=q, ps=rm.ps)
+
+
+def remap_nh(delp, ptv, u, v, w, delz, ws, q, pe_pad, peln_pad, ak, bk, g,
+             cfg, akap, last_step, kord_wz=9):
+    """Nonhydrostatic vertical remap (fv_mapz.F90 Lagrangian_to_Eulerian,
+    hydrostatic=.false., kord_tm<0): theta_v -> T_v via the gas law
+    (fv_mapz.F90:222), remap T_v on log-p, w with the ws bottom BC
+    (iv=-2, :399-411), delz as specific volume (:414-422), winds on pe.
+    """
+    f = fi
+    npx = g.npx
+    n = g.n
+    ctr = slice(H, H + n)
+    wsl = slice(f(1), f(npx) + 1)
+    K = delp.shape[1]
+    rrg = -con.RDGAS / con.GRAV
+    k1k = akap / (1.0 - akap)
+
+    pe1 = _k_last(pe_pad[..., ctr, ctr])
+    peln1 = _k_last(peln_pad[..., ctr, ctr])
+
+    # theta_v -> virtual temperature via the gas law (pt*pkz)
+    tv = _k_last(ptv * jnp.exp(k1k * jnp.log(rrg * delp / delz * ptv)))
+
+    ps = pe1[..., -1:]
+    akl = ak.reshape((1,) * 3 + (K + 1,))
+    bkl = bk.reshape((1,) * 3 + (K + 1,))
+    pe2 = akl + bkl * ps
+    pn2 = jnp.log(pe2)
+    pk2 = jnp.exp(akap * pn2)
+    dp2 = pe2[..., 1:] - pe2[..., :-1]
+    delp_new = _k_lev(dp2)
+
+    tv_new = fv_mapz.map1_ppm(tv, peln1, pn2, iv=1, kord=abs(cfg.kord_tm),
+                              qmin=fv_mapz.T_MIN)
+
+    w_new = fv_mapz.map1_ppm(_k_last(w), pe1, pe2, qs=ws, iv=-2,
+                             kord=abs(kord_wz))
+
+    # delz as specific volume (remap conservatively, then rescale)
+    sv = _k_last(-delz / delp)
+    sv_new = fv_mapz.map1_ppm(sv, pe1, pe2, iv=1, kord=abs(cfg.kord_tm))
+    delz_new = _k_lev(-sv_new * dp2)
+
+    q_new = {}
+    for name, qf in (q or {}).items():
+        qk = fv_mapz.map1_ppm(_k_last(qf), pe1, pe2, iv=0, kord=cfg.kord_tr)
+        if cfg.fill:
+            qk = fv_mapz.fillz(qk, dp2)
+        q_new[name] = _k_lev(qk)
+
+    pe_u0 = _k_last(0.5 * (pe_pad[..., wsl, ctr] + _rl(pe_pad)[..., wsl, ctr]))
+    pe_u1 = akl + bkl * pe_u0[..., -1:]
+    u_new = fv_mapz.map1_ppm(_k_last(u), pe_u0, pe_u1, iv=-1,
+                             kord=abs(cfg.kord_mt))
+    pe_v0 = _k_last(0.5 * (pe_pad[..., ctr, wsl] + _cl(pe_pad)[..., ctr, wsl]))
+    pe_v1 = akl + bkl * pe_v0[..., -1:]
+    v_new = fv_mapz.map1_ppm(_k_last(v), pe_v0, pe_v1, iv=-1,
+                             kord=abs(cfg.kord_mt))
+
+    # post-remap pkz from the gas law with T_v (fv_mapz.F90:482)
+    delp_k = _k_lev(dp2)
+    delz_k = delz_new
+    tvk = _k_lev(tv_new)
+    pkz_new = jnp.exp(akap * jnp.log(rrg * delp_k / delz_k * tvk))
+
+    if last_step:
+        pt_out = tvk
+    else:
+        pt_out = tvk / pkz_new
+
+    return SimpleNamespace(delp=delp_new, pt=pt_out, u=_k_lev(u_new),
+                           v=_k_lev(v_new), w=_k_lev(w_new), delz=delz_new,
+                           q=q_new or None, pkz=pkz_new,
+                           ps=_k_lev(_k_last(ps))[:, 0])
+
+
+def fv_dynamics_nh(delp, pt, u, v, w, delz, q, g, cfg: DynConfig, ak, bk,
+                   ptop, dp0):
+    """One big timestep of nonhydrostatic dynamics (fv_dynamics.F90,
+    hydrostatic=.false.). pt in/out is TEMPERATURE; w vertical velocity
+    (m/s); delz layer height thickness (m, negative). dp0: reference
+    pressure thickness profile (for update_dz interface interpolation)."""
+    from .dyn_core import dyn_core_nh
+
+    akap = con.KAPPA
+    rrg = -con.RDGAS / con.GRAV
+    mdt = cfg.dt / cfg.k_split
+    u, v = g.halo.reconcile_dgrid(u, v)
+
+    # entry: layer p**kappa from the gas law, pt -> theta_v (normalized)
+    pkz = jnp.exp(akap * jnp.log(rrg * delp / delz * pt))
+    ptv = pt / pkz
+
+    for n_map in range(cfg.k_split):
+        last = n_map == cfg.k_split - 1
+        dp1 = delp
+        res = dyn_core_nh(delp, ptv, u, v, w, delz, None, g, cfg, akap,
+                          ptop, cfg.n_split, mdt / cfg.n_split, dp0)
+        if q:
+            q, _ = tracer_2d(q, dp1, res.mfx, res.mfy, res.cx, res.cy, g,
+                             hord_tr=cfg.hord_tr,
+                             q_split=cfg.q_split if cfg.use_scan else
+                             max(1, cfg.q_split))
+        rm = remap_nh(res.delp, res.pt, res.u, res.v, res.w, res.delz,
+                      res.ws, q, res.pe, res.peln, ak, bk, g, cfg, akap,
+                      last_step=last)
+        delp, u, v, w, delz = rm.delp, rm.u, rm.v, rm.w, rm.delz
+        q = rm.q
+        if last:
+            pt = rm.pt
+        else:
+            ptv = rm.pt
+
+    return SimpleNamespace(delp=delp, pt=pt, u=u, v=v, w=w, delz=delz,
+                           q=q, ps=rm.ps)

@@ -30,6 +30,40 @@ def _tridiag_interfaces(a1, delp, qs, iv):
     a1f = jnp.moveaxis(a1, -1, 0)       # [km, ...]
     dpf = jnp.moveaxis(delp, -1, 0)
 
+    if iv == -2:
+        # ---- vertical-velocity variant with prescribed bottom BC qs
+        # (cs_profile:941-964): q(1)=1.5*a(1), gam(2)=0.5;
+        # k=2..km-1: bet=2+2*grat-gam(k), q(k)=(3*(a(k-1)+a(k))-q(k-1))/bet
+        q1 = 1.5 * a1f[0]
+        gam2 = jnp.full_like(q1, 0.5)
+
+        def fwdw(carry, x):
+            qkm1, gamk = carry
+            a_km1, a_k, grat = x
+            bet = 2.0 + grat + grat - gamk
+            qk = (3.0 * (a_km1 + a_k) - qkm1) / bet
+            gamk1 = grat / bet
+            return (qk, gamk1), (qk, gamk1)
+
+        grats = dpf[:-1] / dpf[1:]          # grat(k)=dp(k-1)/dp(k), k=2..km
+        (q_km1, gam_km), (q_mid, gam_mid) = jax.lax.scan(
+            fwdw, (q1, gam2), (a1f[:-2], a1f[1:-1], grats[:-1]))
+        gratK = grats[-1]
+        qK = (3.0 * (a1f[-2] + a1f[-1]) - gratK * qs - q_km1) / (
+            2.0 + gratK + gratK - gam_km)
+        # backward: k=km-1..1: q(k) -= gam(k+1)*q(k+1)
+        q_fwd = jnp.concatenate([q1[None], q_mid], 0)       # q(1..km-1)
+        gam_nxt = jnp.concatenate([gam2[None], gam_mid], 0)  # gam(2..km)
+
+        def bwdw(qnext, x):
+            qk, gamk1 = x
+            qk = qk - gamk1 * qnext
+            return qk, qk
+
+        _, qrev = jax.lax.scan(bwdw, qK, (q_fwd[::-1], gam_nxt[::-1]))
+        qq = jnp.concatenate([qrev[::-1], qK[None], qs[None]], 0)
+        return jnp.moveaxis(qq, 0, -1)
+
     # ---- general branch (cs_profile:967-1016) ----------------------------
     grat = dpf[1] / dpf[0]
     bet0 = grat * (grat + 0.5)
@@ -115,9 +149,7 @@ def cs_profile(a1, delp, qs=None, iv=1, kord=8, qmin=None):
     akord = abs(kord)
     if qs is None:
         qs = jnp.zeros(a1.shape[:-1], a1.dtype)
-    if iv == -2:
-        raise NotImplementedError("w-with-lower-BC variant (nonhydrostatic)")
-    q = _tridiag_interfaces(a1, delp, qs, 1)
+    q = _tridiag_interfaces(a1, delp, qs, iv)
 
     if akord == 17:
         al = q[..., :-1]

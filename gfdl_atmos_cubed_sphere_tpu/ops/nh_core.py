@@ -1,0 +1,382 @@
+"""Nonhydrostatic vertical solvers and height advection.
+
+Re-implements /root/reference/model/nh_utils.F90:
+  update_dz_c:59   (C-stage upwind height advection)
+  update_dz_d:204  (D-stage fv_tp_2d height advection, edge_profile winds)
+  Riem_Solver_C (:323) and Riem_Solver3 (Riem_Solver3test:~530) with the
+  operational fully-implicit SIM1_solver (:1277, a_imp > 0.999).
+All column solves are batched over (tile, y, x) with lax.scan along k — the
+reference's per-(i,j) Fortran loops become one vectorized tridiagonal sweep.
+
+Adiabatic (use_cond=False, moist_kappa=False) path; cp2 == akap.
+"""
+
+from functools import lru_cache
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as con
+from .fill_corners import fi, fill_4corners_cell
+from .tp_core import fv_tp_2d, deln_damp_fluxes
+
+H = 3
+DZ_MIN = 2.0          # nh_utils.F90 dz_min (module parameter, = 2 m)
+R3 = 1.0 / 3.0
+
+
+def _kfirst(a):
+    """[.., K, y, x] -> [K, .., y, x]"""
+    return jnp.moveaxis(a, -3, 0)
+
+
+def _kmid(a):
+    return jnp.moveaxis(a, 0, -3)
+
+
+def sim1_solver(dt, dm2, pm2, pem, w2, dz2, pt2, ws, gama, akap, p_fac):
+    """Fully-implicit Riemann/vertical-sound-wave solver (SIM1_solver:1277).
+
+    All fields [.., K, y, x] (interfaces [.., K+1, y, x]); ws [.., y, x].
+    dm2 = delp/grav; pm2 log-mean layer pressure; pem hydrostatic interface
+    pressure; pt2 virtual (potential->actual in caller) temperature.
+    Returns (pe2 [.., K+1, y, x] nonhydro pressure perturbation at
+    interfaces, w2 updated, dz2 updated).
+    """
+    rgas = con.RDGAS
+    t1g = 2.0 * dt * dt
+    rdt = 1.0 / dt
+    capa1 = akap - 1.0
+    gm2 = gama            # 1/(1-kappa), scalar in the adiabatic path
+
+    K = dm2.shape[-3]
+    dm = _kfirst(dm2)
+    pm = _kfirst(pm2)
+    pe_m = _kfirst(pem)       # [K+1, ...]
+    w1 = _kfirst(w2)
+    dz = _kfirst(dz2)
+    pt = _kfirst(pt2)
+
+    # cell-mean nonhydro pressure perturbation from the gas law
+    pe = jnp.exp(gm2 * jnp.log(-dm / dz * rgas * pt)) - pm    # [K, ...]
+
+    g_rat = dm[:-1] / dm[1:]                                   # [K-1, ...]
+    bb = jnp.concatenate([2.0 * (1.0 + g_rat),
+                          2.0 * jnp.ones_like(dm[:1])], axis=0)
+    dd = jnp.concatenate([3.0 * (pe[:-1] + g_rat * pe[1:]),
+                          3.0 * pe[-1:]], axis=0)
+
+    # ---- tridiagonal for interface pressure perturbation pp --------------
+    bet0 = bb[0]
+    pp1 = jnp.zeros_like(dd[0])
+    pp2 = dd[0] / bet0
+
+    def fwd(carry, x):
+        bet, ppk = carry
+        bbk, ddk, gr_km1 = x
+        gam = gr_km1 / bet
+        bet = bbk - gam
+        ppk1 = (ddk - ppk) / bet
+        return (bet, ppk1), (gam, ppk1)
+
+    (_, _), (gam_f, pp_rest) = jax.lax.scan(
+        fwd, (bet0, pp2), (bb[1:], dd[1:], g_rat))
+    # pp indices: pp[0]=0, pp[1]=pp2, pp[2..K]=pp_rest
+    pp = jnp.concatenate([pp1[None], pp2[None], pp_rest], axis=0)  # [K+1,...]
+
+    # backward substitution pp(k) -= gam(k)*pp(k+1), k = K..2; gam_f rows
+    # 0..K-2 hold gam(2..K), pp rows 1..K-1 hold pp(2..K)
+    ppi = pp[1:]                      # pp(2)..pp(K+1)
+    pK = ppi[-1]                      # pp(K+1), unchanged
+
+    def bwd2(carry, x):
+        gamk, ppk = x
+        ppk = ppk - gamk * carry
+        return ppk, ppk
+
+    _, pp_b = jax.lax.scan(bwd2, pK, (gam_f[::-1], ppi[:-1][::-1]))
+    pp = jnp.concatenate([pp1[None], pp_b[::-1], pK[None]], axis=0)
+
+    # ---- implicit w solve -------------------------------------------------
+    aa = (t1g * 0.5 * (gm2 + gm2) / (dz[:-1] + dz[1:])) * pe_m[1:-1]  # [K-1]
+    ws_k = ws
+    bet = dm[0] - aa[0]
+    w0 = (dm[0] * w1[0] + dt * pp[1]) / bet
+
+    def wfwd(carry, x):
+        bet, wkm1 = carry
+        dmk, w1k, dpp, aak, aak1 = x
+        gam = aak / bet
+        bet = dmk - (aak + aak1 + aak * gam)
+        wk = (dmk * w1k + dt * dpp - aak * wkm1) / bet
+        return (bet, wk), (gam, wk)
+
+    dpp = pp[2:-1] - pp[1:-2]         # for k=2..K-1 (0-based rows 1..K-2)
+    if K > 2:
+        (betf, _), (gam_w, w_mid) = jax.lax.scan(
+            wfwd, (bet, w0),
+            (dm[1:-1], w1[1:-1], dpp, aa[:-1], aa[1:]))
+    else:
+        betf = bet
+        gam_w = jnp.zeros((0,) + w0.shape, w0.dtype)
+        w_mid = jnp.zeros((0,) + w0.shape, w0.dtype)
+
+    p1 = t1g * gm2 / dz[-1] * pe_m[-1]
+    gamK = aa[-1] / betf
+    betK = dm[-1] - (aa[-1] + p1 + aa[-1] * gamK)
+    w_prev = w_mid[-1] if K > 2 else w0
+    wK = (dm[-1] * w1[-1] + dt * (pp[-1] - pp[-2]) - p1 * ws_k
+          - aa[-1] * w_prev) / betK
+
+    gam_full = jnp.concatenate([gam_w, gamK[None]], axis=0)   # gam rows 1..K-1
+    w_fwd = jnp.concatenate([w0[None], w_mid], axis=0)        # rows 0..K-2
+
+    def wbwd(carry, x):
+        gamk1, wk = x
+        wk = wk - gamk1 * carry
+        return wk, wk
+
+    _, w_b = jax.lax.scan(wbwd, wK, (gam_full[::-1], w_fwd[::-1]))
+    w_new = jnp.concatenate([w_b[::-1], wK[None]], axis=0)
+
+    # ---- new nonhydro pressure + dz ---------------------------------------
+    dpe = dm * (w_new - w1) * rdt
+    pe_new = jnp.concatenate(
+        [jnp.zeros_like(dpe[:1]), jnp.cumsum(dpe, axis=0)], axis=0)
+
+    p1K = (pe_new[-2] + 2.0 * pe_new[-1]) * R3
+    dzK = -dm[-1] * rgas * pt[-1] * jnp.exp(
+        capa1 * jnp.log(jnp.maximum(p_fac * pm[-1], p1K + pm[-1])))
+
+    def dzbwd(carry, x):
+        p1 = carry
+        pek, bbk, pek1, grk, pek2, dmk, ptk, pmk = x
+        p1 = (pek + bbk * pek1 + grk * pek2) * R3 - grk * p1
+        dzk = -dmk * rgas * ptk * jnp.exp(
+            capa1 * jnp.log(jnp.maximum(p_fac * pmk, p1 + pmk)))
+        return p1, dzk
+
+    if K > 1:
+        xs = (pe_new[:-2][::-1], bb[:-1][::-1], pe_new[1:-1][::-1],
+              g_rat[::-1], pe_new[2:][::-1], dm[:-1][::-1],
+              pt[:-1][::-1], pm[:-1][::-1])
+        _, dz_rest = jax.lax.scan(dzbwd, p1K, xs)
+        dz_new = jnp.concatenate([dz_rest[::-1], dzK[None]], axis=0)
+    else:
+        dz_new = dzK[None]
+
+    return _kmid(pe_new), _kmid(w_new), _kmid(dz_new)
+
+
+def riem_solver_c(dt2, delpc, ptc, w3, gz, phis_p, ws, akap, ptop, p_fac):
+    """C-stage semi-implicit solver (nh_utils.F90 Riem_Solver_C:323).
+
+    delpc/ptc/w3 [6,K,Y,X] padded rim; gz height*grav interfaces (in m*g? --
+    here gz in geopotential units m^2/s^2? No: heights in m (zh), converted
+    to geopotential on output as the reference does). Returns (pef full
+    pressure at interfaces, gz geopotential interfaces).
+    """
+    gama = 1.0 / (1.0 - akap)
+    rgrav = 1.0 / con.GRAV
+
+    pem = ptop + jnp.concatenate(
+        [jnp.zeros_like(delpc[:, :1]), jnp.cumsum(delpc, axis=1)], axis=1)
+    dz2 = gz[:, 1:] - gz[:, :-1]
+    pm2 = delpc / (jnp.log(pem[:, 1:]) - jnp.log(pem[:, :-1]))
+    dm = delpc * rgrav
+
+    pe2, w2, dz2n = sim1_solver(dt2, dm, pm2, pem, w3, dz2, ptc, ws,
+                                gama, akap, p_fac)
+    pef = pe2 + pem
+    pef = pef.at[:, 0].set(jnp.full_like(pef[:, 0], ptop))
+
+    # heights -> geopotential, rebuilt from the solved dz
+    gz_bot = phis_p * rgrav
+    incr = jnp.cumsum(dz2n[:, ::-1], axis=1)[:, ::-1]
+    gz_new = jnp.concatenate([gz_bot[:, None] - incr,
+                              gz_bot[:, None]], axis=1) * con.GRAV
+    return pef, gz_new
+
+
+def riem_solver3(dt, delp, pt, w, zh, zs, ws, akap, ptop, p_fac,
+                 use_logp=False):
+    """D-stage implicit solver (nh_core.F90 Riem_Solver3 -> SIM1).
+
+    delp/pt/w [6,K,Y,X] (padded or interior; shapes preserved); zh height
+    interfaces [6,K+1,Y,X] (meters); zs surface height [6,Y,X]; ws [6,Y,X].
+    Returns SimpleNamespace(w, delz, zh, ppe (nonhydro pert.), pem, peln2,
+    pk3) -- pk3 = pe**kappa (or log p with use_logp).
+    """
+    gama = 1.0 / (1.0 - akap)
+    rgrav = 1.0 / con.GRAV
+    peln1 = np.log(ptop)
+    ptk = np.exp(akap * peln1)
+
+    pem = ptop + jnp.concatenate(
+        [jnp.zeros_like(delp[:, :1]), jnp.cumsum(delp, axis=1)], axis=1)
+    peln2 = jnp.log(pem)
+    pk3 = jnp.exp(akap * peln2)
+    pm2 = delp / (peln2[:, 1:] - peln2[:, :-1])
+    dm = delp * rgrav
+    dz2 = zh[:, 1:] - zh[:, :-1]
+
+    pe2, w2, dz2n = sim1_solver(dt, dm, pm2, pem, w, dz2, pt, ws,
+                                gama, akap, p_fac)
+
+    # rebuild zh from zs upward
+    incr = jnp.cumsum(dz2n[:, ::-1], axis=1)[:, ::-1]
+    zh_new = jnp.concatenate([zs[:, None] - incr, zs[:, None]], axis=1)
+
+    if use_logp:
+        pk3 = pk3.at[:, 1:].set(peln2[:, 1:])
+    return SimpleNamespace(w=w2, delz=dz2n, zh=zh_new, ppe=pe2,
+                           pem=pem, peln=peln2, pk3=pk3)
+
+
+def update_dz_c(g, ut, vt, gz, zs, dp0, dt2, npx):
+    """C-stage height advection (nh_utils.F90 update_dz_c:59).
+
+    ut/vt: c_sw's dt2-scaled area fluxes [6,K,...]; gz heights [6,K+1,...]
+    (padded, meters); zs padded surface height. First-order upwind per
+    interface with dp0-weighted interface winds. Returns (gz_new, ws).
+    """
+    K = ut.shape[1]
+    rdt = 1.0 / dt2
+    d0 = dp0.reshape(1, K, 1, 1)
+    top_r = dp0[0] / (dp0[0] + dp0[1])
+    bot_r = dp0[K - 1] / (dp0[K - 2] + dp0[K - 1])
+
+    def interface_wind(f3d):
+        top = f3d[:, :1] + (f3d[:, :1] - f3d[:, 1:2]) * top_r
+        bot = f3d[:, -1:] + (f3d[:, -1:] - f3d[:, -2:-1]) * bot_r
+        mid = (d0[:, 1:] * f3d[:, :-1] + d0[:, :-1] * f3d[:, 1:]) / (
+            d0[:, :-1] + d0[:, 1:])
+        return jnp.concatenate([top, mid, bot], axis=1)     # [6, K+1, ...]
+
+    xfx = interface_wind(ut)
+    yfx = interface_wind(vt)
+
+    from .sw_core import _cl, _cr, _rl, _rr
+    gx = fill_4corners_cell(gz, 1, npx)
+    fx = xfx * jnp.where(xfx > 0.0, _cl(gx), _cr(gx))
+    gy = fill_4corners_cell(gz, 2, npx)
+    fy = yfx * jnp.where(yfx > 0.0, _rl(gy), _rr(gy))
+
+    # ut/vt are full wall arrays [.., NC, NW] / [.., NW, NC]; valid on the
+    # rim cells the C-stage needs (outermost padded cells are garbage)
+    num = (gz * g.area + fx[..., :, :-1] - fx[..., :, 1:]
+           + fy[..., :-1, :] - fy[..., 1:, :])
+    den = (g.area + xfx[..., :, :-1] - xfx[..., :, 1:]
+           + yfx[..., :-1, :] - yfx[..., 1:, :])
+    gz_new = num / den
+
+    ws = (zs - gz_new[:, -1]) * rdt
+    # enforce monotonicity bottom-up: gz(k) >= gz(k+1) + dz_min
+    gz_rev = gz_new[:, ::-1]                    # bottom first
+
+    def mono(carry, row):
+        row = jnp.maximum(row, carry + DZ_MIN)
+        return row, row
+
+    _, fixed = jax.lax.scan(mono, gz_rev[:, 0] - DZ_MIN,
+                            jnp.moveaxis(gz_rev, 1, 0))
+    gz_new = jnp.moveaxis(fixed, 0, 1)[:, ::-1]
+    return gz_new, ws
+
+
+@lru_cache(maxsize=8)
+def _edge_profile_matrix(dp0_key):
+    """Dense [K+1, K] interface-interpolation operator for the non-uniform
+    edge_profile tridiagonal (nh_utils.F90:1638-1665): qe = E @ q. The
+    system depends only on the reference dp0 profile, so it is solved once
+    on the host and applied as a matmul (MXU-friendly)."""
+    dp0 = np.asarray(dp0_key, np.float64)
+    K = dp0.shape[0]
+    A = np.zeros((K + 1, K + 1))
+    B = np.zeros((K + 1, K))
+    g0 = dp0[1] / dp0[0]
+    A[0, 0] = g0 * (g0 + 0.5)
+    A[0, 1] = -(1.0 + g0 * (g0 + 1.5))   # gam sign: qe1 + gam*qe2 moved LHS
+    B[0, 0] = 2.0 * g0 * (g0 + 1.0)
+    B[0, 1] = 1.0
+    # interior rows k=2..K (1-based) : qe(k-1) + (2+2gk - ...) -- write the
+    # original tridiagonal: qe(k-1)*1 + qe(k)*(2+2*gk) + qe(k+1)*gk = rhs
+    for k in range(2, K + 1):
+        gk = dp0[k - 2] / dp0[k - 1]
+        A[k - 1, k - 2] = 1.0
+        A[k - 1, k - 1] = 2.0 + 2.0 * gk
+        A[k - 1, k] = gk
+        B[k - 1, k - 2] = 3.0
+        B[k - 1, k - 1] = 3.0 * gk
+    gk = dp0[K - 2] / dp0[K - 1]
+    a_bot = 1.0 + gk * (gk + 1.5)
+    A[K, K - 1] = a_bot
+    A[K, K] = gk * (gk + 0.5)
+    B[K, K - 1] = 2.0 * gk * (gk + 1.0)
+    B[K, K - 2] = 1.0
+    E = np.linalg.solve(A, B)
+    return E
+
+
+def edge_profile(q, dp0):
+    """Interface profile of a layer field along axis 1 via the precomputed
+    operator; q [6, K, ...] -> [6, K+1, ...]."""
+    E = _edge_profile_matrix(tuple(np.asarray(dp0).tolist()))
+    Ej = jnp.asarray(E, q.dtype)
+    return jnp.einsum("lk,tk...->tl...", Ej, q)
+
+
+def update_dz_d(g, zh, crx, cry, xfx, yfx, zs, dp0, dt, hord, npx,
+                damp, ndif, lim_fac=1.0):
+    """D-stage height advection (nh_utils.F90 update_dz_d:204).
+
+    zh [6,K+1,NC,NC] padded heights; crx/xfx [6,K,NC,NW], cry/yfx
+    [6,K,NW,NC] layer Courant/area fluxes from d_sw; damp/ndif: del-n
+    damping strength/order per level group (scalars here -- the caller
+    splits groups). Returns (zh_new interior [6,K+1,n,n], ws [6,n,n]).
+    """
+    n = g.n
+    ctr = slice(H, H + n)
+    rdt = 1.0 / dt
+
+    crx_a = edge_profile(crx, dp0)
+    xfx_a = edge_profile(xfx, dp0)
+    cry_a = edge_profile(cry, dp0)
+    yfx_a = edge_profile(yfx, dp0)
+
+    ra_x = g.area + xfx_a[..., :, :-1] - xfx_a[..., :, 1:]
+    ra_y = g.area + yfx_a[..., :-1, :] - yfx_a[..., 1:, :]
+
+    fx, fy = fv_tp_2d(zh, crx_a, cry_a, hord, xfx_a, yfx_a, g.area,
+                      ra_x, ra_y, g.dxa, g.dya, lim_fac=lim_fac)
+    num = (zh[..., ctr, ctr] * g.area[..., ctr, ctr]
+           + fx[..., :, :-1] - fx[..., :, 1:]
+           + fy[..., :-1, :] - fy[..., 1:, :])
+    den = (ra_x[..., ctr, ctr] + ra_y[..., ctr, ctr] - g.area[..., ctr, ctr])
+    zh_new = num / den
+
+    if damp > 1.0e-5:
+        # NOTE: the reference passes the RAW damp_vt coefficient to
+        # del6_vt_flux here (update_dz_d -> del6_vt_flux, d2 = damp*q) --
+        # unlike d_sw's (damp*da_min)**(nord+1) exponentiation
+        fx2, fy2 = deln_damp_fluxes(zh, ndif, g, prefac=damp)
+        wsl = slice(H, H + n + 1)
+        zh_new = zh_new + (fx2[..., ctr, wsl][..., :, :-1]
+                           - fx2[..., ctr, wsl][..., :, 1:]
+                           + fy2[..., wsl, ctr][..., :-1, :]
+                           - fy2[..., wsl, ctr][..., 1:, :]
+                           ) * g.rarea[..., ctr, ctr]
+
+    ws = (zs - zh_new[:, -1]) * rdt
+    zh_rev = zh_new[:, ::-1]
+
+    def mono(carry, row):
+        row = jnp.maximum(row, carry + DZ_MIN)
+        return row, row
+
+    _, fixed = jax.lax.scan(mono, zh_rev[:, 0] - DZ_MIN,
+                            jnp.moveaxis(zh_rev, 1, 0))
+    zh_new = jnp.moveaxis(fixed, 0, 1)[:, ::-1]
+    return zh_new, ws

@@ -354,8 +354,10 @@ def c_sw(delp, pt, w, u, v, g, dt2, hydrostatic=True, nord=0, sw_mode=False):
     vc_inc = -fx1u * fxu + g.rdyc * (_rl(ke) - _rr(ke))
     vc = vc.at[..., wall_c, cell_c].add(vc_inc[..., wall_c, cell_c])
 
+    # ut_s/vt_s are the dt2-scaled area fluxes (reference c_sw's in-place
+    # scaled ut/vt, sw_core.F90:214-229) consumed by update_dz_c
     return SimpleNamespace(delpc=delpc, ptc=ptc, wc=wc, uc=uc, vc=vc,
-                           ua=ua, va=va, divg_d=divg_d)
+                           ua=ua, va=va, divg_d=divg_d, ut=ut_s, vt=vt_s)
 
 
 # ===========================================================================

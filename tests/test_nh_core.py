@@ -1,0 +1,104 @@
+"""Nonhydrostatic core (ops/nh_core.py, model dyn_core_nh/fv_dynamics_nh).
+
+Mirrors the reference CI's `nh` build checks (SURVEY.md §4): the SIM1
+column solver preserves an exactly hydrostatically balanced state, and the
+C96-style nonhydrostatic JW baroclinic wave runs stably and stays close to
+the hydrostatic solution at large scales.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gfdl_atmos_cubed_sphere_tpu import constants as con
+from gfdl_atmos_cubed_sphere_tpu.ops import nh_core
+from gfdl_atmos_cubed_sphere_tpu.model.grid_ops import build_grid_ops
+from gfdl_atmos_cubed_sphere_tpu.model.dyn_core import DynConfig
+from gfdl_atmos_cubed_sphere_tpu.model.fv_dynamics import (
+    fv_dynamics_hydro, fv_dynamics_nh)
+from gfdl_atmos_cubed_sphere_tpu.model.sw_dynamics import prepare_phis
+from gfdl_atmos_cubed_sphere_tpu.grid.fv_eta import set_eta
+from gfdl_atmos_cubed_sphere_tpu.init.baroclinic import jw_baroclinic
+
+NPX, NPZ = 25, 10
+
+
+def test_sim1_preserves_hydrostatic_balance():
+    """A balanced column (nonhydro pressure perturbation == 0, w == 0) is a
+    fixed point of SIM1 (nh_utils.F90 SIM1_solver)."""
+    akap = con.KAPPA
+    gama = 1.0 / (1.0 - akap)
+    K = 16
+    rng = np.random.default_rng(3)
+    B = (2, 3, 4)
+    delp = jnp.asarray(rng.uniform(2e3, 8e3, B + (K,)).cumsum(-1) * 0 +
+                       rng.uniform(2e3, 8e3, B + (K,)))
+    delp = jnp.moveaxis(delp, -1, 1)            # -> [2, K, 3, 4]-ish
+    delp = jnp.asarray(rng.uniform(2e3, 8e3, (2, K, 3, 4)))
+    ptop = 100.0
+    pem = ptop + jnp.concatenate(
+        [jnp.zeros_like(delp[:, :1]), jnp.cumsum(delp, axis=1)], axis=1)
+    pm2 = delp / (jnp.log(pem[:, 1:]) - jnp.log(pem[:, :-1]))
+    # pick theta (normalized) arbitrarily; choose dz for exact balance:
+    # (-dm/dz * R * pt)^(1/(1-kappa)) == pm  =>  dz = -dm*R*pt*pm^(kappa-1)
+    pt = jnp.asarray(rng.uniform(5.0, 10.0, (2, K, 3, 4)))
+    dm = delp / con.GRAV
+    dz = -dm * con.RDGAS * pt * pm2 ** (akap - 1.0)
+    w = jnp.zeros_like(delp)
+    ws = jnp.zeros_like(delp[:, 0])
+
+    pe2, w2, dz2 = nh_core.sim1_solver(30.0, dm, pm2, pem, w, dz, pt, ws,
+                                       gama, akap, 0.05)
+    assert float(jnp.abs(pe2).max()) / float(pem.max()) < 1e-12
+    assert float(jnp.abs(w2).max()) < 1e-10
+    assert float(jnp.abs((dz2 - dz) / dz).max()) < 1e-12
+
+
+@pytest.fixture(scope="module")
+def nh_setup():
+    g = build_grid_ops(NPX, dtype=jnp.float64)
+    ks, ptop, ak, bk = set_eta(NPZ)
+    ic = jw_baroclinic(g.geom, NPZ, ak, bk, ptop, perturb=True)
+    prepare_phis(g, ic["phis"])
+    dp0 = np.diff(ak) + np.diff(bk) * 1.0e5
+    return g, ic, ptop, ak, bk, dp0
+
+
+def test_nh_baroclinic_stable_and_close_to_hydro(nh_setup):
+    g, ic, ptop, ak, bk, dp0 = nh_setup
+    cfg = DynConfig(npx=NPX, npz=NPZ, dt=600.0, n_split=4,
+                    hydrostatic=False)
+    akj = jnp.asarray(ak, jnp.float64)
+    bkj = jnp.asarray(bk, jnp.float64)
+    st = {k: jnp.asarray(ic[k], jnp.float64)
+          for k in ("delp", "pt", "u", "v", "w", "delz")}
+
+    def step_nh(delp, pt, u, v, w, delz):
+        r = fv_dynamics_nh(delp, pt, u, v, w, delz, None, g, cfg, akj, bkj,
+                           ptop, dp0)
+        return r.delp, r.pt, r.u, r.v, r.w, r.delz
+
+    def step_h(delp, pt, u, v):
+        r = fv_dynamics_hydro(delp, pt, u, v, None, g, cfg, akj, bkj, ptop)
+        return r.delp, r.pt, r.u, r.v
+
+    nh = (st["delp"], st["pt"], st["u"], st["v"], st["w"], st["delz"])
+    hy = (st["delp"], st["pt"], st["u"], st["v"])
+    jn = jax.jit(step_nh)
+    jh = jax.jit(step_h)
+    for _ in range(6):
+        nh = jn(*nh)
+        hy = jh(*hy)
+
+    for a in nh:
+        assert not bool(jnp.isnan(a).any())
+    # w stays physically small for this quasi-hydrostatic flow
+    assert float(jnp.abs(nh[4]).max()) < 5.0
+    # delz stays negative (monotone heights held)
+    assert float(nh[5].max()) < 0.0
+    # large-scale agreement with the hydrostatic solution
+    du = float(jnp.abs(nh[2] - hy[2]).max())
+    assert du < 2.0, f"NH/hydro u drift too large: {du}"
+    dpt = float(jnp.abs(nh[1] - hy[1]).max())
+    assert dpt < 2.0, f"NH/hydro pt drift too large: {dpt}"

@@ -57,6 +57,8 @@ class DynConfig:
     ke_bg: float = 0.0
     lim_fac: float = 1.0
     n_sponge: int = 1
+    tau: float = 0.0
+    rf_cutoff: float = 3000.0
     p_fac: float = 0.05
     a_imp: float = 1.0
     hydrostatic: bool = True

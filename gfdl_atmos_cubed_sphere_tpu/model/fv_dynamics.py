@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import constants as con
+from . import thermodynamics as thermo
 from ..ops import fv_mapz
 from .tracer_2d import tracer_2d
 from ..ops.sw_core import _rl, _cl
@@ -91,23 +92,26 @@ def remap_hydro(delp, ptv, u, v, q, pe_pad, peln_pad, pkz, ak, bk, g, cfg,
 
     pkz_new = (pk2[..., 1:] - pk2[..., :-1]) / (akap * (pn2[..., 1:] - pn2[..., :-1]))
 
-    if last_step:
-        pt_out = _k_lev(tv_new)          # virtual temperature (zvir=0: T)
-    else:
-        pt_out = _k_lev(tv_new / pkz_new)  # back to theta_v
-
-    return SimpleNamespace(delp=delp_new, pt=pt_out, u=_k_lev(u_new),
+    return SimpleNamespace(delp=delp_new, tv=_k_lev(tv_new), u=_k_lev(u_new),
                            v=_k_lev(v_new), q=q_new or None,
-                           pkz=_k_lev(pkz_new), ps=_k_lev(ps)[:, 0])
+                           pkz=_k_lev(pkz_new), pk2=_k_lev(pk2),
+                           ps=_k_lev(ps)[:, 0])
 
 
-def fv_dynamics_hydro(delp, pt, u, v, q, g, cfg: DynConfig, ak, bk, ptop):
+def fv_dynamics_hydro(delp, pt, u, v, q, g, cfg: DynConfig, ak, bk, ptop,
+                      u0=None, v0=None):
     """One big (physics) timestep of hydrostatic dynamics.
 
-    pt in/out is TEMPERATURE (adiabatic: zvir=0 so T == T_v). q: dict of
-    tracer fields or None."""
+    pt in/out is TEMPERATURE. q: dict of tracer fields or None; with a
+    "sphum" tracer and cfg.adiabatic False the virtual-temperature (zvir)
+    path of fv_dynamics.F90:373-399 is active. cfg.consv_te > 0 enables the
+    global total-energy fixer (fv_mapz.F90:644-772); cfg.tau > 0 with
+    u0/v0 enables the ideal-case Rayleigh_Super sponge."""
     akap = con.KAPPA
     mdt = cfg.dt / cfg.k_split
+    zvir = 0.0
+    if q and "sphum" in q and not cfg.adiabatic:
+        zvir = thermo.ZVIR
     u, v = g.halo.reconcile_dgrid(u, v)
 
     # entry pressures + pt -> theta_v (fv_dynamics.F90:275-399)
@@ -116,7 +120,15 @@ def fv_dynamics_hydro(delp, pt, u, v, q, g, cfg: DynConfig, ak, bk, ptop):
     peln = jnp.log(pe)
     pk = jnp.exp(akap * peln)
     pkz = (pk[:, 1:] - pk[:, :-1]) / (akap * (peln[:, 1:] - peln[:, :-1]))
-    ptv = pt / pkz
+    tv = pt * (1.0 + zvir * q["sphum"]) if zvir else pt
+
+    te0 = None
+    if cfg.consv_te > 0.0:
+        te0 = thermo.total_energy_2d_hydro(u, v, tv, delp, peln, pe,
+                                           g.phis_p[..., 3:-3, 3:-3], g)
+    if cfg.tau > 0.0 and u0 is not None:
+        u, v, _ = rayleigh_super(u, v, None, u0, v0, ak, bk, cfg, ptop)
+    ptv = tv / pkz
 
     for n_map in range(cfg.k_split):
         last = n_map == cfg.k_split - 1
@@ -135,11 +147,47 @@ def fv_dynamics_hydro(delp, pt, u, v, q, g, cfg: DynConfig, ak, bk, ptop):
         delp, u, v = rm.delp, rm.u, rm.v
         q = rm.q
         if last:
-            pt = rm.pt
+            dtmp = 0.0
+            if te0 is not None:
+                peln_i = jnp.log(ak.reshape((1, -1, 1, 1))
+                                 + bk.reshape((1, -1, 1, 1)) * rm.ps[:, None])
+                te1 = thermo.total_energy_2d_hydro(
+                    u, v, rm.tv, delp, peln_i, jnp.exp(peln_i),
+                    g.phis_p[..., 3:-3, 3:-3], g)
+                dtmp = thermo.energy_fixer_dtmp(
+                    te0, te1, rm.pkz, delp, rm.pk2, ptop, cfg.consv_te, g,
+                    hydrostatic=True)
+            qs_new = q["sphum"] if zvir else None
+            pt = rm.tv + (dtmp / con.CP_AIR) * rm.pkz
+            if zvir:
+                pt = pt / (1.0 + zvir * qs_new)
         else:
-            ptv = rm.pt
+            ptv = rm.tv / rm.pkz
 
     return SimpleNamespace(delp=delp, pt=pt, u=u, v=v, q=q, ps=rm.ps)
+
+
+def rayleigh_super(u, v, w, u0, v0, ak, bk, cfg, ptop):
+    """Ideal-case Rayleigh sponge (fv_dynamics.F90 Rayleigh_Super:953):
+    relax u/v toward the initial jet (and damp w) above rf_cutoff with
+    rf(k) = dt/tau * sin^2(pi/2 * ln(cutoff/p)/ln(cutoff/ptop))."""
+    import numpy as np
+    K = u.shape[1]
+    akn, bkn = np.asarray(ak), np.asarray(bk)
+    pf = ((akn[1:] + akn[:-1]) + (bkn[1:] + bkn[:-1]) * 1.0e5) * 0.5
+    rf = np.zeros(K)
+    sday = 86400.0
+    for k in range(K):
+        if pf[k] < cfg.rf_cutoff:
+            rf[k] = (cfg.dt / (cfg.tau * sday)
+                     * np.sin(0.5 * np.pi * np.log(cfg.rf_cutoff / pf[k])
+                              / np.log(cfg.rf_cutoff / ptop)) ** 2)
+    rfk = jnp.asarray(rf, u.dtype).reshape(1, K, 1, 1)
+    u = (u + rfk * u0) / (1.0 + rfk)
+    v = (v + rfk * v0) / (1.0 + rfk)
+    if w is not None:
+        w = w / (1.0 + rfk)
+    return u, v, w
 
 
 def remap_nh(delp, ptv, u, v, w, delz, ws, q, pe_pad, peln_pad, ak, bk, g,
@@ -206,19 +254,14 @@ def remap_nh(delp, ptv, u, v, w, delz, ws, q, pe_pad, peln_pad, ak, bk, g,
     tvk = _k_lev(tv_new)
     pkz_new = jnp.exp(akap * jnp.log(rrg * delp_k / delz_k * tvk))
 
-    if last_step:
-        pt_out = tvk
-    else:
-        pt_out = tvk / pkz_new
-
-    return SimpleNamespace(delp=delp_new, pt=pt_out, u=_k_lev(u_new),
+    return SimpleNamespace(delp=delp_new, tv=tvk, u=_k_lev(u_new),
                            v=_k_lev(v_new), w=_k_lev(w_new), delz=delz_new,
-                           q=q_new or None, pkz=pkz_new,
+                           q=q_new or None, pkz=pkz_new, pk2=_k_lev(pk2),
                            ps=_k_lev(_k_last(ps))[:, 0])
 
 
 def fv_dynamics_nh(delp, pt, u, v, w, delz, q, g, cfg: DynConfig, ak, bk,
-                   ptop, dp0):
+                   ptop, dp0, u0=None, v0=None):
     """One big timestep of nonhydrostatic dynamics (fv_dynamics.F90,
     hydrostatic=.false.). pt in/out is TEMPERATURE; w vertical velocity
     (m/s); delz layer height thickness (m, negative). dp0: reference
@@ -227,12 +270,26 @@ def fv_dynamics_nh(delp, pt, u, v, w, delz, q, g, cfg: DynConfig, ak, bk,
 
     akap = con.KAPPA
     rrg = -con.RDGAS / con.GRAV
+    cv_air = con.CP_AIR - con.RDGAS
     mdt = cfg.dt / cfg.k_split
+    zvir = 0.0
+    if q and "sphum" in q and not cfg.adiabatic:
+        zvir = thermo.ZVIR
     u, v = g.halo.reconcile_dgrid(u, v)
 
     # entry: layer p**kappa from the gas law, pt -> theta_v (normalized)
-    pkz = jnp.exp(akap * jnp.log(rrg * delp / delz * pt))
-    ptv = pt / pkz
+    tv = pt * (1.0 + zvir * q["sphum"]) if zvir else pt
+    pkz = jnp.exp(akap * jnp.log(rrg * delp / delz * tv))
+
+    te0 = None
+    if cfg.consv_te > 0.0:
+        te0 = thermo.total_energy_2d_nh(u, v, w, tv,
+                                        q["sphum"] if zvir else None,
+                                        delp, delz,
+                                        g.phis_p[..., 3:-3, 3:-3], g)
+    if cfg.tau > 0.0 and u0 is not None:
+        u, v, w = rayleigh_super(u, v, w, u0, v0, ak, bk, cfg, ptop)
+    ptv = tv / pkz
 
     for n_map in range(cfg.k_split):
         last = n_map == cfg.k_split - 1
@@ -250,9 +307,19 @@ def fv_dynamics_nh(delp, pt, u, v, w, delz, q, g, cfg: DynConfig, ak, bk,
         delp, u, v, w, delz = rm.delp, rm.u, rm.v, rm.w, rm.delz
         q = rm.q
         if last:
-            pt = rm.pt
+            dtmp = 0.0
+            if te0 is not None:
+                te1 = thermo.total_energy_2d_nh(
+                    u, v, w, rm.tv, q["sphum"] if zvir else None,
+                    delp, delz, g.phis_p[..., 3:-3, 3:-3], g)
+                dtmp = thermo.energy_fixer_dtmp(
+                    te0, te1, rm.pkz, delp, rm.pk2, ptop, cfg.consv_te, g,
+                    hydrostatic=False)
+            pt = rm.tv + (dtmp / cv_air) * rm.pkz
+            if zvir:
+                pt = pt / (1.0 + zvir * q["sphum"])
         else:
-            ptv = rm.pt
+            ptv = rm.tv / rm.pkz
 
     return SimpleNamespace(delp=delp, pt=pt, u=u, v=v, w=w, delz=delz,
                            q=q, ps=rm.ps)

@@ -1,0 +1,75 @@
+"""Thermodynamics / energetics (component #13).
+
+Re-implements /root/reference/model/fv_thermodynamics.F90 (moist_cv/cp,
+compute_total_energy:43) and the total-energy fixer bookkeeping of
+fv_mapz.F90:644-772 with the identical column formulas, so entry/exit
+energies are directly comparable.
+
+Moist path: constant-kappa virtual-temperature thermodynamics (the 202411
+`fv_thermo_nml` defaults use_cond=F, moist_kappa=F).
+"""
+
+import jax.numpy as jnp
+
+from .. import constants as con
+
+H = 3
+ZVIR = con.RVGAS / con.RDGAS - 1.0
+
+
+def ke_cell(u, v, g):
+    """Cell-mean kinetic energy from D winds (the 0.25*rsin2*(...) form used
+    throughout fv_mapz.F90, e.g. :688-691). u [6,K,n+1,n], v [6,K,n,n+1]."""
+    ctr = slice(H, H + u.shape[-1])
+    n = u.shape[-1]
+    rsin2 = g.rsin2[..., ctr, ctr] if g.rsin2.shape[-1] != n else g.rsin2
+    cosa_s = g.cosa_s[..., ctr, ctr] if g.cosa_s.shape[-1] != n else g.cosa_s
+    u1, u2 = u[..., :-1, :], u[..., 1:, :]
+    v1, v2 = v[..., :, :-1], v[..., :, 1:]
+    return 0.25 * rsin2 * (u1 ** 2 + u2 ** 2 + v1 ** 2 + v2 ** 2
+                           - (u1 + u2) * (v1 + v2) * cosa_s)
+
+
+def total_energy_2d_hydro(u, v, tv, delp, peln, pe, phis, g):
+    """Column total energy, hydrostatic form (fv_mapz.F90:665-683):
+    te = pe_bot*hs - ptop*gz_top + sum_k delp*(cp*Tv + KE)."""
+    hs = phis if phis.ndim == 3 else phis[:, 0]
+    gz_top = hs + jnp.sum(con.RDGAS * tv * (peln[:, 1:] - peln[:, :-1]),
+                          axis=1)
+    te = pe[:, -1] * hs - pe[:, 0] * gz_top
+    te = te + jnp.sum(delp * (con.CP_AIR * tv + ke_cell(u, v, g)), axis=1)
+    return te
+
+
+def total_energy_2d_nh(u, v, w, tv, qsphum, delp, delz, phis, g):
+    """Column total energy, nonhydrostatic form (fv_mapz.F90:686-717):
+    te = sum_k delp*(cv*T + 0.5*(phi_k + phi_k+1 + w^2 + 2*KE))."""
+    hs = phis if phis.ndim == 3 else phis[:, 0]
+    cv_air = con.CP_AIR - con.RDGAS
+    incr = jnp.cumsum((-con.GRAV * delz)[:, ::-1], axis=1)[:, ::-1]
+    phi_top = jnp.concatenate([hs[:, None] + incr, hs[:, None]], axis=1)
+    t_abs = tv if qsphum is None else tv / (1.0 + ZVIR * qsphum)
+    te = jnp.sum(delp * (cv_air * t_abs
+                         + 0.5 * (phi_top[:, :-1] + phi_top[:, 1:]
+                                  + w ** 2 + 2.0 * ke_cell(u, v, g))), axis=1)
+    return te
+
+
+def g_mean(field2d, g):
+    """Area-weighted global mean (fv_grid_utils.F90 g_sum mode 0)."""
+    area = g.area_int if hasattr(g, "area_int") else None
+    if area is None:
+        area = jnp.asarray(g.geom.interior("area"))
+    return jnp.sum(field2d * area) / jnp.sum(area)
+
+
+def energy_fixer_dtmp(te0, te1, pkz, delp, pk, ptop, consv, g,
+                      hydrostatic=True):
+    """Global heating increment dtmp (fv_mapz.F90:740-772): consv times the
+    mean energy loss divided by the mean heat capacity integral."""
+    zsum1 = jnp.sum(pkz * delp, axis=1)
+    if hydrostatic:
+        zsum = ptop * (pk[:, 0] - pk[:, -1]) + zsum1
+    else:
+        zsum = zsum1
+    return consv * g_mean(te0 - te1, g) / g_mean(zsum, g)

@@ -1,0 +1,121 @@
+"""Diagnostics registry + state audits (component #26).
+
+Re-implements the patterns of /root/reference/tools/fv_diagnostics.F90:
+`prt_maxmin`/`prt_mxm` global min/max audits (:105), `range_check` fatal
+bounds (:105, used fv_dynamics.F90:817-827), and a diag_manager-style field
+registry (`register_diag_field`/`send_data`) writing time series to an
+in-memory store or a NetCDF3 history file (scipy backend).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+
+# ---- state audits ---------------------------------------------------------
+
+def prt_maxmin(name, field, fac=1.0, out=print):
+    """Global min/max printer (fv_diagnostics prt_maxmin)."""
+    lo = float(jnp.min(field)) * fac
+    hi = float(jnp.max(field)) * fac
+    out(f" {name:<10s} max = {hi:24.17g}  min = {lo:24.17g}")
+    return lo, hi
+
+
+RANGE_LIMITS = {
+    # fv_dynamics.F90:817-827 defaults
+    "ua": (-280.0, 280.0), "va": (-280.0, 280.0),
+    "u": (-280.0, 280.0), "v": (-280.0, 280.0),
+    "pt": (130.0, 350.0), "w": (-80.0, 100.0),
+}
+
+
+def range_check(name, field, lo=None, hi=None):
+    """Bounds audit (fv_diagnostics range_check). Returns (ok, min, max);
+    raising is the caller's choice (JAX-friendly: no device sync in jit)."""
+    if lo is None or hi is None:
+        lo, hi = RANGE_LIMITS.get(name, (-np.inf, np.inf))
+    fmin = float(jnp.min(field))
+    fmax = float(jnp.max(field))
+    ok = (fmin >= lo) and (fmax <= hi) and np.isfinite(fmin) and np.isfinite(fmax)
+    return ok, fmin, fmax
+
+
+def nan_check(tree):
+    """Names of fields containing NaN (the fv_debug NaN hunt,
+    fv_dynamics.F90:592-604)."""
+    bad = []
+    for k, v in tree.items():
+        if v is not None and bool(jnp.isnan(v).any()):
+            bad.append(k)
+    return bad
+
+
+# ---- diag registry --------------------------------------------------------
+
+class DiagManager:
+    """register_diag_field/send_data analog: named fields accumulated per
+    step, flushed to a NetCDF3 history file or kept in memory."""
+
+    def __init__(self):
+        self._fields = {}
+        self._store = {}
+
+    def register(self, name, long_name="", units=""):
+        self._fields[name] = dict(long_name=long_name, units=units)
+        self._store[name] = []
+        return name
+
+    def send(self, name, data):
+        if name in self._store:
+            self._store[name].append(np.asarray(data))
+            return True
+        return False
+
+    def series(self, name):
+        return np.stack(self._store[name]) if self._store[name] else None
+
+    def write_netcdf(self, path):
+        """History file via scipy NetCDF3 (diag_manager send_data sink)."""
+        from scipy.io import netcdf_file
+        with netcdf_file(path, "w") as f:
+            first = True
+            for name, rows in self._store.items():
+                if not rows:
+                    continue
+                arr = np.stack(rows)
+                if first:
+                    f.createDimension("time", arr.shape[0])
+                    first = False
+                dims = ["time"]
+                for i, s in enumerate(arr.shape[1:]):
+                    dn = f"{name}_d{i}"
+                    f.createDimension(dn, s)
+                    dims.append(dn)
+                var = f.createVariable(name, "f", tuple(dims))
+                var[:] = arr.astype(np.float32)
+                var.long_name = self._fields[name]["long_name"]
+                var.units = self._fields[name]["units"]
+
+
+# ---- derived diagnostics --------------------------------------------------
+
+def zonal_mean(field, lat, bins=64):
+    """Area-unweighted zonal-mean profile on latitude bins; field [6, ...,
+    n, n], lat [6, n, n] (radians). Returns (lat_centers, mean[..., bins])."""
+    f = np.asarray(field)
+    la = np.asarray(lat)
+    edges = np.linspace(-np.pi / 2, np.pi / 2, bins + 1)
+    idx = np.clip(np.digitize(la, edges) - 1, 0, bins - 1)
+    lead = f.shape[1:-2]
+    fm = f.reshape((6,) + lead + (-1,))
+    ix = idx.reshape(6, -1)
+    out = np.zeros(lead + (bins,))
+    cnt = np.zeros(bins)
+    for t in range(6):
+        np.add.at(out, (..., ix[t]), fm[t])
+        np.add.at(cnt, ix[t], 1.0)
+    return 0.5 * (edges[:-1] + edges[1:]), out / np.maximum(cnt, 1.0)
+
+
+def surface_pressure(delp, ptop):
+    return ptop + jnp.sum(delp, axis=1)

@@ -1,0 +1,119 @@
+"""Lifecycle: checkpoint/restart, fv_core.res export, diagnostics, HS
+forcing, solo driver API (components #21, #26, #30, #31)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gfdl_atmos_cubed_sphere_tpu.io import restart as rst
+from gfdl_atmos_cubed_sphere_tpu.io.diagnostics import (
+    DiagManager, prt_maxmin, range_check, nan_check, zonal_mean)
+from gfdl_atmos_cubed_sphere_tpu.utils.timing import Timers
+
+
+def _fake_state(K=4, n=8):
+    rng = np.random.default_rng(0)
+    return {
+        "u": rng.normal(size=(6, K, n + 1, n)),
+        "v": rng.normal(size=(6, K, n, n + 1)),
+        "pt": 250.0 + rng.normal(size=(6, K, n, n)),
+        "delp": 1e4 + rng.normal(size=(6, K, n, n)),
+        "w": rng.normal(size=(6, K, n, n)),
+        "delz": -100.0 + rng.normal(size=(6, K, n, n)),
+        "phis": rng.normal(size=(6, 1, n, n)),
+    }
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = _fake_state()
+    tr = {"sphum": np.abs(np.random.default_rng(1).normal(size=(6, 4, 8, 8)))}
+    ak = np.linspace(100.0, 0.0, 5)
+    bk = np.linspace(0.0, 1.0, 5)
+    path = str(tmp_path / "ck.npz")
+    rst.save_state(path, state, ak=ak, bk=bk, tracers=tr, step=7,
+                   time_seconds=123.0)
+    s2, t2, man = rst.load_state(path)
+    assert man["step"] == 7 and man["time_seconds"] == 123.0
+    for k, v in state.items():
+        np.testing.assert_array_equal(s2[k], v)
+    np.testing.assert_array_equal(t2["sphum"], tr["sphum"])
+
+
+def test_checkpoint_detects_corruption(tmp_path):
+    state = _fake_state()
+    path = str(tmp_path / "ck.npz")
+    rst.save_state(path, state)
+    s2, _, man = rst.load_state(path)
+    # tamper: rewrite with wrong checksum in manifest
+    import json
+    man["checksums"]["u"] = "deadbeefdeadbeef"
+    payload = {k: np.asarray(v) for k, v in s2.items()}
+    payload["__manifest__"] = np.frombuffer(json.dumps(man).encode(),
+                                            dtype=np.uint8)
+    np.savez(path[:-4] + "_bad.npz", **payload)
+    with pytest.raises(ValueError):
+        rst.load_state(path[:-4] + "_bad.npz")
+
+
+def test_fv_core_res_netcdf_roundtrip(tmp_path):
+    state = _fake_state()
+    ak = np.linspace(100.0, 0.0, 5)
+    bk = np.linspace(0.0, 1.0, 5)
+    path = str(tmp_path / "fv_core.res.nc")
+    rst.export_fv_core_res(path, state, ak, bk,
+                           tracers={"sphum": np.abs(state["pt"]) * 1e-5})
+    s2, ak2, bk2, tr2 = rst.import_fv_core_res(path)
+    np.testing.assert_allclose(ak2, ak)
+    np.testing.assert_allclose(s2["u"], state["u"])
+    np.testing.assert_allclose(s2["pt"], state["pt"])
+    np.testing.assert_allclose(s2["delz"], state["delz"])
+    assert "sphum" in tr2
+
+
+def test_diag_manager(tmp_path):
+    dm = DiagManager()
+    dm.register("ps", "surface pressure", "Pa")
+    for i in range(3):
+        dm.send("ps", np.full((6, 4, 4), 1e5 + i))
+    assert dm.series("ps").shape == (3, 6, 4, 4)
+    dm.write_netcdf(str(tmp_path / "history.nc"))
+    from scipy.io import netcdf_file
+    with netcdf_file(str(tmp_path / "history.nc")) as f:
+        assert f.variables["ps"].shape == (3, 6, 4, 4)
+
+
+def test_audits():
+    state = _fake_state()
+    ok, lo, hi = range_check("pt", jnp.asarray(state["pt"]))
+    assert ok
+    ok, _, _ = range_check("pt", jnp.asarray(state["pt"]) + 300.0)
+    assert not ok
+    assert nan_check({"a": jnp.asarray([1.0, np.nan]),
+                      "b": jnp.asarray([1.0])}) == ["a"]
+    prt_maxmin("pt", jnp.asarray(state["pt"]), out=lambda s: None)
+
+
+def test_timers():
+    t = Timers(sync=False)
+    with t("A"):
+        with t("B"):
+            pass
+    d = t.asdict()
+    assert "A" in d and "A/B" in d
+    t.report(out=lambda s: None)
+
+
+def test_solo_driver_hs_smoke():
+    from gfdl_atmos_cubed_sphere_tpu.driver.solo import Atmosphere
+    atm = Atmosphere(13, 10, 600.0, physics="hs", dtype="f64")
+    atm.atmosphere(2)
+    assert atm.audit(out=lambda s: None)
+    assert atm.step_count == 2
+
+
+def test_zonal_mean_shape():
+    lat = np.random.default_rng(0).uniform(-np.pi / 2, np.pi / 2, (6, 8, 8))
+    f = np.ones((6, 3, 8, 8))
+    centers, zm = zonal_mean(f, lat, bins=16)
+    assert zm.shape == (3, 16)
+    assert np.allclose(zm[zm != 0], 1.0)

@@ -38,3 +38,10 @@ WTMAIR = 2.896440e1
 WTMH2O = 1.801534e1
 
 ZVIR = RVGAS / RDGAS - 1.0   # virtual temperature factor
+
+# Condensate heat capacities (gfdl_mp constants; c_liq/c_ice)
+C_LIQ = 4.1855e3             # heat capacity of liquid water [J/kg/K]
+C_ICE = 1.972e3              # heat capacity of ice [J/kg/K]
+TICE = 273.16                # freezing of fresh water [K] (gfdl_mp t_ice)
+EPS = RDGAS / RVGAS          # molecular-weight ratio
+EPSM1 = EPS - 1.0

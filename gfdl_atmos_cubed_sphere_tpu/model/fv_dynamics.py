@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from .. import constants as con
 from . import thermodynamics as thermo
-from ..ops import fv_mapz
+from ..ops import fv_mapz, fv_sg
 from .tracer_2d import tracer_2d
 from ..ops.sw_core import _rl, _cl
 from ..ops.fill_corners import fi
@@ -163,6 +163,10 @@ def fv_dynamics_hydro(delp, pt, u, v, q, g, cfg: DynConfig, ak, bk, ptop,
                 pt = pt / (1.0 + zvir * qs_new)
         else:
             ptv = rm.tv / rm.pkz
+
+    # 6-category negative-moisture adjustment (fv_dynamics.F90:724 nwat==6)
+    if q and not cfg.adiabatic and "liq_wat" in q:
+        pt, q = fv_sg.neg_adj3(pt, delp, q, hydrostatic=True)
 
     return SimpleNamespace(delp=delp, pt=pt, u=u, v=v, q=q, ps=rm.ps)
 
@@ -320,6 +324,9 @@ def fv_dynamics_nh(delp, pt, u, v, w, delz, q, g, cfg: DynConfig, ak, bk,
                 pt = pt / (1.0 + zvir * q["sphum"])
         else:
             ptv = rm.tv / rm.pkz
+
+    if q and not cfg.adiabatic and "liq_wat" in q:
+        pt, q = fv_sg.neg_adj3(pt, delp, q, delz=delz, hydrostatic=False)
 
     return SimpleNamespace(delp=delp, pt=pt, u=u, v=v, w=w, delz=delz,
                            q=q, ps=rm.ps)

@@ -1,0 +1,197 @@
+"""Negative-water adjustment + column fillers (component #16 part).
+
+Re-implements /root/reference/model/fv_sg.F90 neg_adj3:968 (6-category
+negative-moisture fixer with energy-conserving phase borrowing), fillq:1337
+(aggressive column filler for rain/graupel), and the water-vapor column
+borrow (:1240-1286), as batched column ops with lax.scan along k.
+
+Level axis is axis 1 ([6, K, y, x]); all scans move it to front.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as con
+
+CV_AIR = con.CP_AIR - con.RDGAS
+ZVIR = con.RVGAS / con.RDGAS - 1.0
+
+
+def _phase_fix(pt, qv, ql, qr, qi, qs, qg, lcpk, icpk):
+    """Pointwise phase fixes (fv_sg.F90:1055-1150)."""
+    # ---- ice phase -------------------------------------------------------
+    qsum = qi + qs
+    pos = qsum > 0.0
+    qi_n = jnp.where(pos, jnp.where(qi < 0.0, 0.0,
+                                    jnp.where(qs < 0.0, qsum, qi)), 0.0)
+    qs_n = jnp.where(pos, jnp.where(qi < 0.0, qsum,
+                                    jnp.where(qs < 0.0, 0.0, qs)), 0.0)
+    qg_n = jnp.where(pos, qg, qg + qsum)
+    qi, qs, qg = qi_n, qs_n, qg_n
+
+    # graupel < 0: borrow from qs then qi
+    dq = jnp.minimum(qs, -qg)
+    take = qg < 0.0
+    qs = jnp.where(take, qs - dq, qs)
+    qg = jnp.where(take, qg + dq, qg)
+    dq = jnp.minimum(qi, -qg)
+    take = qg < 0.0
+    qi = jnp.where(take, qi - dq, qi)
+    qg = jnp.where(take, qg + dq, qg)
+    # from rain (phase change, heating)
+    take = (qg < 0.0) & (qr > 0.0)
+    dq = jnp.where(take, jnp.minimum(qr, -qg), 0.0)
+    qg = qg + dq
+    qr = qr - dq
+    pt = pt + dq * icpk
+    # from cloud water
+    take = (qg < 0.0) & (ql > 0.0)
+    dq = jnp.where(take, jnp.minimum(ql, -qg), 0.0)
+    qg = qg + dq
+    ql = ql - dq
+    pt = pt + dq * icpk
+    # last resort: vapor
+    take = (qg < 0.0) & (qv > 0.0)
+    dq = jnp.where(take, jnp.minimum(0.999 * qv, -qg), 0.0)
+    qg = qg + dq
+    qv = qv - dq
+    pt = pt + dq * (icpk + lcpk)
+
+    # ---- liquid phase ----------------------------------------------------
+    qsum = ql + qr
+    pos = qsum > 0.0
+    ql_n = jnp.where(pos, jnp.where(qr < 0.0, qsum,
+                                    jnp.where(ql < 0.0, 0.0, ql)), 0.0)
+    qr_n = jnp.where(pos, jnp.where(qr < 0.0, 0.0,
+                                    jnp.where(ql < 0.0, qsum, qr)), qsum)
+    ql, qr = ql_n, qr_n
+    neg = qr < 0.0
+    # fill negative rain from graupel (cooling)
+    dq = jnp.where(neg, jnp.minimum(jnp.maximum(0.0, qg), -qr), 0.0)
+    qr = qr + dq
+    qg = qg - dq
+    pt = pt - dq * icpk
+    # from ice+snow (cooling)
+    neg = qr < 0.0
+    dq = jnp.where(neg, jnp.minimum(qi + qs, -qr), 0.0)
+    qr = qr + dq
+    dq1 = jnp.minimum(dq, qs)
+    qs = qs - dq1
+    qi = qi + dq1 - dq
+    pt = pt - dq * icpk
+    # from vapor (heating)
+    neg = (qr < 0.0) & (qv > 0.0)
+    dq = jnp.where(neg, jnp.minimum(0.999 * qv, -qr), 0.0)
+    qv = qv - dq
+    qr = qr + dq
+    pt = pt + dq * lcpk
+    return pt, qv, ql, qr, qi, qs, qg
+
+
+def fillq(q, dp):
+    """Aggressive column filler (fv_sg.F90 fillq:1337): fill negatives
+    bottom-up from the column's positive reservoir, then remove the borrowed
+    mass from positive layers bottom-up. q, dp: [6, K, y, x]."""
+    qk = jnp.moveaxis(q, 1, 0)
+    dpk = jnp.moveaxis(dp, 1, 0)
+    sum1 = jnp.sum(jnp.maximum(qk, 0.0) * dpk, axis=0)
+    active = sum1 >= 1.0e-12
+
+    def fill(carry, x):
+        s1, s2 = carry
+        qq, dd = x
+        need = (qq < 0.0) & (s1 > 0.0) & active
+        dq = jnp.where(need, jnp.minimum(s1, -qq * dd), 0.0)
+        return (s1 - dq, s2 + dq), qq + dq / dd
+
+    (s1, s2), q_f = jax.lax.scan(fill, (sum1, jnp.zeros_like(sum1)),
+                                 (qk[::-1], dpk[::-1]))
+
+    def drain(s2, x):
+        qq, dd = x
+        can = (qq > 0.0) & (s2 > 0.0) & active
+        dq = jnp.where(can, jnp.minimum(s2, qq * dd), 0.0)
+        return s2 - dq, qq - dq / dd
+
+    _, q_d = jax.lax.scan(drain, s2, (q_f, dpk[::-1]))
+    return jnp.moveaxis(q_d[::-1], 0, 1)
+
+
+def _fix_vapor_column(qv, dp):
+    """Water-vapor column borrow (fv_sg.F90:1240-1286): push negatives down
+    (borrowing from the layer above when possible), then fill a negative
+    bottom layer from above."""
+    qk = jnp.moveaxis(qv, 1, 0)
+    dpk = jnp.moveaxis(dp, 1, 0)
+    K = qk.shape[0]
+
+    def down(carry, x):
+        q_prev, push_mass, dp_prev = carry
+        qq, dd = x
+        q_eff = qq + push_mass / dd
+        can = (q_eff < 0.0) & (q_prev > 0.0)
+        dq = jnp.where(can, jnp.minimum(-q_eff * dd, q_prev * dp_prev), 0.0)
+        q_prev = q_prev - dq / dp_prev
+        q_eff = q_eff + dq / dd
+        still = q_eff < 0.0
+        push = jnp.where(still, q_eff * dd, 0.0)
+        q_eff = jnp.where(still, 0.0, q_eff)
+        return (q_eff, push, dd), q_prev
+
+    # rows 0..K-2 finalized through the scan; bottom handled after
+    init = (qk[0], jnp.zeros_like(qk[0]), dpk[0])
+    (q_last, push, _), upper = jax.lax.scan(down, init, (qk[1:], dpk[1:]))
+    # q_last is row K-1 pre-bottom-fix (it absorbed any pushed mass);
+    # note: the reference does NOT zero a still-negative bottom; it borrows
+    # from above (upward sweep)
+    qbot = q_last + 0.0
+
+    def up(carry, x):
+        deficit = carry          # negative mass still needed at bottom (>0)
+        qq, dd = x
+        can = (deficit > 0.0) & (qq > 0.0)
+        dq = jnp.where(can, jnp.minimum(deficit, qq * dd), 0.0)
+        return deficit - dq, qq - dq / dd
+
+    deficit0 = jnp.maximum(0.0, -qbot * dpk[-1])
+    deficit, upper_fixed = jax.lax.scan(up, deficit0, (upper[::-1], dpk[:-1][::-1]))
+    qbot = qbot + (deficit0 - deficit) / dpk[-1]
+    qk_new = jnp.concatenate([upper_fixed[::-1], qbot[None]], axis=0)
+    return jnp.moveaxis(qk_new, 0, 1)
+
+
+def neg_adj3(pt, delp, q, peln=None, delz=None, hydrostatic=True):
+    """Negative-moisture adjustment (fv_sg.F90 neg_adj3:968).
+
+    pt: TEMPERATURE [6,K,y,x]; q: dict with the 6-category names (sphum,
+    liq_wat, rainwat, ice_wat, snowwat, graupel; optional cld_amt).
+    Returns (pt, q) adjusted; missing categories are treated as zero and
+    returned unchanged."""
+    names = ("sphum", "liq_wat", "rainwat", "ice_wat", "snowwat", "graupel")
+    z = jnp.zeros_like(pt)
+    qv, ql, qr, qi, qs, qg = (q.get(k, z) for k in names)
+
+    if hydrostatic:
+        lcpk = con.HLV / con.CP_AIR
+        icpk = con.HLF / con.CP_AIR
+    else:
+        q_liq = jnp.maximum(0.0, ql + qr)
+        q_sol = jnp.maximum(0.0, qi + qs)
+        cpm = ((1.0 - (qv + q_liq + q_sol)) * CV_AIR + qv * con.CP_VAPOR
+               + q_liq * con.C_LIQ + q_sol * con.C_ICE)
+        lcpk = con.HLV / cpm
+        icpk = con.HLF / cpm
+
+    pt, qv, ql, qr, qi, qs, qg = _phase_fix(pt, qv, ql, qr, qi, qs, qg,
+                                            lcpk, icpk)
+    qg = fillq(qg, delp)
+    qr = fillq(qr, delp)
+    qv = _fix_vapor_column(qv, delp)
+
+    out = dict(q)
+    for k, v in zip(names, (qv, ql, qr, qi, qs, qg)):
+        if k in q:
+            out[k] = v
+    if "cld_amt" in q:
+        out["cld_amt"] = jnp.maximum(q["cld_amt"], 0.0)
+    return pt, out

@@ -1,0 +1,61 @@
+"""neg_adj3 / fillq negative-moisture fixers (ops/fv_sg.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from gfdl_atmos_cubed_sphere_tpu.ops.fv_sg import neg_adj3, fillq
+
+
+def _mk(K=8, n=6, seed=0):
+    rng = np.random.default_rng(seed)
+    delp = jnp.asarray(rng.uniform(5e3, 1e4, (6, K, n, n)))
+    pt = jnp.asarray(260.0 + rng.normal(size=(6, K, n, n)))
+    q = {
+        "sphum": jnp.asarray(rng.uniform(-1e-4, 5e-3, (6, K, n, n))),
+        "liq_wat": jnp.asarray(rng.uniform(-1e-4, 1e-3, (6, K, n, n))),
+        "rainwat": jnp.asarray(rng.uniform(-1e-4, 1e-3, (6, K, n, n))),
+        "ice_wat": jnp.asarray(rng.uniform(-1e-4, 1e-3, (6, K, n, n))),
+        "snowwat": jnp.asarray(rng.uniform(-1e-4, 1e-3, (6, K, n, n))),
+        "graupel": jnp.asarray(rng.uniform(-1e-4, 1e-3, (6, K, n, n))),
+    }
+    return pt, delp, q
+
+
+def test_fillq_fills_and_conserves():
+    rng = np.random.default_rng(1)
+    dp = jnp.asarray(rng.uniform(1e3, 1e4, (6, 8, 4, 4)))
+    q = jnp.asarray(rng.uniform(-2e-4, 1e-3, (6, 8, 4, 4)))
+    q2 = fillq(q, dp)
+    m0 = jnp.sum(q * dp, axis=1)
+    m1 = jnp.sum(q2 * dp, axis=1)
+    np.testing.assert_allclose(np.asarray(m0), np.asarray(m1), rtol=1e-12)
+    # columns with enough positive reservoir end non-negative
+    reservoir = jnp.sum(jnp.maximum(q, 0.0) * dp, axis=1)
+    need = -jnp.sum(jnp.minimum(q, 0.0) * dp, axis=1)
+    fixed = np.asarray(reservoir > need)
+    assert np.all(np.asarray(q2.min(axis=1))[fixed] > -1e-15)
+
+
+def test_neg_adj3_nonneg_and_mass():
+    pt, delp, q = _mk()
+    pt2, q2 = neg_adj3(pt, delp, q, hydrostatic=True)
+    # total water is conserved (phase borrowing only moves mass)
+    tw0 = sum(jnp.sum(v * delp) for v in q.values())
+    tw1 = sum(jnp.sum(v * delp) for v in q2.values())
+    np.testing.assert_allclose(float(tw0), float(tw1), rtol=1e-12)
+    # condensates end essentially non-negative where reservoirs suffice
+    for name in ("liq_wat", "ice_wat", "snowwat"):
+        assert float(q2[name].min()) >= -1e-15, name
+    # rain/graupel after fillq: only columns lacking reservoir stay negative
+    assert float(q2["graupel"].min()) >= -2e-4
+    assert not bool(jnp.isnan(pt2).any())
+
+
+def test_neg_adj3_noop_on_positive():
+    pt, delp, q = _mk()
+    qpos = {k: jnp.abs(v) for k, v in q.items()}
+    pt2, q2 = neg_adj3(pt, delp, qpos, hydrostatic=True)
+    for k in q:
+        np.testing.assert_allclose(np.asarray(q2[k]), np.asarray(qpos[k]),
+                                   atol=1e-15)
+    np.testing.assert_allclose(np.asarray(pt2), np.asarray(pt), atol=1e-12)

@@ -99,7 +99,7 @@ def remap_hydro(delp, ptv, u, v, q, pe_pad, peln_pad, pkz, ak, bk, g, cfg,
 
 
 def fv_dynamics_hydro(delp, pt, u, v, q, g, cfg: DynConfig, ak, bk, ptop,
-                      u0=None, v0=None):
+                      u0=None, v0=None, mp_cfg=None):
     """One big (physics) timestep of hydrostatic dynamics.
 
     pt in/out is TEMPERATURE. q: dict of tracer fields or None; with a
@@ -165,10 +165,18 @@ def fv_dynamics_hydro(delp, pt, u, v, q, g, cfg: DynConfig, ak, bk, ptop,
             ptv = rm.tv / rm.pkz
 
     # 6-category negative-moisture adjustment (fv_dynamics.F90:724 nwat==6)
+    mp_diag = None
     if q and not cfg.adiabatic and "liq_wat" in q:
         pt, q = fv_sg.neg_adj3(pt, delp, q, hydrostatic=True)
+        if mp_cfg is not None:
+            # inline GFDL microphysics (intermediate_phys hook,
+            # fv_mapz.F90:781)
+            from ..physics.gfdl_mp import gfdl_mp_driver
+            pt, q, mp_diag = gfdl_mp_driver(pt, delp, None, q, cfg.dt, ptop,
+                                            cfg=mp_cfg, hydrostatic=True)
 
-    return SimpleNamespace(delp=delp, pt=pt, u=u, v=v, q=q, ps=rm.ps)
+    return SimpleNamespace(delp=delp, pt=pt, u=u, v=v, q=q, ps=rm.ps,
+                           mp_diag=mp_diag)
 
 
 def rayleigh_super(u, v, w, u0, v0, ak, bk, cfg, ptop):
@@ -265,7 +273,7 @@ def remap_nh(delp, ptv, u, v, w, delz, ws, q, pe_pad, peln_pad, ak, bk, g,
 
 
 def fv_dynamics_nh(delp, pt, u, v, w, delz, q, g, cfg: DynConfig, ak, bk,
-                   ptop, dp0, u0=None, v0=None):
+                   ptop, dp0, u0=None, v0=None, mp_cfg=None):
     """One big timestep of nonhydrostatic dynamics (fv_dynamics.F90,
     hydrostatic=.false.). pt in/out is TEMPERATURE; w vertical velocity
     (m/s); delz layer height thickness (m, negative). dp0: reference
@@ -325,8 +333,13 @@ def fv_dynamics_nh(delp, pt, u, v, w, delz, q, g, cfg: DynConfig, ak, bk,
         else:
             ptv = rm.tv / rm.pkz
 
+    mp_diag = None
     if q and not cfg.adiabatic and "liq_wat" in q:
         pt, q = fv_sg.neg_adj3(pt, delp, q, delz=delz, hydrostatic=False)
+        if mp_cfg is not None:
+            from ..physics.gfdl_mp import gfdl_mp_driver
+            pt, q, mp_diag = gfdl_mp_driver(pt, delp, delz, q, cfg.dt, ptop,
+                                            cfg=mp_cfg, hydrostatic=False)
 
     return SimpleNamespace(delp=delp, pt=pt, u=u, v=v, w=w, delz=delz,
-                           q=q, ps=rm.ps)
+                           q=q, ps=rm.ps, mp_diag=mp_diag)

@@ -1,0 +1,118 @@
+"""GFDL microphysics (physics/gfdl_mp.py): saturation functions, terminal
+velocities, sedimentation conservation, driver water/energy budgets."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gfdl_atmos_cubed_sphere_tpu import constants as con
+from gfdl_atmos_cubed_sphere_tpu.physics import gfdl_mp as mp
+
+
+def test_saturation_sane():
+    t = jnp.asarray([230.0, 260.0, 273.16, 290.0, 310.0])
+    esw = mp.es_water(t)
+    esi = mp.es_ice(t)
+    # es at 0C ~ 611 Pa; increasing with T; ice < water below freezing
+    assert abs(float(esw[2]) - 611.21) < 2.0
+    assert np.all(np.diff(np.asarray(esw)) > 0)
+    assert float(esi[0]) < float(esw[0])
+    qs, dqdt = mp.wqs(jnp.asarray(290.0), jnp.asarray(9.0e4))
+    # ~ 1.3 % at 290K/900hPa, derivative ~ 6-7 %/K of qs
+    assert 0.012 < float(qs) < 0.016
+    assert 0.04 * float(qs) < float(dqdt) < 0.09 * float(qs)
+
+
+def test_terminal_velocities_monotone():
+    cfg = mp.MPConfig()
+    den = jnp.full((6, 4, 2, 2), 1.0)
+    denfac = jnp.sqrt(1.2 / den)
+    q1 = jnp.full((6, 4, 2, 2), 1e-4)
+    q2 = jnp.full((6, 4, 2, 2), 1e-3)
+    for name in ("qr", "qs", "qg", "qi"):
+        v1 = mp.terminal_velocity(name, q1, den, denfac, cfg)
+        v2 = mp.terminal_velocity(name, q2, den, denfac, cfg)
+        assert float(v2[0, 0, 0, 0]) > float(v1[0, 0, 0, 0]) > 0.0
+    # rain of 1 g/kg falls at several m/s
+    vr = float(mp.terminal_velocity("qr", q2, den, denfac, cfg)[0, 0, 0, 0])
+    assert 2.0 < vr < 12.0
+
+
+def test_implicit_fall_conserves_mass():
+    rng = np.random.default_rng(0)
+    K = 12
+    q = jnp.asarray(rng.uniform(0.0, 1e-3, (6, K, 3, 3)))
+    dp = jnp.asarray(rng.uniform(2e3, 8e3, (6, K, 3, 3)))
+    dz = jnp.asarray(rng.uniform(200.0, 800.0, (6, K, 3, 3)))
+    vt = jnp.asarray(rng.uniform(0.0, 8.0, (6, K, 3, 3)))
+    qn, precip, m1 = mp.implicit_fall(q, vt, dz, dp, 150.0)
+    col0 = jnp.sum(q * dp, axis=1)
+    col1 = jnp.sum(qn * dp, axis=1) + precip
+    np.testing.assert_allclose(np.asarray(col0), np.asarray(col1),
+                               rtol=1e-10)
+    assert float(qn.min()) >= 0.0
+    assert float(precip.min()) >= 0.0
+
+
+def _column_state(K=16, seed=1):
+    rng = np.random.default_rng(seed)
+    shp = (6, K, 4, 4)
+    delp = jnp.asarray(np.full(shp, 1.0e5 / K))
+    t = jnp.asarray(np.linspace(220.0, 295.0, K)[None, :, None, None]
+                    * np.ones(shp))
+    qv = jnp.asarray(rng.uniform(0.2, 0.9, shp)) * mp.wqs(
+        t, jnp.full(shp, 7e4))[0]
+    q = {
+        "sphum": qv,
+        "liq_wat": jnp.asarray(rng.uniform(0.0, 2e-3, shp)),
+        "rainwat": jnp.asarray(rng.uniform(0.0, 5e-4, shp)),
+        "ice_wat": jnp.asarray(rng.uniform(0.0, 5e-4, shp)),
+        "snowwat": jnp.asarray(rng.uniform(0.0, 5e-4, shp)),
+        "graupel": jnp.asarray(rng.uniform(0.0, 2e-4, shp)),
+    }
+    return t, delp, q
+
+
+def test_driver_water_budget_closes():
+    t, delp, q = _column_state()
+    ptop = 100.0
+    t2, q2, diag = mp.gfdl_mp_driver(t, delp, None, q, 600.0, ptop,
+                                     hydrostatic=True)
+    tw0 = sum(np.asarray(jnp.sum(v * delp, axis=1)) for v in q.values())
+    tw1 = sum(np.asarray(jnp.sum(v * delp, axis=1)) for v in q2.values())
+    precip = sum(np.asarray(v) for v in diag.values()) * con.GRAV
+    np.testing.assert_allclose(tw0, tw1 + precip, rtol=1e-5)
+    assert not bool(jnp.isnan(t2).any())
+    # all categories non-negative
+    for k, v in q2.items():
+        assert float(v.min()) >= -1e-12, k
+    # some precipitation reached the surface given rain aloft
+    assert float(np.asarray(diag["rain"]).max()) > 0.0
+
+
+def test_fast_sat_adj_supersaturation_removed():
+    K = 8
+    shp = (6, K, 3, 3)
+    t = jnp.full(shp, 285.0)
+    delp = jnp.full(shp, 1.0e5 / K)
+    qsat = mp.wqs(t, jnp.full(shp, 8.5e4))[0]
+    q = {"sphum": qsat * 1.3, "liq_wat": jnp.zeros(shp)}
+    t2, q2 = fast = mp.fast_sat_adj(t, delp, None, q, 600.0, 100.0,
+                                    hydrostatic=True)
+    # condensation happened in the (supersaturated) lower half:
+    lo = slice(K - 2, None)
+    assert float((q["sphum"] - q2["sphum"])[:, lo].min()) > 0.0
+    assert float(q2["liq_wat"][:, lo].min()) > 0.0
+    assert float((t2 - t)[:, lo].min()) > 0.0
+
+
+def test_cloud_fraction_bounds():
+    K = 4
+    shp = (6, K, 3, 3)
+    t = jnp.full(shp, 270.0)
+    p = jnp.full(shp, 7e4)
+    qsat = mp.iqs(t, p)[0]
+    qa = mp.cloud_fraction(qsat * 1.1, jnp.full(shp, 1e-4), jnp.zeros(shp),
+                           jnp.zeros(shp), p, t)
+    assert float(qa.min()) >= 0.0 and float(qa.max()) <= 1.0
+    assert float(qa.max()) > 0.9   # saturated + condensate -> cloudy

@@ -1,0 +1,123 @@
+"""Physics coupling: A-grid tendencies -> model state (component #18).
+
+Re-implements /root/reference/model/fv_update_phys.F90 (fv_update_phys:67)
+and the wind transforms of model/fv_grid_utils.F90: c2l_ord2:2470
+(D-grid -> A-grid lat-lon winds, the `cubed_to_latlon` path used at
+fv_dynamics.F90:803) and update_dwinds_phys:3291 (A-grid lat-lon wind
+tendencies -> D-grid covariant wind update via 3D cartesian vectors and
+the edge one-sided unit vectors es/ew).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+H = 3
+
+
+def _interior(geom, name):
+    return jnp.asarray(geom.interior(name))
+
+
+def cubed_to_latlon(u, v, g):
+    """D winds -> A-grid (lat-lon) ua, va (c2l_ord2:2470, grid_type<4):
+    vorticity-conserving covariant average then a11..a22 rotation."""
+    geom = g.geom
+    dx = _interior(geom, "dx")          # y-walls [6, n+1, n]
+    dy = _interior(geom, "dy")          # x-walls [6, n, n+1]
+    a11 = _interior(geom, "a11")[:, None]
+    a12 = _interior(geom, "a12")[:, None]
+    a21 = _interior(geom, "a21")[:, None]
+    a22 = _interior(geom, "a22")[:, None]
+    wu = u * dx[:, None]
+    wv = v * dy[:, None]
+    u1 = 2.0 * (wu[..., :-1, :] + wu[..., 1:, :]) / (dx[:, None, :-1, :]
+                                                     + dx[:, None, 1:, :])
+    v1 = 2.0 * (wv[..., :, :-1] + wv[..., :, 1:]) / (dy[:, None, :, :-1]
+                                                     + dy[:, None, :, 1:])
+    ua = a11 * u1 + a12 * v1
+    va = a21 * u1 + a22 * v1
+    return ua, va
+
+
+def update_dwinds_phys(u, v, u_dt, v_dt, g, dt):
+    """Scatter A-grid lat-lon wind tendencies onto the D grid
+    (update_dwinds_phys:3291). u_dt/v_dt: [6, K, n, n] (interior);
+    returns updated (u, v)."""
+    geom = g.geom
+    halo = g.halo
+    n = g.n
+    npx = g.npx
+    dt5 = 0.5 * dt
+    im2 = (npx - 1) // 2
+
+    # 3D cartesian tendency vector at cells, with 1 halo row (pad + slice)
+    vlon = jnp.asarray(geom.arrays["vlon"])[:, None]     # [6,1,NC,NC,3]
+    vlat = jnp.asarray(geom.arrays["vlat"])[:, None]
+    ud_p = halo.pad_cell(u_dt)
+    vd_p = halo.pad_cell(v_dt)
+    v3 = ud_p[..., None] * vlon + vd_p[..., None] * vlat  # [6,K,NC,NC,3]
+
+    rim = slice(H - 1, H + n + 1)
+    ctr = slice(H, H + n)
+    # edge sums (interior wall ranges + 1 halo col/row where needed)
+    ue = v3[..., H - 1:H + n, rim, :] + v3[..., H:H + n + 1, rim, :]
+    # ue rows = y-walls 0..n, cols = cells -1..n
+    ve = v3[..., rim, H - 1:H + n, :] + v3[..., rim, H:H + n + 1, :]
+    # ve rows = cells -1..n, cols = x-walls 0..n
+
+    # tile-edge 1D tangential interpolation (update_dwinds_phys:3379-3458)
+    jj = np.arange(n)
+    shift_up = jj > im2 - 1          # j > jm2 in 1-based = j-1 > jm2-1
+    evw = jnp.asarray(geom.arrays["edge_vect_w"])        # [6, n]
+    eve = jnp.asarray(geom.arrays["edge_vect_e"])
+    evs = jnp.asarray(geom.arrays["edge_vect_s"])
+    evn = jnp.asarray(geom.arrays["edge_vect_n"])
+
+    def blend_col(vec, ev, icol):
+        """Blend ve at x-wall column icol along cell rows with neighbor rows
+        (toward the tile center sides)."""
+        col = vec[..., 1:-1, icol, :]            # cell rows 0..n-1
+        up = vec[..., :-2, icol, :]              # rows -1..n-2 (j-1)
+        dn = vec[..., 2:, icol, :]               # rows 1..n (j+1)
+        nb = jnp.where(jnp.asarray(shift_up)[:, None], up, dn)
+        w = ev[:, None, :, None]
+        return w * nb + (1.0 - w) * col
+
+    def blend_row(vec, ev, jrow):
+        row = vec[..., jrow, 1:-1, :]
+        lf = vec[..., jrow, :-2, :]
+        rt = vec[..., jrow, 2:, :]
+        nb = jnp.where(jnp.asarray(shift_up)[:, None], lf, rt)
+        w = ev[:, None, :, None]
+        return w * nb + (1.0 - w) * row
+
+    ve = ve.at[..., 1:-1, 0, :].set(blend_col(ve, evw, 0))
+    ve = ve.at[..., 1:-1, n, :].set(blend_col(ve, eve, n))
+    ue = ue.at[..., 0, 1:-1, :].set(blend_row(ue, evs, 0))
+    ue = ue.at[..., n, 1:-1, :].set(blend_row(ue, evn, n))
+
+    # project on the covariant edge unit vectors (es dir-1 for u, ew dir-2
+    # for v) and update
+    es1 = jnp.asarray(geom.arrays["es"])[:, None, :, :, 0, :]  # [6,1,n+1+2H?...]
+    ew2 = jnp.asarray(geom.arrays["ew"])[:, None, :, :, 1, :]
+    # es is y-wall [6, NWp, NCp, 2, 3] stored padded? slice interior walls
+    nw = es1.shape[2]
+    off = (nw - (n + 1)) // 2
+    es1 = es1[:, :, off:off + n + 1, off:off + n]
+    ew2 = ew2[:, :, off:off + n, off:off + n + 1]
+
+    du = dt5 * jnp.sum(ue[..., :, 1:-1, :] * es1, axis=-1)
+    dv = dt5 * jnp.sum(ve[..., 1:-1, :, :] * ew2, axis=-1)
+    return u + du, v + dv
+
+
+def fv_update_phys(dt, pt, delp, u, v, q, u_dt, v_dt, t_dt, q_dt, g):
+    """Apply physics tendencies (fv_update_phys.F90:67, simplified moist
+    handling): T and tracers updated directly, winds via
+    update_dwinds_phys. Tendencies are per-second on the A grid."""
+    pt = pt + dt * t_dt
+    q_new = dict(q or {})
+    for k, dq in (q_dt or {}).items():
+        q_new[k] = q_new.get(k, 0.0) + dt * dq
+    u, v = update_dwinds_phys(u, v, u_dt, v_dt, g, dt)
+    return pt, u, v, q_new

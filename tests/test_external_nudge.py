@@ -1,0 +1,86 @@
+"""External ICs (#22) and nudging / DA (#28)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gfdl_atmos_cubed_sphere_tpu.model.grid_ops import build_grid_ops
+from gfdl_atmos_cubed_sphere_tpu.grid.fv_eta import set_eta
+from gfdl_atmos_cubed_sphere_tpu.io import external_ic as eic
+from gfdl_atmos_cubed_sphere_tpu.physics.nudging import (
+    NudgeConfig, nwp_nudge, apply_da_increment, IAU)
+
+NPX, NPZ = 25, 10
+
+
+def _analysis(Ks=14, NY=73, NX=144):
+    lon = np.linspace(0, 2 * np.pi, NX, endpoint=False)
+    lat = np.linspace(-np.pi / 2 + 1e-4, np.pi / 2 - 1e-4, NY)
+    LON, LAT = np.meshgrid(lon, lat)
+    ak_src = np.linspace(100.0, 0.0, Ks + 1)
+    bk_src = np.linspace(0.0, 1.0, Ks + 1) ** 1.5
+    t = 250.0 + 40.0 * np.cos(LAT)[None] * np.linspace(0.2, 1.0, Ks)[:, None, None]
+    u = 20.0 * np.cos(LAT)[None] * np.ones((Ks, NY, NX))
+    v = np.zeros((Ks, NY, NX))
+    ps = 1.0e5 - 500.0 * np.sin(LAT) ** 2
+    return dict(lon=lon, lat=lat, ps=ps, phis=np.zeros_like(ps),
+                t=t, u=u, v=v, sphum=1e-3 * np.ones_like(t),
+                ak_src=ak_src, bk_src=bk_src)
+
+
+def test_external_ic_pipeline():
+    g = build_grid_ops(NPX, dtype=jnp.float64)
+    ks, ptop, ak, bk = set_eta(NPZ)
+    ana = _analysis()
+    st = eic.state_from_latlon_analysis(ana, g.geom, ak, bk, ptop)
+    assert st["delp"].shape == (6, NPZ, g.n, g.n)
+    # surface pressure reconstructed from delp matches interpolated ps
+    ps_rec = ptop + np.asarray(st["delp"]).sum(axis=1)
+    np.testing.assert_allclose(ps_rec, np.asarray(st["ps"][:, 0]), rtol=1e-10)
+    # temperature in range, zonally-coherent
+    assert 200.0 < float(st["pt"].min()) and float(st["pt"].max()) < 300.0
+    # winds: zonal jet projects onto D grid with the right magnitude
+    u, v = eic.d_winds_from_latlon(st["ua"], st["va"], g)
+    assert 15.0 < float(jnp.abs(u).max()) < 25.0
+    assert not bool(jnp.isnan(u).any())
+
+
+def test_latlon_interp_exact_for_linear():
+    # bilinear interp reproduces a bilinear function of (lon-ish, lat)
+    lon = np.linspace(0, 2 * np.pi, 64, endpoint=False)
+    lat = np.linspace(-1.5, 1.5, 31)
+    f = lat[:, None] * 2.0 + np.cos(lon)[None, :] * 0.0 + 3.0
+    w = eic.latlon_bilinear_weights(lon, lat, np.array([1.0, 2.0]),
+                                    np.array([0.3, -0.7]))
+    out = np.asarray(eic.interp_to_cube(jnp.asarray(f), w))
+    np.testing.assert_allclose(out, 2.0 * np.array([0.3, -0.7]) + 3.0,
+                               rtol=1e-12)
+
+
+def test_nudging_relaxes_toward_target():
+    K, n = 6, 8
+    pm = jnp.broadcast_to(
+        jnp.linspace(50e2, 900e2, K)[None, :, None, None], (6, K, n, n))
+    state = {"pt": jnp.full((6, K, n, n), 250.0),
+             "u": jnp.zeros((6, K, n + 1, n))}
+    target = {"pt": jnp.full((6, K, n, n), 260.0),
+              "u": jnp.full((6, K, n + 1, n), 10.0)}
+    cfg = NudgeConfig(tau_t=3600.0, tau_winds=3600.0)
+    out = nwp_nudge(1800.0, state, target, pm, cfg)
+    # lower levels moved toward target, top (above p_wvp) untouched
+    assert float(out["pt"][:, -1].min()) > 252.0
+    np.testing.assert_allclose(np.asarray(out["pt"][:, 0]), 250.0)
+    assert float(out["u"][:, -1].max()) > 2.0
+    # never overshoots
+    assert float(out["pt"].max()) <= 260.0
+
+
+def test_iau_spreads_increment():
+    state = {"pt": jnp.zeros((2, 2))}
+    inc = {"pt": jnp.full((2, 2), 6.0)}
+    iau = IAU(inc, window=3600.0, dt=600.0)
+    for _ in range(10):           # more steps than the window
+        state = iau.step(state)
+    np.testing.assert_allclose(np.asarray(state["pt"]), 6.0, rtol=1e-12)
+    one = apply_da_increment({"pt": jnp.zeros((2, 2))}, inc)
+    np.testing.assert_allclose(np.asarray(one["pt"]), 6.0)

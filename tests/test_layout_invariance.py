@@ -1,0 +1,51 @@
+"""Layout invariance: the sharded-mesh result must match single-device
+(the reference's de-facto distributed test — same answers on any MPI
+layout, SURVEY.md §4.4). Runs on the 8-virtual-CPU-device conftest mesh
+with the unrolled acoustic loop (see parallel/mesh.py GSPMD note)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gfdl_atmos_cubed_sphere_tpu.model.grid_ops import build_grid_ops
+from gfdl_atmos_cubed_sphere_tpu.model.dyn_core import DynConfig
+from gfdl_atmos_cubed_sphere_tpu.model.fv_dynamics import fv_dynamics_hydro
+from gfdl_atmos_cubed_sphere_tpu.model.sw_dynamics import prepare_phis
+from gfdl_atmos_cubed_sphere_tpu.grid.fv_eta import set_eta
+from gfdl_atmos_cubed_sphere_tpu.init.baroclinic import jw_baroclinic
+
+NPX, NPZ = 25, 10
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_matches_single_device():
+    g = build_grid_ops(NPX, dtype=jnp.float64)
+    ks, ptop, ak, bk = set_eta(NPZ)
+    ic = jw_baroclinic(g.geom, NPZ, ak, bk, ptop, perturb=True)
+    prepare_phis(g, ic["phis"])
+    cfg = DynConfig(npx=NPX, npz=NPZ, dt=600.0, n_split=2, use_scan=False)
+    akj = jnp.asarray(ak)
+    bkj = jnp.asarray(bk)
+
+    def step(delp, pt, u, v):
+        r = fv_dynamics_hydro(delp, pt, u, v, None, g, cfg, akj, bkj, ptop)
+        return r.delp, r.pt, r.u, r.v
+
+    args = tuple(jnp.asarray(ic[k]) for k in ("delp", "pt", "u", "v"))
+    ref = jax.jit(step)(*args)
+
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("y", "x"))
+    cell = NamedSharding(mesh, P(None, None, "y", "x"))
+    uspec = NamedSharding(mesh, P(None, None, None, "x"))
+    vspec = NamedSharding(mesh, P(None, None, "y", None))
+    specs = (cell, cell, uspec, vspec)
+    sharded = jax.jit(step, in_shardings=specs)
+    with mesh:
+        out = sharded(*[jax.device_put(a, sp) for a, sp in zip(args, specs)])
+    for name, a, b in zip(("delp", "pt", "u", "v"), ref, out):
+        d = float(jnp.abs(a - b).max())
+        scale = float(jnp.abs(a).max())
+        assert d / max(scale, 1.0) < 1e-12, (name, d, scale)

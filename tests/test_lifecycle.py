@@ -117,3 +117,21 @@ def test_zonal_mean_shape():
     centers, zm = zonal_mean(f, lat, bins=16)
     assert zm.shape == (3, 16)
     assert np.allclose(zm[zm != 0], 1.0)
+
+
+def test_shield_driver_split_api():
+    import jax.numpy as jnp
+    from gfdl_atmos_cubed_sphere_tpu.driver.shield import ShieldAtmosphere
+    atm = ShieldAtmosphere(13, 10, 600.0, dtype="f64")
+    atm.atmosphere_dynamics(1)
+    sin = atm.atmos_phys_driver_statein()
+    assert sin["prsl"].shape == (6, 10, 12, 12)
+    assert float(sin["prsi"][:, -1].min()) > 9.0e4
+    t_dt = jnp.full_like(atm.state["pt"], 1.0 / 86400.0)
+    t_before = float(atm.state["pt"].mean())
+    atm.atmosphere_state_update(t_dt=t_dt)
+    assert float(atm.state["pt"].mean()) > t_before
+    tb, ps = atm.get_bottom_mass()
+    assert tb.shape == (6, 12, 12)
+    nx, nz = atm.atmosphere_resolution()
+    assert (nx, nz) == (12, 10)

@@ -67,13 +67,18 @@ def remap_hydro(delp, ptv, u, v, q, pe_pad, peln_pad, pkz, ak, bk, g, cfg,
     tv_new = fv_mapz.map1_ppm(tv, peln1, pn2, iv=1, kord=abs(cfg.kord_tm),
                               qmin=fv_mapz.T_MIN)
 
-    # tracers on pe
+    # tracers on pe — one batched call for all tracers (mapn_tracer,
+    # fv_operators.F90:234)
     q_new = {}
-    for name, qf in (q or {}).items():
-        qk = fv_mapz.map1_ppm(_k_last(qf), pe1, pe2, iv=0, kord=cfg.kord_tr)
+    if q:
+        names_q = list(q.keys())
+        qs_stack = jnp.stack([_k_last(q[k]) for k in names_q], axis=1)
+        qk = fv_mapz.map1_ppm(qs_stack, pe1[:, None], pe2[:, None], iv=0,
+                              kord=cfg.kord_tr)
         if cfg.fill:
-            qk = fv_mapz.fillz(qk, pe2[..., 1:] - pe2[..., :-1])
-        q_new[name] = _k_lev(qk)
+            qk = fv_mapz.fillz(qk, (pe2[..., 1:] - pe2[..., :-1])[:, None])
+        for i, name in enumerate(names_q):
+            q_new[name] = _k_lev(qk[:, i])
 
     # winds: u at y-walls uses the average of the adjacent cell rows' edges
     pe_u0 = 0.5 * (pe_pad[..., wsl, ctr] + _rl(pe_pad)[..., wsl, ctr])
@@ -245,11 +250,15 @@ def remap_nh(delp, ptv, u, v, w, delz, ws, q, pe_pad, peln_pad, ak, bk, g,
     delz_new = _k_lev(-sv_new * dp2)
 
     q_new = {}
-    for name, qf in (q or {}).items():
-        qk = fv_mapz.map1_ppm(_k_last(qf), pe1, pe2, iv=0, kord=cfg.kord_tr)
+    if q:
+        names_q = list(q.keys())
+        qs_stack = jnp.stack([_k_last(q[k]) for k in names_q], axis=1)
+        qk = fv_mapz.map1_ppm(qs_stack, pe1[:, None], pe2[:, None], iv=0,
+                              kord=cfg.kord_tr)
         if cfg.fill:
-            qk = fv_mapz.fillz(qk, dp2)
-        q_new[name] = _k_lev(qk)
+            qk = fv_mapz.fillz(qk, dp2[:, None])
+        for i, name in enumerate(names_q):
+            q_new[name] = _k_lev(qk[:, i])
 
     pe_u0 = _k_last(0.5 * (pe_pad[..., wsl, ctr] + _rl(pe_pad)[..., wsl, ctr]))
     pe_u1 = akl + bkl * pe_u0[..., -1:]

@@ -14,6 +14,7 @@ form that is exactly conservative by telescoping).
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 R3 = 1.0 / 3.0
 R12 = 1.0 / 12.0
@@ -339,19 +340,23 @@ def remap_ppm(a1, pe1, pe2, al, ar, a6):
     C = jnp.concatenate([jnp.zeros_like(C[..., :1]), C], axis=-1)  # [..., km+1]
 
     p = jnp.clip(pe2, pe1[..., :1], pe1[..., -1:])
-    # locate source layer: l = #{pe1[m+1] < p} clipped to [0, km-1]
-    cnt = jnp.sum(p[..., :, None] > pe1[..., None, 1:], axis=-1)
-    l = jnp.clip(cnt, 0, km - 1)
+    # locate source layer: l = #{pe1[m+1] < p} in [0, km-1], then extract
+    # the per-target-edge layer data with ONE stacked one-hot contraction.
+    # Minor-axis gathers (take_along_axis) cost ~22 ms each on TPU for these
+    # shapes; the dense one-hot einsum is a ~0.5 ms VPU pass.
+    cnt = jnp.sum((p[..., :, None] > pe1[..., None, 1:]).astype(a1.dtype),
+                  axis=-1)
+    l = jnp.clip(cnt, 0.0, float(km - 1))
+    onehot = (l[..., :, None] ==
+              jnp.arange(km, dtype=a1.dtype)).astype(a1.dtype)
+    vals = jnp.stack([pe1[..., :-1], dp1, al, ar, a6, C[..., :-1]], axis=-1)
+    taken = jnp.einsum("...ik,...kv->...iv", onehot, vals)
+    pe1_l, dp1_l, alx, arx, a6x, C_l = (taken[..., i] for i in range(6))
 
-    def take(x):
-        return jnp.take_along_axis(x, l, axis=-1)
-
-    pl = (p - take(pe1[..., :-1])) / take(dp1)
-    s = jnp.clip(pl, 0.0, 1.0)
-    alx, arx, a6x = take(al), take(ar), take(a6)
+    s = jnp.clip((p - pe1_l) / dp1_l, 0.0, 1.0)
     # antiderivative of f(s) = al + s*(ar-al) + a6*s*(1-s):
     Is = alx * s + 0.5 * (arx - alx) * s * s + a6x * (0.5 * s * s - R3 * s ** 3)
-    Q = take(C[..., :-1]) + take(dp1) * Is
+    Q = C_l + dp1_l * Is
     dq = Q[..., 1:] - Q[..., :-1]
     return dq / (pe2[..., 1:] - pe2[..., :-1])
 

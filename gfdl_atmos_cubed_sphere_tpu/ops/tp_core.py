@@ -37,6 +37,19 @@ def _edge_extrap(qm2, qm1, q0, q1, dm2, dm1, d0, d1):
     return 0.5 * (left + right)
 
 
+
+def _setcols(a, idx_vals):
+    """Override fixed last-axis columns via fusable masked selects.
+
+    Each ``.at[..., i].set(v)`` lowers to a separate dynamic-update-slice
+    kernel on TPU; a where(iota == i, ...) chain stays inside the enclosing
+    elementwise fusion (measured ~4500 kernels/acoustic iteration before).
+    """
+    ii = jnp.arange(a.shape[-1])
+    for i, v in idx_vals:
+        a = jnp.where(ii == i, v[..., None], a)
+    return a
+
 def _pert_ppm_iv1(q, bl, br):
     """Standard PPM constraint, perturbation form (pert_ppm iv=1)."""
     da1 = bl - br
@@ -98,27 +111,25 @@ def xppm(q, c, dxa, iord, lim_fac=1.0, edges=True):
         al = (P1 * (Q(-2, n) + Q(-1, n + 1))
               + P2 * (Q(-3, n - 1) + Q(0, n + 2)))      # [..., n+3], w at w+1
         if edges:
-            # west edge (walls -1, 0, 1)
-            al = al.at[..., 0].set(C1 * Q(-3, -3)[..., 0] + C2 * Q(-2, -2)[..., 0]
-                                   + C3 * Q(-1, -1)[..., 0])
             xt_w = _edge_extrap(Q(-2, -2)[..., 0], Q(-1, -1)[..., 0],
                                 Q(0, 0)[..., 0], Q(1, 1)[..., 0],
                                 DXA(-2, -2)[..., 0], DXA(-1, -1)[..., 0],
                                 DXA(0, 0)[..., 0], DXA(1, 1)[..., 0])
-            al = al.at[..., 1].set(xt_w)
-            al = al.at[..., 2].set(C3 * Q(0, 0)[..., 0] + C2 * Q(1, 1)[..., 0]
-                                   + C1 * Q(2, 2)[..., 0])
-            # east edge (walls n-1, n, n+1)
-            al = al.at[..., n].set(C1 * Q(n - 3, n - 3)[..., 0]
-                                   + C2 * Q(n - 2, n - 2)[..., 0]
-                                   + C3 * Q(n - 1, n - 1)[..., 0])
             xt_e = _edge_extrap(Q(n - 2, n - 2)[..., 0], Q(n - 1, n - 1)[..., 0],
                                 Q(n, n)[..., 0], Q(n + 1, n + 1)[..., 0],
                                 DXA(n - 2, n - 2)[..., 0], DXA(n - 1, n - 1)[..., 0],
                                 DXA(n, n)[..., 0], DXA(n + 1, n + 1)[..., 0])
-            al = al.at[..., n + 1].set(xt_e)
-            al = al.at[..., n + 2].set(C3 * Q(n, n)[..., 0] + C2 * Q(n + 1, n + 1)[..., 0]
-                                       + C1 * Q(n + 2, n + 2)[..., 0])
+            al = _setcols(al, [
+                (0, C1 * Q(-3, -3)[..., 0] + C2 * Q(-2, -2)[..., 0]
+                 + C3 * Q(-1, -1)[..., 0]),
+                (1, xt_w),
+                (2, C3 * Q(0, 0)[..., 0] + C2 * Q(1, 1)[..., 0]
+                 + C1 * Q(2, 2)[..., 0]),
+                (n, C1 * Q(n - 3, n - 3)[..., 0] + C2 * Q(n - 2, n - 2)[..., 0]
+                 + C3 * Q(n - 1, n - 1)[..., 0]),
+                (n + 1, xt_e),
+                (n + 2, C3 * Q(n, n)[..., 0] + C2 * Q(n + 1, n + 1)[..., 0]
+                 + C1 * Q(n + 2, n + 2)[..., 0])])
         if iord < 0:
             al = jnp.maximum(0.0, al)
 
@@ -156,8 +167,9 @@ def xppm(q, c, dxa, iord, lim_fac=1.0, edges=True):
             if edges:
                 # edge smt5 fix (tp_core.F90:536-546): cells -1,0 and n-1,n
                 crossed = bl * br < 0.0
-                for cc in (-1, 0, n - 1, n):
-                    smt5 = smt5.at[..., cc + 1].set(crossed[..., cc + 1])
+                ii = jnp.arange(smt5.shape[-1])
+                edgem = (ii == 0) | (ii == 1) | (ii == n) | (ii == n + 1)
+                smt5 = jnp.where(edgem, crossed, smt5)
 
         cpos = c > 0.0
         # upwind cells: left cell (w-1) for c>0 -> index w in bl/br arrays
@@ -255,7 +267,7 @@ def xppm(q, c, dxa, iord, lim_fac=1.0, edges=True):
         bl, br = _pert_ppm_iv0(qc, bl, br)
 
     if edges:
-        # ---- tile-edge overrides (tp_core.F90:634-676) -------------------
+        # ---- tile-edge overrides (tp_core.F90:634-676) as masked selects -
         def q0(cc):
             return q[..., h + cc]
 
@@ -277,12 +289,6 @@ def xppm(q, c, dxa, iord, lim_fac=1.0, edges=True):
         br_0 = xt2 - q0(0)
         bl_1 = xt2 - q0(1)
         br_1 = al[..., 3] - q0(1)        # al at wall 2
-        blw = jnp.stack([bl_m1, bl_0, bl_1], axis=-1)
-        brw = jnp.stack([br_m1, br_0, br_1], axis=-1)
-        qw = jnp.stack([q0(-1), q0(0), q0(1)], axis=-1)
-        blw, brw = _pert_ppm_iv1(qw, blw, brw)
-        bl = bl.at[..., 0:3].set(blw)
-        br = br.at[..., 0:3].set(brw)
         # east: cells n-2, n-1, n (index c+1 -> n-1, n, n+1)
         bl_n2 = al[..., n - 1] - q0(n - 2)   # al at wall n-2
         xt3 = S15 * q0(n - 1) + S11 * q0(n - 2) + S14 * dm0(n - 2)
@@ -298,12 +304,17 @@ def xppm(q, c, dxa, iord, lim_fac=1.0, edges=True):
         br_n1 = xt_e - q0(n - 1)
         bl_n = xt_e - q0(n)
         br_n = S11 * (q0(n + 1) - q0(n)) - S14 * dm0(n + 1)
-        ble = jnp.stack([bl_n2, bl_n1, bl_n], axis=-1)
-        bre = jnp.stack([br_n2, br_n1, br_n], axis=-1)
-        qe = jnp.stack([q0(n - 2), q0(n - 1), q0(n)], axis=-1)
-        ble, bre = _pert_ppm_iv1(qe, ble, bre)
-        bl = bl.at[..., n - 1:n + 2].set(ble)
-        br = br.at[..., n - 1:n + 2].set(bre)
+        bl_c = _setcols(bl, [(0, bl_m1), (1, bl_0), (2, bl_1),
+                             (n - 1, bl_n2), (n, bl_n1), (n + 1, bl_n)])
+        br_c = _setcols(br, [(0, br_m1), (1, br_0), (2, br_1),
+                             (n - 1, br_n2), (n, br_n1), (n + 1, br_n)])
+        # apply the standard constraint only on the 6 edge cells
+        blp, brp = _pert_ppm_iv1(qc, bl_c, br_c)
+        ii = jnp.arange(bl.shape[-1])
+        edgem = ((ii == 0) | (ii == 1) | (ii == 2)
+                 | (ii == n - 1) | (ii == n) | (ii == n + 1))
+        bl = jnp.where(edgem, blp, bl)
+        br = jnp.where(edgem, brp, br)
 
     b0 = bl + br
     cpos = c > 0.0

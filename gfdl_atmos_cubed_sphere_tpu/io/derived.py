@@ -1,0 +1,131 @@
+"""Derived diagnostic fields (component #26, fv_diagnostics.F90 fv_diag
+quantities): relative/absolute/potential vorticity, sea-level pressure,
+pressure-level interpolation (the cs3_interpolator role), wind speed,
+and surface-based CAPE/CIN via a pseudoadiabatic parcel ascent.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as con
+from ..physics import gfdl_mp as mp
+
+H = 3
+
+
+def relative_vorticity(u, v, g):
+    """Cell-mean relative vorticity from D winds (the d_sw `wk` circulation
+    form, sw_core.F90:1358-1372). u [6,K,n+1,n], v [6,K,n,n+1]."""
+    n = u.shape[-1]
+    ctr = slice(H, H + n)
+    # dx is the y-wall metric [6,1,NW,NC]; slice walls 0..n, cell cols
+    wslr = slice(H, H + n + 1)
+    vt = u * g.dx[..., wslr, ctr]
+    ut = v * g.dy[..., ctr, wslr]
+    rarea = g.rarea[..., ctr, ctr]
+    return rarea * (vt[..., :-1, :] - vt[..., 1:, :]
+                    - ut[..., :, :-1] + ut[..., :, 1:])
+
+
+def absolute_vorticity(u, v, g):
+    f0 = g.f0[..., H:H + u.shape[-1], H:H + u.shape[-1]]
+    return relative_vorticity(u, v, g) + f0
+
+
+def potential_vorticity(u, v, pt, delp, g, ptop=100.0):
+    """Ertel PV on model layers: -g (f + zeta) dtheta/dp (fv_diagnostics
+    pv_entropy form, vertical term). pt: temperature."""
+    pe = ptop + jnp.cumsum(delp, axis=1)
+    pe = jnp.concatenate([jnp.full_like(pe[:, :1], ptop), pe], axis=1)
+    pk = pe ** con.KAPPA
+    theta = pt * (1.0e5 ** con.KAPPA) / (0.5 * (pk[:, 1:] + pk[:, :-1]))
+    dtheta = jnp.concatenate([theta[:, 1:2] - theta[:, 0:1],
+                              0.5 * (theta[:, 2:] - theta[:, :-2]),
+                              theta[:, -1:] - theta[:, -2:-1]], axis=1)
+    va = absolute_vorticity(u, v, g)
+    return -con.GRAV * va * dtheta / delp
+
+
+def sea_level_pressure(ps, phis, t_bot):
+    """Standard SLP reduction (fv_diagnostics get_pressure_given_height
+    style): T extrapolated below ground with the 6.5 K/km lapse rate."""
+    hs = phis if phis.ndim == 3 else phis[:, 0]
+    gamma = 6.5e-3
+    z = hs / con.GRAV
+    t0 = t_bot + gamma * z                  # extrapolated sea-level T
+    return ps * jnp.exp(z * con.GRAV / (con.RDGAS * 0.5 * (t_bot + t0)))
+
+
+def interp_to_pressure_levels(field, delp, ptop, plevs, log_p=True):
+    """Interpolate a layer field to target pressure levels (the
+    cs3_interpolator role, linear in ln p). field/delp [6,K,n,n];
+    plevs: 1-D target pressures (Pa). Returns [6, L, n, n] with NaN where
+    the level is below the surface/above the top."""
+    pe = ptop + jnp.cumsum(delp, axis=1)
+    pe = jnp.concatenate([jnp.full_like(pe[:, :1], ptop), pe], axis=1)
+    pm = delp / (jnp.log(pe[:, 1:]) - jnp.log(pe[:, :-1]))
+    x = jnp.log(pm) if log_p else pm
+    K = field.shape[1]
+    xt = jnp.log(jnp.asarray(plevs)) if log_p else jnp.asarray(plevs)
+
+    def interp_one(xtv):
+        # location: number of layers with pm < target
+        cnt = jnp.sum((x < xtv).astype(field.dtype), axis=1)
+        l = jnp.clip(cnt - 1.0, 0.0, float(K - 2))
+        onehot = (l[:, None] == jnp.arange(K, dtype=field.dtype)
+                  .reshape(1, K, 1, 1)).astype(field.dtype)
+        onehot1 = (l[:, None] + 1.0 == jnp.arange(K, dtype=field.dtype)
+                   .reshape(1, K, 1, 1)).astype(field.dtype)
+        x0 = jnp.sum(onehot * x, axis=1)
+        x1 = jnp.sum(onehot1 * x, axis=1)
+        f0 = jnp.sum(onehot * field, axis=1)
+        f1 = jnp.sum(onehot1 * field, axis=1)
+        w = jnp.clip((xtv - x0) / jnp.where(x1 == x0, 1.0, x1 - x0), 0.0, 1.0)
+        val = f0 + w * (f1 - f0)
+        inside = (xtv >= x[:, 0]) & (xtv <= x[:, -1])
+        return jnp.where(inside, val, jnp.nan)
+
+    return jnp.stack([interp_one(xt[i]) for i in range(len(plevs))], axis=1)
+
+
+def wind_speed(ua, va):
+    return jnp.sqrt(ua ** 2 + va ** 2)
+
+
+def cape_cin(pt, delp, qv, ptop):
+    """Surface-based CAPE/CIN (fv_diagnostics getcape role, simplified):
+    pseudoadiabatic parcel lifted from the lowest layer, buoyancy
+    integrated upward with latent heating at saturation."""
+    pe = ptop + jnp.cumsum(delp, axis=1)
+    pe = jnp.concatenate([jnp.full_like(pe[:, :1], ptop), pe], axis=1)
+    peln = jnp.log(pe)
+    pm = delp / (peln[:, 1:] - peln[:, :-1])
+    tv_env = pt * (1.0 + con.ZVIR * qv)
+
+    K = pt.shape[1]
+    t_sfc = pt[:, -1]
+    q_sfc = qv[:, -1]
+    p_sfc = pm[:, -1]
+
+    def step(carry, k):
+        tp, qp, pprev = carry
+        p = pm[:, k]
+        # dry adiabatic cooling, then condense back to saturation
+        tp = tp * (p / pprev) ** con.KAPPA
+        qs, dq = mp.wqs(tp, p)
+        excess = jnp.maximum(0.0, qp - qs)
+        lat = con.HLV / con.CP_AIR
+        cond = excess / (1.0 + lat * dq)
+        tp = tp + lat * cond
+        qp = qp - cond
+        tvp = tp * (1.0 + con.ZVIR * qp)
+        buoy = con.GRAV * (tvp - tv_env[:, k]) / tv_env[:, k]
+        dz = con.RDGAS * tv_env[:, k] / con.GRAV * (
+            peln[:, k + 1] - peln[:, k])
+        return (tp, qp, p), buoy * dz
+
+    ks = jnp.arange(K - 2, -1, -1)
+    (_, _, _), contrib = jax.lax.scan(step, (t_sfc, q_sfc, p_sfc), ks)
+    pos = jnp.maximum(contrib, 0.0).sum(axis=0)
+    neg = jnp.minimum(contrib, 0.0).sum(axis=0)
+    return pos, -neg

@@ -349,7 +349,8 @@ def remap_ppm(a1, pe1, pe2, al, ar, a6):
     l = jnp.clip(cnt, 0.0, float(km - 1))
     onehot = (l[..., :, None] ==
               jnp.arange(km, dtype=a1.dtype)).astype(a1.dtype)
-    vals = jnp.stack([pe1[..., :-1], dp1, al, ar, a6, C[..., :-1]], axis=-1)
+    vals = jnp.stack(jnp.broadcast_arrays(
+        pe1[..., :-1], dp1, al, ar, a6, C[..., :-1]), axis=-1)
     taken = jnp.einsum("...ik,...kv->...iv", onehot, vals)
     pe1_l, dp1_l, alx, arx, a6x, C_l = (taken[..., i] for i in range(6))
 

@@ -1,0 +1,111 @@
+"""Terrain filters (#25), p_var (#24), derived diagnostics (#26)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gfdl_atmos_cubed_sphere_tpu import constants as con
+from gfdl_atmos_cubed_sphere_tpu.model.grid_ops import build_grid_ops
+from gfdl_atmos_cubed_sphere_tpu.model.init_hydro import p_var, hydro_eq
+from gfdl_atmos_cubed_sphere_tpu.grid.fv_eta import set_eta
+from gfdl_atmos_cubed_sphere_tpu.utils import terrain
+from gfdl_atmos_cubed_sphere_tpu.io import derived
+from gfdl_atmos_cubed_sphere_tpu.init.baroclinic import jw_baroclinic
+from gfdl_atmos_cubed_sphere_tpu.model.sw_dynamics import prepare_phis
+
+NPX, NPZ = 25, 10
+
+
+@pytest.fixture(scope="module")
+def setup():
+    g = build_grid_ops(NPX, dtype=jnp.float64)
+    ks, ptop, ak, bk = set_eta(NPZ)
+    ic = jw_baroclinic(g.geom, NPZ, ak, bk, ptop, perturb=True, moist=True)
+    prepare_phis(g, ic["phis"])
+    return g, ic, ptop, ak, bk
+
+
+def test_terrain_filter_smooths_and_conserves(setup):
+    g, ic, ptop, ak, bk = setup
+    phis = jnp.asarray(terrain.synthetic_terrain(g.geom, h0=3000.0, r0=0.25))
+    filt = terrain.fv3_zs_filter(phis, g, n_del2_weak=8, n_del4=2)
+    area = jnp.asarray(g.geom.interior("area"))[:, None]
+    m0 = float(jnp.sum(phis * area))
+    m1 = float(jnp.sum(filt * area))
+    # diffusion conserves the area integral away from edges (small edge
+    # effect from one-sided metric factors)
+    assert abs(m1 - m0) / abs(m0) < 5e-3
+    # peak reduced, field smoothed
+    assert float(filt.max()) < float(phis.max())
+    def rough(f):
+        return float(jnp.abs(jnp.diff(f[:, 0], axis=-1)).mean())
+    assert rough(filt) < rough(phis)
+
+
+def test_p_var_and_hydro_eq(setup):
+    g, ic, ptop, ak, bk = setup
+    delp = jnp.asarray(ic["delp"])
+    pt = jnp.asarray(ic["pt"])
+    out = p_var(delp, pt, ptop, q={"sphum": jnp.asarray(ic["sphum"])},
+                make_nh=True)
+    assert float(jnp.abs(out["ps"] - (ptop + delp.sum(1))).max()) < 1e-8
+    assert float(out["delz"].max()) < 0.0
+    assert float(out["pkz"].min()) > 0.0
+    # dry-mass adjustment drives the global dry ps to the target
+    area = jnp.asarray(g.geom.interior("area"))
+    out2 = p_var(delp, pt, ptop, q={"sphum": jnp.asarray(ic["sphum"])},
+                 adjust_dry_mass=True, dry_mass=98290.0, area=area)
+    qs = jnp.asarray(ic["sphum"])
+    psd = ptop + jnp.sum(out2["delp"] * (1 - qs), axis=1)
+    mean = float(jnp.sum(psd * area) / jnp.sum(area))
+    assert abs(mean - 98290.0) < 50.0
+
+    dl, ptl, psl = hydro_eq(NPZ, 1.0e5, jnp.zeros((6, g.n, g.n)),
+                            ak, bk, ptop)
+    assert float(jnp.abs(psl - 1e5).max()) < 1e-6
+
+
+def test_vorticity_of_solid_body(setup):
+    """Solid-body rotation has uniform relative vorticity 2*Omega_rot."""
+    g, ic, ptop, ak, bk = setup
+    from gfdl_atmos_cubed_sphere_tpu.init.sw_cases import case2
+    sw = case2(g.geom)
+    u = jnp.asarray(sw["u"])
+    v = jnp.asarray(sw["v"])
+    zeta = derived.relative_vorticity(u, v, g)
+    lat = jnp.asarray(g.geom.interior("aglat"))[:, None]
+    # case2: u = U cos(lat); zeta = 2 U sin(lat)/a
+    UBAR = 2.0 * np.pi * con.RADIUS / (12.0 * 86400.0)
+    expect = 2.0 * UBAR / con.RADIUS * jnp.sin(lat)
+    err = float(jnp.abs(zeta - expect).max()) / float(jnp.abs(expect).max())
+    assert err < 0.05, err
+
+
+def test_pressure_interp_and_slp(setup):
+    g, ic, ptop, ak, bk = setup
+    delp = jnp.asarray(ic["delp"])
+    pt = jnp.asarray(ic["pt"])
+    t500 = derived.interp_to_pressure_levels(pt, delp, ptop, [7.0e4])
+    inside = ~jnp.isnan(t500)
+    assert bool(inside.any())
+    assert 200.0 < float(jnp.nanmin(t500)) and float(jnp.nanmax(t500)) < 300.0
+    ps = ptop + delp.sum(1)
+    slp = derived.sea_level_pressure(ps, jnp.asarray(ic["phis"]), pt[:, -1])
+    # JW phis is a signed geopotential anomaly: slp deviates from ps by a
+    # few hPa at most and matches ps exactly where phis == 0
+    assert float(jnp.abs(slp / ps - 1.0).max()) < 0.05
+    assert not bool(jnp.isnan(slp).any())
+
+
+def test_cape_positive_for_unstable_column():
+    K = 20
+    shp = (6, K, 4, 4)
+    ptop = 100.0
+    delp = jnp.full(shp, 1.0e5 / K)
+    # very warm, moist surface under a cold aloft profile -> CAPE > 0
+    prof = jnp.linspace(210.0, 302.0, K).reshape(1, K, 1, 1)
+    pt = jnp.broadcast_to(prof, shp)
+    qv = jnp.full(shp, 1e-4).at[:, -1].set(0.018)
+    cape, cin = derived.cape_cin(pt, delp, qv, ptop)
+    assert float(cape.min()) > 0.0
+    assert float(cin.min()) >= 0.0

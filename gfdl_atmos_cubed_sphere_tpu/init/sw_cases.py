@@ -181,3 +181,79 @@ def case6(geom):
                 u=_k1(_interior(u, geom, "u")),
                 v=_k1(_interior(v, geom, "v")),
                 phis=_k1(_interior(phis, geom, "cell")))
+
+
+def _u_jet(lat):
+    """Galewsky et al. (2004) barotropically unstable jet
+    (test_cases.F90 u_jet:4073)."""
+    umax = 80.0
+    ph0 = np.pi / 7.0
+    ph1 = np.pi / 2.0 - ph0
+    en = np.exp(-4.0 / (ph1 - ph0) ** 2)
+    lat = np.asarray(lat)
+    inside = (lat > ph0) & (lat < ph1)
+    safe = np.where(inside, (lat - ph0) * (lat - ph1), -1.0)
+    return np.where(inside, (umax / en) * np.exp(1.0 / safe), 0.0)
+
+
+def _gh_jet_table(jm):
+    """Balanced geopotential by meridional integration of the gradient-wind
+    relation (test_cases.F90 gh_jet:4025)."""
+    h0 = 10.157946867e3
+    dp = np.pi / (jm - 1)
+    lats = -np.pi / 2.0 + np.arange(jm) * dp
+    gh = np.empty(jm)
+    gh[0] = con.GRAV * h0
+    mid = -np.pi / 2.0 + (np.arange(1, jm) - 0.5) * dp
+    uu = _u_jet(mid)
+    ft = 2.0 * con.OMEGA * np.sin(mid)
+    incr = -uu * (con.RADIUS * ft + np.tan(mid) * uu) * dp
+    gh[1:] = gh[0] + np.cumsum(incr)
+    return lats, gh
+
+
+def case7(geom):
+    """Barotropically unstable jet with height perturbation
+    (test_cases.F90 case(7):1213): gh from the balanced jet integral
+    (9-point cell average), Gaussian bump at (pi/2, pi/4), D winds from
+    u_jet; tracer = initial shallow-water PV."""
+    n = geom.n
+    lats, ght = _gh_jet_table(4 * (n + 1))
+
+    def gh_at(lat):
+        return np.interp(np.asarray(lat), lats, ght)
+
+    gxyz = geom.arrays["grid_xyz"]
+    lat_c = geom.interior("aglat")
+    lon_c = geom.interior("aglon")
+    h, m = H, n + 1
+
+    def corner_lat(dj, di):
+        return xyz_to_lonlat(gxyz[:, h + dj:h + dj + n, h + di:h + di + n])[1]
+
+    def midlat(p1, p2):
+        return xyz_to_lonlat(normalize(p1 + p2))[1]
+
+    c = gxyz[:, h:h + m, h:h + m]
+    lat_s = midlat(c[:, :-1, :-1], c[:, :-1, 1:])       # south wall mid
+    lat_n = midlat(c[:, 1:, :-1], c[:, 1:, 1:])
+    lat_w = midlat(c[:, :-1, :-1], c[:, 1:, :-1])
+    lat_e = midlat(c[:, :-1, 1:], c[:, 1:, 1:])
+    gh = (0.25 * gh_at(lat_c)
+          + 0.125 * (gh_at(lat_s) + gh_at(lat_n)
+                     + gh_at(lat_w) + gh_at(lat_e))
+          + 0.0625 * (gh_at(corner_lat(0, 0)) + gh_at(corner_lat(0, 1))
+                      + gh_at(corner_lat(1, 0)) + gh_at(corner_lat(1, 1))))
+
+    # Gaussian perturbation at (lon, lat) = (pi/2, pi/4)
+    r0 = con.RADIUS / 12.0
+    cosd = (np.sin(np.pi / 4) * np.sin(lat_c)
+            + np.cos(np.pi / 4) * np.cos(lat_c) * np.cos(lon_c - np.pi / 2))
+    r = np.arccos(np.clip(cosd, -1, 1)) * con.RADIUS
+    gh = gh + np.where(r < 3.0 * r0,
+                       1000.0 * con.GRAV * np.exp(-(r / r0) ** 2), 0.0)
+
+    u, v = _project_dgrid(lambda lon, lat: (_u_jet(lat), 0.0 * lon), geom)
+    return dict(delp=_k1(gh), u=_k1(_interior(u, geom, "u")),
+                v=_k1(_interior(v, geom, "v")),
+                phis=_k1(np.zeros_like(gh)))

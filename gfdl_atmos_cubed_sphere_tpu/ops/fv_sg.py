@@ -195,3 +195,156 @@ def neg_adj3(pt, delp, q, peln=None, delz=None, hydrostatic=True):
     if "cld_amt" in q:
         out["cld_amt"] = jnp.maximum(q["cld_amt"], 0.0)
     return pt, out
+
+
+# ===========================================================================
+# fv_sg_SHiELD (fv_sg.F90:76): 2-delta-z dry/moist convective adjustment
+# ===========================================================================
+
+RI_MAX = 1.0
+RI_MIN = 0.25
+USTAR2 = 1.0e-4
+T2_MAX = 315.0
+T2_MIN = 165.0
+
+
+def fv_sg_adjust(dt, fv_sg_adj, delp, pe, peln, pkz, ta, q, ua, va,
+                 hydrostatic=True, w=None, delz=None, m=3):
+    """Dry/moist 2-dz instability adjustment (fv_sg_SHiELD, fv_sg.F90:76).
+
+    Column-batched: all fields [6, K, y, x]; pe/peln interfaces
+    [6, K+1, y, x]. ta: temperature; q: tracer dict (sphum + condensates
+    optional); ua/va: A-grid winds. Returns (ta, q, ua, va, w, u_dt, v_dt).
+
+    The reference's sequential bottom-up interface sweep is kept as a
+    static python k-loop inside jit (it runs once per physics step)."""
+    names = ("sphum", "liq_wat", "rainwat", "ice_wat", "snowwat", "graupel")
+    z = jnp.zeros_like(ta)
+    K = ta.shape[1]
+    rdt = 1.0 / dt
+    fra = dt / float(fv_sg_adj)
+    xvir = ZVIR
+    rk = con.CP_AIR / con.RDGAS + 1.0
+
+    q0 = {k: v for k, v in q.items()}
+    qv = q0.get("sphum", z)
+    t0 = ta
+    u0, v0 = ua, va
+    w0 = w if w is not None else z
+    pm = delp / (peln[:, 1:] - peln[:, :-1])
+
+    def cp_cv(q0):
+        qvv = q0.get("sphum", z)
+        q_liq = q0.get("liq_wat", z) + q0.get("rainwat", z)
+        q_sol = (q0.get("ice_wat", z) + q0.get("snowwat", z)
+                 + q0.get("graupel", z))
+        cpm = ((1.0 - (qvv + q_liq + q_sol)) * con.CP_AIR
+               + qvv * con.CP_VAPOR + q_liq * con.C_LIQ + q_sol * con.C_ICE)
+        cvm = ((1.0 - (qvv + q_liq + q_sol)) * CV_AIR
+               + qvv * con.CV_VAP + q_liq * con.C_LIQ + q_sol * con.C_ICE)
+        return cpm, cvm
+
+    def qcon_of(q0):
+        return (q0.get("liq_wat", z) + q0.get("ice_wat", z)
+                + q0.get("snowwat", z) + q0.get("rainwat", z)
+                + q0.get("graupel", z))
+
+    def energies(t0, u0, v0, w0, q0):
+        """gz, hd (and te for NH) columns (fv_sg.F90:200-260)."""
+        tvm = t0 * (1.0 + xvir * q0.get("sphum", z))
+        if hydrostatic:
+            tvr = con.RDGAS * tvm
+            dgz = tvr * (peln[:, 1:] - peln[:, :-1])
+            gzh = jnp.concatenate(
+                [jnp.cumsum(dgz[:, ::-1], 1)[:, ::-1][:, 1:],
+                 jnp.zeros_like(dgz[:, :1])], axis=1)
+            gz = gzh + tvr * (1.0 - pe[:, :-1] / pm)
+            hd = con.CP_AIR * tvm + gz + 0.5 * (u0 ** 2 + v0 ** 2)
+            return gz, hd, None
+        cpm, cvm = cp_cv(q0)
+        dgz2 = -con.GRAV * delz
+        gzh = jnp.concatenate(
+            [jnp.cumsum(dgz2[:, ::-1], 1)[:, ::-1][:, 1:],
+             jnp.zeros_like(dgz2[:, :1])], axis=1)
+        gz = gzh - 0.5 * con.GRAV * delz
+        ke = 0.5 * (u0 ** 2 + v0 ** 2 + w0 ** 2)
+        hd = cpm * t0 + gz + ke
+        te = cvm * t0 + gz + ke
+        return gz, hd, te
+
+    gz, hd, te = energies(t0, u0, v0, w0, q0)
+
+    for n in range(m):
+        ratio = (0.25, 0.5, 0.999)[n] if m == 3 else (n + 1.0) / m
+        qcon = qcon_of(q0)
+        for k in range(K - 1, 0, -1):
+            km1 = k - 1
+            sl1 = (slice(None), km1)
+            sl2 = (slice(None), k)
+            tv1 = t0[sl1] * (1.0 + xvir * q0.get("sphum", z)[sl1]
+                             - qcon[sl1])
+            tv2 = t0[sl2] * (1.0 + xvir * q0.get("sphum", z)[sl2]
+                             - qcon[sl2])
+            pt1 = tv1 / pkz[sl1]
+            pt2 = tv2 / pkz[sl2]
+            ri = ((gz[sl1] - gz[sl2]) * (pt1 - pt2)
+                  / (0.5 * (pt1 + pt2)
+                     * ((u0[sl1] - u0[sl2]) ** 2
+                        + (v0[sl1] - v0[sl2]) ** 2 + USTAR2)))
+            ri = jnp.where((tv1 > T2_MAX) & (tv1 > tv2), 0.0, ri)
+            ri = jnp.where(tv2 < T2_MIN, jnp.minimum(ri, 0.1), ri)
+            ri_ref = jnp.minimum(
+                RI_MAX, RI_MIN + (RI_MAX - RI_MIN)
+                * jnp.maximum(0.0, 400.0e2 - pm[sl2]) / 200.0e2)
+            boost = {1: 4.0, 2: 2.0, 3: 1.5}.get(k, 1.0)
+            ri_ref = ri_ref * boost
+            mix = ri < ri_ref
+            mc = jnp.where(
+                mix,
+                ratio * delp[sl1] * delp[sl2] / (delp[sl1] + delp[sl2])
+                * (1.0 - jnp.maximum(0.0, ri / ri_ref)) ** 2, 0.0)
+
+            def swap(a):
+                h0 = mc * (a[sl2] - a[sl1])
+                a = a.at[sl1].add(h0 / delp[sl1])
+                a = a.at[sl2].add(-h0 / delp[sl2])
+                return a
+
+            for nm_ in list(q0.keys()):
+                q0[nm_] = swap(q0[nm_])
+            qcon = qcon_of(q0)
+            u0 = swap(u0)
+            v0 = swap(v0)
+            if hydrostatic:
+                hd = swap(hd)
+                # retrieve T on the two touched layers (fv_sg.F90:392-404);
+                # simplification: invert hd = cp*Tv + gz + ke with the
+                # initial gz instead of the reference's running gzh update
+                t0 = t0.at[sl2].set(
+                    (hd[sl2] - gz[sl2]
+                     - 0.5 * (u0[sl2] ** 2 + v0[sl2] ** 2))
+                    / (con.CP_AIR
+                       * (1.0 + xvir * q0.get("sphum", z)[sl2])))
+                t0 = t0.at[sl1].set(
+                    (hd[sl1] - gz[sl1]
+                     - 0.5 * (u0[sl1] ** 2 + v0[sl1] ** 2))
+                    / (con.CP_AIR
+                       * (1.0 + xvir * q0.get("sphum", z)[sl1])))
+            else:
+                te = swap(te)
+                w0 = swap(w0)
+                cpm, cvm = cp_cv(q0)
+                for sl in (sl1, sl2):
+                    kin = gz[sl] + 0.5 * (u0[sl] ** 2 + v0[sl] ** 2
+                                          + w0[sl] ** 2)
+                    t0 = t0.at[sl].set((te[sl] - kin) / cvm[sl])
+
+    # fra relaxation toward the adjusted state (fv_sg.F90:458-505)
+    ta_new = ta + (t0 - ta) * fra
+    ua_new = ua + (u0 - ua) * fra
+    va_new = va + (v0 - va) * fra
+    q_new = {k: q[k] + (q0[k] - q[k]) * fra for k in q}
+    w_new = None if w is None else w + (w0 - w) * fra
+    u_dt = rdt * (ua_new - ua)
+    v_dt = rdt * (va_new - va)
+    return ta_new, q_new, ua_new, va_new, w_new, u_dt, v_dt

@@ -59,3 +59,43 @@ def test_neg_adj3_noop_on_positive():
         np.testing.assert_allclose(np.asarray(q2[k]), np.asarray(qpos[k]),
                                    atol=1e-15)
     np.testing.assert_allclose(np.asarray(pt2), np.asarray(pt), atol=1e-12)
+
+
+def test_fv_sg_adjust_mixes_unstable_column():
+    import jax.numpy as jnp
+    from gfdl_atmos_cubed_sphere_tpu.ops.fv_sg import fv_sg_adjust
+    from gfdl_atmos_cubed_sphere_tpu import constants as con
+    K, n = 10, 4
+    shp = (6, K, n, n)
+    ptop = 100.0
+    delp = jnp.full(shp, 1.0e5 / K)
+    pe = ptop + jnp.cumsum(delp, axis=1)
+    pe = jnp.concatenate([jnp.full_like(pe[:, :1], ptop), pe], axis=1)
+    peln = jnp.log(pe)
+    pm = delp / (peln[:, 1:] - peln[:, :-1])
+    pkz = (pm / 1.0e5) ** con.KAPPA
+    # strongly unstable: potential temperature INCREASES downward
+    theta = jnp.linspace(280.0, 320.0, K).reshape(1, K, 1, 1)
+    ta = jnp.broadcast_to(theta * pkz, shp)
+    q = {"sphum": jnp.full(shp, 1e-3)}
+    ua = jnp.zeros(shp)
+    va = jnp.zeros(shp)
+    t2, q2, u2, v2, w2, u_dt, v_dt = fv_sg_adjust(
+        600.0, 600, delp, pe, peln, pkz, ta, q, ua, va, hydrostatic=True)
+    th2 = t2 / pkz
+    # k index runs top->bottom, so theta increasing with k = unstable;
+    # the adjustment must flatten the profile (d2 much closer to 0)
+    d0 = float((theta[:, 1:] - theta[:, :-1]).mean())
+    d2 = float((th2[:, 1:] - th2[:, :-1]).mean())
+    assert d2 < d0 - 1.0 and abs(d2) < d0, (d0, d2)
+    # moisture conserved
+    import numpy as np
+    np.testing.assert_allclose(float(jnp.sum(q2["sphum"] * delp)),
+                               float(jnp.sum(q["sphum"] * delp)), rtol=1e-9)
+
+    # a strongly stable column is untouched
+    theta_s = jnp.linspace(400.0, 280.0, K).reshape(1, K, 1, 1)
+    ta_s = jnp.broadcast_to(theta_s * pkz, shp)
+    t3, q3, u3, v3, _, _, _ = fv_sg_adjust(
+        600.0, 600, delp, pe, peln, pkz, ta_s, q, ua, va, hydrostatic=True)
+    np.testing.assert_allclose(np.asarray(t3), np.asarray(ta_s), atol=1e-8)

@@ -128,3 +128,37 @@ def test_case6_rossby_haurwitz(g24):
     h = np.asarray(d) / GRAV
     assert 7000.0 < h.min() and h.max() < 11500.0
     assert float(jnp.abs(uu).max()) < 120.0
+
+
+def test_case7_barotropic_jet(g24):
+    """Galewsky barotropically unstable jet (test_cases.F90 case 7): runs
+    stably for 2 days; the perturbation grows (instability) while total
+    mass stays conserved."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from gfdl_atmos_cubed_sphere_tpu.init import sw_cases
+    from gfdl_atmos_cubed_sphere_tpu.model.sw_dynamics import (
+        SWConfig, make_sw_step, prepare_phis)
+
+    g = g24
+    ic = sw_cases.case7(g.geom)
+    prepare_phis(g, ic["phis"])
+    cfg = SWConfig(npx=25, dt=1200.0, n_split=6, hord_mt=6, hord_vt=6,
+                   hord_dp=6, d_con=0.0)
+    step = jax.jit(make_sw_step(g, cfg))
+    d = jnp.asarray(ic["delp"])
+    u = jnp.asarray(ic["u"])
+    v = jnp.asarray(ic["v"])
+    area = jnp.asarray(g.geom.interior("area"))[:, None]
+    m0 = float(jnp.sum(d * area))
+    d0 = d
+    for _ in range(144):               # 2 days
+        d, u, v = step(d, u, v, None, None)
+    assert not bool(jnp.isnan(d).any())
+    m1 = float(jnp.sum(d * area))
+    assert abs(m1 - m0) / m0 < 1e-7
+    # the jet + bump evolve substantially (instability develops) while the
+    # height stays within physical bounds
+    assert float(jnp.abs(d - d0).max()) > 2000.0
+    assert 8.0e4 < float(d.min()) and float(d.max()) < 1.1e5

@@ -262,9 +262,10 @@ def dyn_core_hydro(delp, pt, u, v, phis, g, cfg: DynConfig, akap, ptop,
         u, v = one_grad_p(cat("u"), cat("v"), pk, gz, g, dt, npx, ptk)
         return (delp, pt, u, v, mfx, mfy, cx, cy), None
 
+    T = delp.shape[0]
     K = delp.shape[1]
     NC, NW = n + 2 * H, n + 1 + 2 * H
-    zsh = lambda *s: jnp.zeros((6, K) + s, delp.dtype)
+    zsh = lambda *s: jnp.zeros((T, K) + s, delp.dtype)
     carry0 = (delp, pt, u, v, zsh(n, n + 1), zsh(n + 1, n),
               zsh(NC, NW), zsh(NW, NC))
     if cfg.use_scan:
@@ -453,9 +454,10 @@ def dyn_core_nh(delp, pt, u, v, w, delz, phis, g, cfg: DynConfig, akap, ptop,
         ws_c = ws_full[..., ctr, ctr]
         return (delp, pt, u, v, w, zh, ws_c, mfx, mfy, cx, cy), rs.pem
 
+    T = delp.shape[0]
     K = delp.shape[1]
     NC, NW = n + 2 * H, n + 1 + 2 * H
-    zsh = lambda *s: jnp.zeros((6, K) + s, delp.dtype)
+    zsh = lambda *s: jnp.zeros((T, K) + s, delp.dtype)
     carry0 = (delp, pt, u, v, w, zh, jnp.zeros_like(delp[:, 0]),
               zsh(n, n + 1), zsh(n + 1, n), zsh(NC, NW), zsh(NW, NC))
     if cfg.use_scan:

@@ -92,3 +92,78 @@ def build_grid_ops(npx, dtype=jnp.float32, geom: GridGeometry = None,
     g.a2b_corner_w = jnp.asarray(w[:, None], dtype)
 
     return g
+
+
+def build_grid_ops_dp(n, dx_const, dy_const, dtype=jnp.float32,
+                      deglat=0.0, ntiles=1):
+    """Metric pack for the doubly-periodic cartesian domain (grid_type 4,
+    fv_grid_tools.F90 setup_cartesian:1160): constant metrics, sina = 1,
+    cosa = 0, f-plane Coriolis at `deglat`, periodic halo exchange.
+
+    Fields use the same [T, K, y, x] layout with T = ntiles (default 1)."""
+    from ..parallel.periodic import PeriodicHalo
+    import gfdl_atmos_cubed_sphere_tpu.constants as con
+
+    NC = n + 2 * H
+    NW = n + 1 + 2 * H
+    T = ntiles
+    g = SimpleNamespace()
+    g.npx = n + 1
+    g.n = n
+    g.grid_type = 4
+    g.dtype = dtype
+    g.halo = PeriodicHalo(n, H)
+    g.geom = None
+
+    def const(shape, val):
+        return jnp.full((T, 1) + shape, val, dtype)
+
+    cell = (NC, NC)
+    xwall = (NC, NW)
+    ywall = (NW, NC)
+    crn = (NW, NW)
+
+    g.dx = const(ywall, dx_const)      # y-wall lengths
+    g.dy = const(xwall, dy_const)
+    g.rdx = const(ywall, 1.0 / dx_const)
+    g.rdy = const(xwall, 1.0 / dy_const)
+    g.dxa = const(cell, dx_const)
+    g.dya = const(cell, dy_const)
+    g.rdxa = const(cell, 1.0 / dx_const)
+    g.rdya = const(cell, 1.0 / dy_const)
+    g.dxc = const(xwall, dx_const)
+    g.dyc = const(ywall, dy_const)
+    g.rdxc = const(xwall, 1.0 / dx_const)
+    g.rdyc = const(ywall, 1.0 / dy_const)
+    area = dx_const * dy_const
+    g.area = const(cell, area)
+    g.rarea = const(cell, 1.0 / area)
+    g.area_c = const(crn, area)
+    g.rarea_c = const(crn, 1.0 / area)
+    for nm, shape, val in (("cosa", crn, 0.0), ("sina", crn, 1.0),
+                           ("rsina", crn, 1.0),
+                           ("cosa_u", xwall, 0.0), ("sina_u", xwall, 1.0),
+                           ("rsin_u", xwall, 1.0),
+                           ("cosa_v", ywall, 0.0), ("sina_v", ywall, 1.0),
+                           ("rsin_v", ywall, 1.0),
+                           ("cosa_s", cell, 0.0), ("rsin2", cell, 1.0)):
+        setattr(g, nm, const(shape, val))
+    for c in range(9):
+        setattr(g, f"sin_sg{c + 1}", const(cell, 1.0))
+        setattr(g, f"cos_sg{c + 1}", const(cell, 0.0))
+    # divergence/vorticity damping metric factors (fv_grid_utils analogs):
+    # divg_u = sina_v * dyc/dx (on y-walls), divg_v = sina_u * dxc/dy
+    g.divg_u = const(ywall, dy_const / dx_const)
+    g.divg_v = const(xwall, dx_const / dy_const)
+    g.del6_u = const(ywall, dy_const / dx_const)
+    g.del6_v = const(xwall, dx_const / dy_const)
+    fcor = 2.0 * con.OMEGA * np.sin(np.deg2rad(deglat))
+    g.fC = const(crn, fcor)
+    g.f0 = const(cell, fcor)
+    g.da_min = jnp.asarray(area, dtype)
+    g.da_max = jnp.asarray(area, dtype)
+    g.da_min_c = jnp.asarray(area, dtype)
+    g.da_max_c = jnp.asarray(area, dtype)
+    g.global_area = float(T * n * n * area)
+    g.a2b_corner_w = None      # no cube corners on the periodic plane
+    return g

@@ -69,7 +69,8 @@ def tracer_2d(q, dp1, mfx, mfy, cx, cy, g, hord_tr, q_split=0,
         e = lambda a: a[:, None]
         fx, fy = fv_tp_2d(qp, e(cxi), e(cyi), hord_tr, e(xfxi), e(yfxi),
                           e(g.area), e(ra_x), e(ra_y), e(g.dxa), e(g.dya),
-                          lim_fac=lim_fac, mfx=e(mfxi), mfy=e(mfyi))
+                          lim_fac=lim_fac, mfx=e(mfxi), mfy=e(mfyi),
+                          edges=getattr(g, "grid_type", 0) < 3)
         qs_out = (qs_in * dp_in[:, None]
                   + (fx[..., :, :-1] - fx[..., :, 1:]
                      + fy[..., :-1, :] - fy[..., 1:, :]) * e(rarea)) / dp2[:, None]

@@ -39,6 +39,32 @@ def corner_legs(npx):
     }
 
 
+def _a2b_ord4_dp(qin):
+    """Doubly-periodic variant: pure interior 4th-order cell->corner
+    everywhere (a2b_edge.F90 a2b_ord4 interior formulas, no edges)."""
+    n = qin.shape[-1] - 2 * H
+    NW = n + 1 + 2 * H
+    batch = qin.shape[:-2]
+    # x-interp to walls: qx(w) = B2*(q(w-2)+q(w+1)) + B1*(q(w-1)+q(w));
+    # walls 2..P-2 of the padded frame; wall w at padded index w+H... use
+    # the full valid range and zero-pad the rim.
+    # wall W (padded index, NW = P+1 entries) uses cells W-2..W+1
+    pad = [(0, 0)] * (qin.ndim - 1)
+    qx = (B2 * (qin[..., :, :-3] + qin[..., :, 3:])
+          + B1 * (qin[..., :, 1:-2] + qin[..., :, 2:-1]))   # [.., P, P-3]
+    qx = jnp.pad(qx, pad[:-1] + [(0, 0), (2, 2)])            # [.., P, NW]
+    qxx = (A2 * (qx[..., :-3, :] + qx[..., 3:, :])
+           + A1 * (qx[..., 1:-2, :] + qx[..., 2:-1, :]))
+    qxx = jnp.pad(qxx, pad[:-1] + [(2, 2), (0, 0)])          # [.., NW, NW]
+    qy = (B2 * (qin[..., :-3, :] + qin[..., 3:, :])
+          + B1 * (qin[..., 1:-2, :] + qin[..., 2:-1, :]))
+    qy = jnp.pad(qy, pad[:-1] + [(2, 2), (0, 0)])
+    qyy = (A2 * (qy[..., :, :-3] + qy[..., :, 3:])
+           + A1 * (qy[..., :, 1:-2] + qy[..., :, 2:-1]))
+    qyy = jnp.pad(qyy, pad[:-1] + [(0, 0), (2, 2)])
+    return 0.5 * (qxx + qyy)
+
+
 def a2b_ord4(qin, g):
     """qin: [..., P, P] padded cells -> [..., NW, NW] corner values.
 
@@ -46,6 +72,8 @@ def a2b_ord4(qin, g):
     edge_w/e/s/n ([6,1,n+1]), and corner extrapolation weights
     corner_w [6,1,4,3] with index pairs fixed (see grid_ops).
     """
+    if getattr(g, "grid_type", 0) >= 3:
+        return _a2b_ord4_dp(qin)
     f = fi
     n = qin.shape[-1] - 2 * H
     npx = npy = n + 1

@@ -259,9 +259,10 @@ def update_dz_c(g, ut, vt, gz, zs, dp0, dt2, npx):
     yfx = interface_wind(vt)
 
     from .sw_core import _cl, _cr, _rl, _rr
-    gx = fill_4corners_cell(gz, 1, npx)
+    edges = getattr(g, "grid_type", 0) < 3
+    gx = fill_4corners_cell(gz, 1, npx) if edges else gz
     fx = xfx * jnp.where(xfx > 0.0, _cl(gx), _cr(gx))
-    gy = fill_4corners_cell(gz, 2, npx)
+    gy = fill_4corners_cell(gz, 2, npx) if edges else gz
     fy = yfx * jnp.where(yfx > 0.0, _rl(gy), _rr(gy))
 
     # ut/vt are full wall arrays [.., NC, NW] / [.., NW, NC]; valid on the
@@ -349,8 +350,10 @@ def update_dz_d(g, zh, crx, cry, xfx, yfx, zs, dp0, dt, hord, npx,
     ra_x = g.area + xfx_a[..., :, :-1] - xfx_a[..., :, 1:]
     ra_y = g.area + yfx_a[..., :-1, :] - yfx_a[..., 1:, :]
 
+    edges = getattr(g, "grid_type", 0) < 3
     fx, fy = fv_tp_2d(zh, crx_a, cry_a, hord, xfx_a, yfx_a, g.area,
-                      ra_x, ra_y, g.dxa, g.dya, lim_fac=lim_fac)
+                      ra_x, ra_y, g.dxa, g.dya, lim_fac=lim_fac,
+                      edges=edges)
     num = (zh[..., ctr, ctr] * g.area[..., ctr, ctr]
            + fx[..., :, :-1] - fx[..., :, 1:]
            + fy[..., :-1, :] - fy[..., 1:, :])
@@ -361,7 +364,7 @@ def update_dz_d(g, zh, crx, cry, xfx, yfx, zs, dp0, dt, hord, npx,
         # NOTE: the reference passes the RAW damp_vt coefficient to
         # del6_vt_flux here (update_dz_d -> del6_vt_flux, d2 = damp*q) --
         # unlike d_sw's (damp*da_min)**(nord+1) exponentiation
-        fx2, fy2 = deln_damp_fluxes(zh, ndif, g, prefac=damp)
+        fx2, fy2 = deln_damp_fluxes(zh, ndif, g, prefac=damp, edges=edges)
         wsl = slice(H, H + n + 1)
         zh_new = zh_new + (fx2[..., ctr, wsl][..., :, :-1]
                            - fx2[..., ctr, wsl][..., :, 1:]

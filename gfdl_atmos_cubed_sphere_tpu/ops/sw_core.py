@@ -75,12 +75,48 @@ def edge_interpolate4(ua, dxa, axis=-1):
 # d2a2c_vect (sw_core.F90:3006): D-grid winds -> A-grid + C-grid winds
 # ===========================================================================
 
+def _d2a2c_vect_dp(u, v, g):
+    """grid_type >= 3 variant (sw_core.F90:849-861 + the orthogonal-grid
+    simplifications): 4th-order interior averaging everywhere, no edge or
+    corner specials; ut = uc, vt = vc (cosa == 0)."""
+    A1, A2 = 0.5625, -0.0625
+
+    def to_cells(w, axis):
+        # 2nd order everywhere, 4th order where the stencil fits
+        wm = jnp.moveaxis(w, axis, -1)
+        c2 = 0.5 * (wm[..., :-1] + wm[..., 1:])
+        c4 = (A2 * (wm[..., :-3] + wm[..., 3:])
+              + A1 * (wm[..., 1:-2] + wm[..., 2:-1]))
+        c2 = c2.at[..., 1:-1].set(c4)
+        return jnp.moveaxis(c2, -1, axis)
+
+    def to_walls(c, axis):
+        cm = jnp.moveaxis(c, axis, -1)
+        w2 = 0.5 * (cm[..., :-1] + cm[..., 1:])
+        w4 = (A2 * (cm[..., :-3] + cm[..., 3:])
+              + A1 * (cm[..., 1:-2] + cm[..., 2:-1]))
+        w2 = w2.at[..., 1:-1].set(w4)
+        # extend to full wall count (one wall beyond each cell end)
+        first = cm[..., :1]
+        last = cm[..., -1:]
+        ww = jnp.concatenate([first, w2, last], axis=-1)
+        return jnp.moveaxis(ww, -1, axis)
+
+    ua = to_cells(u, -2)
+    va = to_cells(v, -1)
+    uc = to_walls(ua, -1)
+    vc = to_walls(va, -2)
+    return ua, va, uc, vc, uc, vc
+
+
 def d2a2c_vect(u, v, g):
     """u: [..., NW, NC] D x-wind; v: [..., NC, NW] D y-wind (halo-exchanged).
 
     Returns (ua, va, uc, vc, ut, vt): A-grid winds + contravariant forms on
     cells, C-grid winds on walls, contravariant C winds ut/vt.
     """
+    if getattr(g, "grid_type", 0) >= 3:
+        return _d2a2c_vect_dp(u, v, g)
     npx = g.npx
     n = g.n
     f = fi
@@ -224,24 +260,26 @@ def d2a2c_vect(u, v, g):
 def divergence_corner(u, v, ua, va, g):
     npx = g.npx
     f = fi
+    edges = getattr(g, "grid_type", 0) < 3
     uf = ((u - 0.25 * (_rl(va) + _rr(va)) * (_rl(g.cos_sg4) + _rr(g.cos_sg2)))
           * g.dyc * 0.5 * (_rl(g.sin_sg4) + _rr(g.sin_sg2)))
-    for jw in (1, npx):
+    for jw in (1, npx) if edges else ():
         uf = uf.at[..., f(jw), :].set(
             u[..., f(jw), :] * g.dyc[..., f(jw), :] * 0.5
             * (g.sin_sg4[..., f(jw - 1), :] + g.sin_sg2[..., f(jw), :]))
     vf = ((v - 0.25 * (_cl(ua) + _cr(ua)) * (_cl(g.cos_sg3) + _cr(g.cos_sg1)))
           * g.dxc * 0.5 * (_cl(g.sin_sg3) + _cr(g.sin_sg1)))
-    for iw in (1, npx):
+    for iw in (1, npx) if edges else ():
         vf = vf.at[..., :, f(iw)].set(
             v[..., :, f(iw)] * g.dxc[..., :, f(iw)] * 0.5
             * (g.sin_sg3[..., :, f(iw - 1)] + g.sin_sg1[..., :, f(iw)]))
     # divg(i,j) = vf(i,j-1) - vf(i,j) + uf(i-1,j) - uf(i,j)  (corners)
     divg = (_rl(vf) - _rr(vf) + _cl(uf) - _cr(uf))
-    divg = divg.at[..., f(1), f(1)].add(-vf[..., f(0), f(1)])
-    divg = divg.at[..., f(1), f(npx)].add(-vf[..., f(0), f(npx)])
-    divg = divg.at[..., f(npx), f(npx)].add(vf[..., f(npx), f(npx)])
-    divg = divg.at[..., f(npx), f(1)].add(vf[..., f(npx), f(1)])
+    if edges:
+        divg = divg.at[..., f(1), f(1)].add(-vf[..., f(0), f(1)])
+        divg = divg.at[..., f(1), f(npx)].add(-vf[..., f(0), f(npx)])
+        divg = divg.at[..., f(npx), f(npx)].add(vf[..., f(npx), f(npx)])
+        divg = divg.at[..., f(npx), f(1)].add(vf[..., f(npx), f(1)])
     return divg * g.rarea_c
 
 
@@ -255,6 +293,8 @@ def c_sw(delp, pt, w, u, v, g, dt2, hydrostatic=True, nord=0, sw_mode=False):
     (updated on compute walls), ua, va, divg_d."""
     npx = g.npx
     f = fi
+    edges = getattr(g, "grid_type", 0) < 3
+    f4 = fill_4corners_cell if edges else (lambda q, d, npx_: q)
     ua, va, uc, vc, ut, vt = d2a2c_vect(u, v, g)
     divg_d = divergence_corner(u, v, ua, va, g) if nord > 0 else None
 
@@ -262,22 +302,22 @@ def c_sw(delp, pt, w, u, v, g, dt2, hydrostatic=True, nord=0, sw_mode=False):
     vt_s = dt2 * vt * g.dx * jnp.where(vt > 0.0, _rl(g.sin_sg4), _rr(g.sin_sg2))
 
     # ---- transport delp (pt, w) ------------------------------------------
-    dx1 = fill_4corners_cell(delp, 1, npx)
+    dx1 = f4(delp, 1, npx)
     fx1 = ut_s * jnp.where(ut_s > 0.0, _cl(dx1), _cr(dx1))
     if not sw_mode:
-        px1 = fill_4corners_cell(pt, 1, npx)
+        px1 = f4(pt, 1, npx)
         fxp = fx1 * jnp.where(ut_s > 0.0, _cl(px1), _cr(px1))
     if not hydrostatic:
-        wx1 = fill_4corners_cell(w, 1, npx)
+        wx1 = f4(w, 1, npx)
         fxw = fx1 * jnp.where(ut_s > 0.0, _cl(wx1), _cr(wx1))
 
-    dy1 = fill_4corners_cell(delp, 2, npx)
+    dy1 = f4(delp, 2, npx)
     fy1 = vt_s * jnp.where(vt_s > 0.0, _rl(dy1), _rr(dy1))
     if not sw_mode:
-        py1 = fill_4corners_cell(pt, 2, npx)
+        py1 = f4(pt, 2, npx)
         fyp = fy1 * jnp.where(vt_s > 0.0, _rl(py1), _rr(py1))
     if not hydrostatic:
-        wy1 = fill_4corners_cell(w, 2, npx)
+        wy1 = f4(w, 2, npx)
         fyw = fy1 * jnp.where(vt_s > 0.0, _rl(wy1), _rr(wy1))
 
     def div(fx, fy):
@@ -294,34 +334,34 @@ def c_sw(delp, pt, w, u, v, g, dt2, hydrostatic=True, nord=0, sw_mode=False):
     # ---- KE (sw_core.F90:297-372) ----------------------------------------
     kepos = uc[..., :, :-1]
     keneg = uc[..., :, 1:]
-    kepos = kepos.at[..., :, f(1)].set(
-        uc[..., :, f(1)] * g.sin_sg1[..., :, f(1)]
-        + v[..., :, f(1)] * g.cos_sg1[..., :, f(1)])
-    kepos = kepos.at[..., :, f(npx)].set(
-        uc[..., :, f(npx)] * g.sin_sg1[..., :, f(npx)]
-        + v[..., :, f(npx)] * g.cos_sg1[..., :, f(npx)])
-    keneg = keneg.at[..., :, f(0)].set(
-        uc[..., :, f(1)] * g.sin_sg3[..., :, f(0)]
-        + v[..., :, f(1)] * g.cos_sg3[..., :, f(0)])
-    keneg = keneg.at[..., :, f(npx - 1)].set(
-        uc[..., :, f(npx)] * g.sin_sg3[..., :, f(npx - 1)]
-        + v[..., :, f(npx)] * g.cos_sg3[..., :, f(npx - 1)])
-    ke = jnp.where(ua > 0.0, kepos, keneg)
-
     vtpos = vc[..., :-1, :]
     vtneg = vc[..., 1:, :]
-    vtpos = vtpos.at[..., f(1), :].set(
-        vc[..., f(1), :] * g.sin_sg2[..., f(1), :]
-        + u[..., f(1), :] * g.cos_sg2[..., f(1), :])
-    vtpos = vtpos.at[..., f(npx), :].set(
-        vc[..., f(npx), :] * g.sin_sg2[..., f(npx), :]
-        + u[..., f(npx), :] * g.cos_sg2[..., f(npx), :])
-    vtneg = vtneg.at[..., f(0), :].set(
-        vc[..., f(1), :] * g.sin_sg4[..., f(0), :]
-        + u[..., f(1), :] * g.cos_sg4[..., f(0), :])
-    vtneg = vtneg.at[..., f(npx - 1), :].set(
-        vc[..., f(npx), :] * g.sin_sg4[..., f(npx - 1), :]
-        + u[..., f(npx), :] * g.cos_sg4[..., f(npx - 1), :])
+    if edges:
+        kepos = kepos.at[..., :, f(1)].set(
+            uc[..., :, f(1)] * g.sin_sg1[..., :, f(1)]
+            + v[..., :, f(1)] * g.cos_sg1[..., :, f(1)])
+        kepos = kepos.at[..., :, f(npx)].set(
+            uc[..., :, f(npx)] * g.sin_sg1[..., :, f(npx)]
+            + v[..., :, f(npx)] * g.cos_sg1[..., :, f(npx)])
+        keneg = keneg.at[..., :, f(0)].set(
+            uc[..., :, f(1)] * g.sin_sg3[..., :, f(0)]
+            + v[..., :, f(1)] * g.cos_sg3[..., :, f(0)])
+        keneg = keneg.at[..., :, f(npx - 1)].set(
+            uc[..., :, f(npx)] * g.sin_sg3[..., :, f(npx - 1)]
+            + v[..., :, f(npx)] * g.cos_sg3[..., :, f(npx - 1)])
+        vtpos = vtpos.at[..., f(1), :].set(
+            vc[..., f(1), :] * g.sin_sg2[..., f(1), :]
+            + u[..., f(1), :] * g.cos_sg2[..., f(1), :])
+        vtpos = vtpos.at[..., f(npx), :].set(
+            vc[..., f(npx), :] * g.sin_sg2[..., f(npx), :]
+            + u[..., f(npx), :] * g.cos_sg2[..., f(npx), :])
+        vtneg = vtneg.at[..., f(0), :].set(
+            vc[..., f(1), :] * g.sin_sg4[..., f(0), :]
+            + u[..., f(1), :] * g.cos_sg4[..., f(0), :])
+        vtneg = vtneg.at[..., f(npx - 1), :].set(
+            vc[..., f(npx), :] * g.sin_sg4[..., f(npx - 1), :]
+            + u[..., f(npx), :] * g.cos_sg4[..., f(npx - 1), :])
+    ke = jnp.where(ua > 0.0, kepos, keneg)
     vortk = jnp.where(va > 0.0, vtpos, vtneg)
 
     ke = (0.5 * dt2) * (ua * ke + va * vortk)
@@ -330,21 +370,24 @@ def c_sw(delp, pt, w, u, v, g, dt2, hydrostatic=True, nord=0, sw_mode=False):
     fxc = uc * g.dxc
     fyc = vc * g.dyc
     circ = _rl(fxc) - _rr(fxc) - _cl(fyc) + _cr(fyc)
-    circ = circ.at[..., f(1), f(1)].add(fyc[..., f(1), f(0)])
-    circ = circ.at[..., f(1), f(npx)].add(-fyc[..., f(1), f(npx)])
-    circ = circ.at[..., f(npx), f(npx)].add(-fyc[..., f(npx), f(npx)])
-    circ = circ.at[..., f(npx), f(1)].add(fyc[..., f(npx), f(0)])
+    if edges:
+        circ = circ.at[..., f(1), f(1)].add(fyc[..., f(1), f(0)])
+        circ = circ.at[..., f(1), f(npx)].add(-fyc[..., f(1), f(npx)])
+        circ = circ.at[..., f(npx), f(npx)].add(-fyc[..., f(npx), f(npx)])
+        circ = circ.at[..., f(npx), f(1)].add(fyc[..., f(npx), f(0)])
     vortB = g.fC + g.rarea_c * circ
 
     # ---- transport absolute vorticity; update uc/vc ----------------------
     fy1v = dt2 * (v - uc * g.cosa_u) / g.sina_u
-    fy1v = fy1v.at[..., :, f(1)].set(dt2 * v[..., :, f(1)])
-    fy1v = fy1v.at[..., :, f(npx)].set(dt2 * v[..., :, f(npx)])
+    if edges:
+        fy1v = fy1v.at[..., :, f(1)].set(dt2 * v[..., :, f(1)])
+        fy1v = fy1v.at[..., :, f(npx)].set(dt2 * v[..., :, f(npx)])
     fyv = jnp.where(fy1v > 0.0, vortB[..., :-1, :], vortB[..., 1:, :])
 
     fx1u = dt2 * (u - vc * g.cosa_v) / g.sina_v
-    fx1u = fx1u.at[..., f(1), :].set(dt2 * u[..., f(1), :])
-    fx1u = fx1u.at[..., f(npx), :].set(dt2 * u[..., f(npx), :])
+    if edges:
+        fx1u = fx1u.at[..., f(1), :].set(dt2 * u[..., f(1), :])
+        fx1u = fx1u.at[..., f(npx), :].set(dt2 * u[..., f(npx), :])
     fxu = jnp.where(fx1u > 0.0, vortB[..., :, :-1], vortB[..., :, 1:])
 
     wall_c = slice(f(1), f(npx) + 1)
@@ -364,7 +407,7 @@ def c_sw(delp, pt, w, u, v, g, dt2, hydrostatic=True, nord=0, sw_mode=False):
 # xtp_u / ytp_v (sw_core.F90:2154 / 2524): wind advection to B points
 # ===========================================================================
 
-def xtp_u(c, u, dx, rdx, iord, lim_fac=1.0):
+def xtp_u(c, u, dx, rdx, iord, lim_fac=1.0, edges=True):
     """Flux of the D-grid u wind to cell corners.
 
     c: [..., NW, NW] advective courant at corners (valid [1..npx] cols,
@@ -372,6 +415,14 @@ def xtp_u(c, u, dx, rdx, iord, lim_fac=1.0):
     Returns [..., NW, NW] flux (valid on the same corner range).
     """
     npx = c.shape[-1] - 2 * H
+    if not edges:
+        # periodic interior: identical interior scheme via the generic xppm
+        from .tp_core import xppm
+        f_ = fi
+        cw = c[..., :, f_(1):f_(npx) + 1]
+        flux = xppm(u, cw, dx, iord, lim_fac, edges=False)
+        out = jnp.zeros_like(c)
+        return out.at[..., :, f_(1):f_(npx) + 1].set(flux)
     n = npx - 1
     f = fi
     NC = n + 2 * H
@@ -562,13 +613,14 @@ def xtp_u(c, u, dx, rdx, iord, lim_fac=1.0):
                      _cr(u) + (1.0 + cfl) * (_cr(bl) + cfl * _cr(b0)))
 
 
-def ytp_v(c, v, dy, rdy, jord, lim_fac=1.0):
+def ytp_v(c, v, dy, rdy, jord, lim_fac=1.0, edges=True):
     """Flux of D-grid v to corners; v, dy, rdy: [..., NC, NW] x-wall arrays."""
     ct = jnp.swapaxes(c, -1, -2)
     vt_ = jnp.swapaxes(v, -1, -2)
     dyt = jnp.swapaxes(dy, -1, -2)
     rdyt = jnp.swapaxes(rdy, -1, -2)
-    return jnp.swapaxes(xtp_u(ct, vt_, dyt, rdyt, jord, lim_fac), -1, -2)
+    return jnp.swapaxes(xtp_u(ct, vt_, dyt, rdyt, jord, lim_fac,
+                                 edges=edges), -1, -2)
 
 
 # ===========================================================================
@@ -588,6 +640,7 @@ def d_sw(delp, pt, w, u, v, uc, vc, ua, va, divg_d, g, *,
     npx = g.npx
     n = g.n
     f = fi
+    edges = getattr(g, "grid_type", 0) < 3
     ctr = slice(H, H + n)
     wsl = slice(f(1), f(npx) + 1)
 
@@ -608,42 +661,43 @@ def d_sw(delp, pt, w, u, v, uc, vc, ua, va, divg_d, g, *,
                 + _rr(uc)[..., :, :-1] + _rr(uc)[..., :, 1:])
         vt = (vc - 0.25 * g.cosa_v * usum) * g.rsin_v
 
-        # --- west/east edges (sw_core.F90:700-760) ---
-        ut = ut.at[..., :, f(1)].set(jnp.where(
-            uc[..., :, f(1)] * dt > 0.0,
-            uc[..., :, f(1)] / g.sin_sg3[..., :, f(0)],
-            uc[..., :, f(1)] / g.sin_sg1[..., :, f(1)]))
-        ut = ut.at[..., :, f(npx)].set(jnp.where(
-            uc[..., :, f(npx)] * dt > 0.0,
-            uc[..., :, f(npx)] / g.sin_sg3[..., :, f(npx - 1)],
-            uc[..., :, f(npx)] / g.sin_sg1[..., :, f(npx)]))
-        jmid = slice(f(3), f(npx - 2) + 1)      # wall rows [3, npy-2]
-        for ic in (0, 1, npx - 1, npx):
-            vt = vt.at[..., jmid, f(ic)].set(
-                vc[..., jmid, f(ic)] - 0.25 * g.cosa_v[..., jmid, f(ic)]
-                * (ut[..., f(2):f(npx - 3) + 1, f(ic)]
-                   + ut[..., f(2):f(npx - 3) + 1, f(ic + 1)]
-                   + ut[..., f(3):f(npx - 2) + 1, f(ic)]
-                   + ut[..., f(3):f(npx - 2) + 1, f(ic + 1)]))
-        # --- south/north edges ---
-        vt = vt.at[..., f(1), :].set(jnp.where(
-            vc[..., f(1), :] * dt > 0.0,
-            vc[..., f(1), :] / g.sin_sg4[..., f(0), :],
-            vc[..., f(1), :] / g.sin_sg2[..., f(1), :]))
-        vt = vt.at[..., f(npx), :].set(jnp.where(
-            vc[..., f(npx), :] * dt > 0.0,
-            vc[..., f(npx), :] / g.sin_sg4[..., f(npx - 1), :],
-            vc[..., f(npx), :] / g.sin_sg2[..., f(npx), :]))
-        imid = slice(f(3), f(npx - 2) + 1)
-        for jc in (0, 1, npx - 1, npx):
-            ut = ut.at[..., f(jc), imid].set(
-                uc[..., f(jc), imid] - 0.25 * g.cosa_u[..., f(jc), imid]
-                * (vt[..., f(jc), f(2):f(npx - 3) + 1]
-                   + vt[..., f(jc), f(3):f(npx - 2) + 1]
-                   + vt[..., f(jc + 1), f(2):f(npx - 3) + 1]
-                   + vt[..., f(jc + 1), f(3):f(npx - 2) + 1]))
+        if edges:
+            # --- west/east edges (sw_core.F90:700-760) ---
+            ut = ut.at[..., :, f(1)].set(jnp.where(
+                uc[..., :, f(1)] * dt > 0.0,
+                uc[..., :, f(1)] / g.sin_sg3[..., :, f(0)],
+                uc[..., :, f(1)] / g.sin_sg1[..., :, f(1)]))
+            ut = ut.at[..., :, f(npx)].set(jnp.where(
+                uc[..., :, f(npx)] * dt > 0.0,
+                uc[..., :, f(npx)] / g.sin_sg3[..., :, f(npx - 1)],
+                uc[..., :, f(npx)] / g.sin_sg1[..., :, f(npx)]))
+            jmid = slice(f(3), f(npx - 2) + 1)      # wall rows [3, npy-2]
+            for ic in (0, 1, npx - 1, npx):
+                vt = vt.at[..., jmid, f(ic)].set(
+                    vc[..., jmid, f(ic)] - 0.25 * g.cosa_v[..., jmid, f(ic)]
+                    * (ut[..., f(2):f(npx - 3) + 1, f(ic)]
+                       + ut[..., f(2):f(npx - 3) + 1, f(ic + 1)]
+                       + ut[..., f(3):f(npx - 2) + 1, f(ic)]
+                       + ut[..., f(3):f(npx - 2) + 1, f(ic + 1)]))
+            # --- south/north edges ---
+            vt = vt.at[..., f(1), :].set(jnp.where(
+                vc[..., f(1), :] * dt > 0.0,
+                vc[..., f(1), :] / g.sin_sg4[..., f(0), :],
+                vc[..., f(1), :] / g.sin_sg2[..., f(1), :]))
+            vt = vt.at[..., f(npx), :].set(jnp.where(
+                vc[..., f(npx), :] * dt > 0.0,
+                vc[..., f(npx), :] / g.sin_sg4[..., f(npx - 1), :],
+                vc[..., f(npx), :] / g.sin_sg2[..., f(npx), :]))
+            imid = slice(f(3), f(npx - 2) + 1)
+            for jc in (0, 1, npx - 1, npx):
+                ut = ut.at[..., f(jc), imid].set(
+                    uc[..., f(jc), imid] - 0.25 * g.cosa_u[..., f(jc), imid]
+                    * (vt[..., f(jc), f(2):f(npx - 3) + 1]
+                       + vt[..., f(jc), f(3):f(npx - 2) + 1]
+                       + vt[..., f(jc + 1), f(2):f(npx - 3) + 1]
+                       + vt[..., f(jc + 1), f(3):f(npx - 2) + 1]))
 
-        ut, vt = _dsw_corner_solve(ut, vt, uc, vc, g, npx)
+            ut, vt = _dsw_corner_solve(ut, vt, uc, vc, g, npx)
 
         xfx = dt * ut
         crx = xfx * jnp.where(xfx > 0.0, _cl(g.rdxa), _cr(g.rdxa))
@@ -658,7 +712,7 @@ def d_sw(delp, pt, w, u, v, uc, vc, ua, va, divg_d, g, *,
     # ---- transport delp ---------------------------------------------------
     fx, fy = fv_tp_2d(delp, crx, cry, hord_dp, xfx, yfx, g.area, ra_x, ra_y,
                       g.dxa, g.dya, lim_fac=lim_fac,
-                      nord=nord_v, damp_c=damp_v, g=g)
+                      nord=nord_v, damp_c=damp_v, g=g, edges=edges)
 
     def div_c(fxc, fyc):
         return (fxc[..., :, :-1] - fxc[..., :, 1:]
@@ -671,19 +725,21 @@ def d_sw(delp, pt, w, u, v, uc, vc, ua, va, divg_d, g, *,
         if damp_w > 1.0e-5:
             dd8 = ke_bg * abs(dt)
             damp4 = (damp_w * g.da_min_c) ** (nord_w + 1)
-            fx2w, fy2w = deln_damp_fluxes(w, nord_w, g, prefac=damp4)
+            fx2w, fy2w = deln_damp_fluxes(w, nord_w, g, prefac=damp4, edges=edges)
             dw = ((fx2w[..., ctr, wsl][..., :, :-1] - fx2w[..., ctr, wsl][..., :, 1:]
                    + fy2w[..., wsl, ctr][..., :-1, :] - fy2w[..., wsl, ctr][..., 1:, :])
                   * g.rarea[..., ctr, ctr])
             heat_source = dd8 - dw * (w[..., ctr, ctr] + 0.5 * dw)
         gx, gy = fv_tp_2d(w, crx, cry, hord_vt, xfx, yfx, g.area, ra_x, ra_y,
-                          g.dxa, g.dya, lim_fac=lim_fac, mfx=fx, mfy=fy)
+                          g.dxa, g.dya, lim_fac=lim_fac, mfx=fx, mfy=fy,
+                          edges=edges)
         w_new = delp[..., ctr, ctr] * w[..., ctr, ctr] + div_c(gx, gy)
 
     if not sw_mode:
         gx, gy = fv_tp_2d(pt, crx, cry, hord_tm, xfx, yfx, g.area, ra_x, ra_y,
                           g.dxa, g.dya, lim_fac=lim_fac, mfx=fx, mfy=fy,
-                          nord=nord_v, damp_c=damp_v, g=g, mass=delp)
+                          nord=nord_v, damp_c=damp_v, g=g, mass=delp,
+                          edges=edges)
 
     delp_int = delp[..., ctr, ctr]
     delp_new = delp_int + div_c(fx, fy)
@@ -709,51 +765,59 @@ def d_sw(delp, pt, w, u, v, uc, vc, ua, va, divg_d, g, *,
     dt4 = 0.25 * dt
     vb = dt5 * (_cl(vc) + _cr(vc) - (_rl(uc) + _rr(uc)) * g.cosa) * g.rsina
     mid = slice(f(2), f(npx - 1) + 1)
-    vb = vb.at[..., mid, f(1)].set(
-        dt4 * (-vt[..., mid, f(-1)] + 3.0 * (vt[..., mid, f(0)] + vt[..., mid, f(1)])
-               - vt[..., mid, f(2)]))
-    vb = vb.at[..., mid, f(npx)].set(
-        dt4 * (-vt[..., mid, f(npx - 2)]
-               + 3.0 * (vt[..., mid, f(npx - 1)] + vt[..., mid, f(npx)])
-               - vt[..., mid, f(npx + 1)]))
-    vb = vb.at[..., f(1), :].set(dt5 * (_cl(vt)[..., f(1), :] + _cr(vt)[..., f(1), :]))
-    vb = vb.at[..., f(npx), :].set(
-        dt5 * (_cl(vt)[..., f(npx), :] + _cr(vt)[..., f(npx), :]))
+    if edges:
+        vb = vb.at[..., mid, f(1)].set(
+            dt4 * (-vt[..., mid, f(-1)]
+                   + 3.0 * (vt[..., mid, f(0)] + vt[..., mid, f(1)])
+                   - vt[..., mid, f(2)]))
+        vb = vb.at[..., mid, f(npx)].set(
+            dt4 * (-vt[..., mid, f(npx - 2)]
+                   + 3.0 * (vt[..., mid, f(npx - 1)] + vt[..., mid, f(npx)])
+                   - vt[..., mid, f(npx + 1)]))
+        vb = vb.at[..., f(1), :].set(
+            dt5 * (_cl(vt)[..., f(1), :] + _cr(vt)[..., f(1), :]))
+        vb = vb.at[..., f(npx), :].set(
+            dt5 * (_cl(vt)[..., f(npx), :] + _cr(vt)[..., f(npx), :]))
 
-    ke = vb * ytp_v(vb, v, g.dy, g.rdy, hord_mt, lim_fac)
+    ke = vb * ytp_v(vb, v, g.dy, g.rdy, hord_mt, lim_fac, edges=edges)
 
     ub = dt5 * (_rl(uc) + _rr(uc) - (_cl(vc) + _cr(vc)) * g.cosa) * g.rsina
-    ub = ub.at[..., f(1), mid].set(
-        dt4 * (-ut[..., f(-1), mid] + 3.0 * (ut[..., f(0), mid] + ut[..., f(1), mid])
-               - ut[..., f(2), mid]))
-    ub = ub.at[..., f(npx), mid].set(
-        dt4 * (-ut[..., f(npx - 2), mid]
-               + 3.0 * (ut[..., f(npx - 1), mid] + ut[..., f(npx), mid])
-               - ut[..., f(npx + 1), mid]))
-    ub = ub.at[..., :, f(1)].set(dt5 * (_rl(ut)[..., :, f(1)] + _rr(ut)[..., :, f(1)]))
-    ub = ub.at[..., :, f(npx)].set(
-        dt5 * (_rl(ut)[..., :, f(npx)] + _rr(ut)[..., :, f(npx)]))
+    if edges:
+        ub = ub.at[..., f(1), mid].set(
+            dt4 * (-ut[..., f(-1), mid]
+                   + 3.0 * (ut[..., f(0), mid] + ut[..., f(1), mid])
+                   - ut[..., f(2), mid]))
+        ub = ub.at[..., f(npx), mid].set(
+            dt4 * (-ut[..., f(npx - 2), mid]
+                   + 3.0 * (ut[..., f(npx - 1), mid] + ut[..., f(npx), mid])
+                   - ut[..., f(npx + 1), mid]))
+        ub = ub.at[..., :, f(1)].set(
+            dt5 * (_rl(ut)[..., :, f(1)] + _rr(ut)[..., :, f(1)]))
+        ub = ub.at[..., :, f(npx)].set(
+            dt5 * (_rl(ut)[..., :, f(npx)] + _rr(ut)[..., :, f(npx)]))
 
-    ke = 0.5 * (ke + ub * xtp_u(ub, u, g.dx, g.rdx, hord_mt, lim_fac))
+    ke = 0.5 * (ke + ub * xtp_u(ub, u, g.dx, g.rdx, hord_mt, lim_fac,
+                                edges=edges))
 
     # corner KE fixes (sw_core.F90:1203-1228)
     dt6 = dt / 6.0
-    ke = ke.at[..., f(1), f(1)].set(dt6 * (
-        (ut[..., f(1), f(1)] + ut[..., f(0), f(1)]) * u[..., f(1), f(1)]
-        + (vt[..., f(1), f(1)] + vt[..., f(1), f(0)]) * v[..., f(1), f(1)]
-        + (ut[..., f(1), f(1)] + vt[..., f(1), f(1)]) * u[..., f(1), f(0)]))
-    ke = ke.at[..., f(1), f(npx)].set(dt6 * (
-        (ut[..., f(1), f(npx)] + ut[..., f(0), f(npx)]) * u[..., f(1), f(npx - 1)]
-        + (vt[..., f(1), f(npx)] + vt[..., f(1), f(npx - 1)]) * v[..., f(1), f(npx)]
-        + (ut[..., f(1), f(npx)] - vt[..., f(1), f(npx - 1)]) * u[..., f(1), f(npx)]))
-    ke = ke.at[..., f(npx), f(npx)].set(dt6 * (
-        (ut[..., f(npx), f(npx)] + ut[..., f(npx - 1), f(npx)]) * u[..., f(npx), f(npx - 1)]
-        + (vt[..., f(npx), f(npx)] + vt[..., f(npx), f(npx - 1)]) * v[..., f(npx - 1), f(npx)]
-        + (ut[..., f(npx - 1), f(npx)] + vt[..., f(npx), f(npx - 1)]) * u[..., f(npx), f(npx)]))
-    ke = ke.at[..., f(npx), f(1)].set(dt6 * (
-        (ut[..., f(npx), f(1)] + ut[..., f(npx - 1), f(1)]) * u[..., f(npx), f(1)]
-        + (vt[..., f(npx), f(1)] + vt[..., f(npx), f(0)]) * v[..., f(npx - 1), f(1)]
-        + (ut[..., f(npx - 1), f(1)] - vt[..., f(npx), f(1)]) * u[..., f(npx), f(0)]))
+    if edges:
+        ke = ke.at[..., f(1), f(1)].set(dt6 * (
+            (ut[..., f(1), f(1)] + ut[..., f(0), f(1)]) * u[..., f(1), f(1)]
+            + (vt[..., f(1), f(1)] + vt[..., f(1), f(0)]) * v[..., f(1), f(1)]
+            + (ut[..., f(1), f(1)] + vt[..., f(1), f(1)]) * u[..., f(1), f(0)]))
+        ke = ke.at[..., f(1), f(npx)].set(dt6 * (
+            (ut[..., f(1), f(npx)] + ut[..., f(0), f(npx)]) * u[..., f(1), f(npx - 1)]
+            + (vt[..., f(1), f(npx)] + vt[..., f(1), f(npx - 1)]) * v[..., f(1), f(npx)]
+            + (ut[..., f(1), f(npx)] - vt[..., f(1), f(npx - 1)]) * u[..., f(1), f(npx)]))
+        ke = ke.at[..., f(npx), f(npx)].set(dt6 * (
+            (ut[..., f(npx), f(npx)] + ut[..., f(npx - 1), f(npx)]) * u[..., f(npx), f(npx - 1)]
+            + (vt[..., f(npx), f(npx)] + vt[..., f(npx), f(npx - 1)]) * v[..., f(npx - 1), f(npx)]
+            + (ut[..., f(npx - 1), f(npx)] + vt[..., f(npx), f(npx - 1)]) * u[..., f(npx), f(npx)]))
+        ke = ke.at[..., f(npx), f(1)].set(dt6 * (
+            (ut[..., f(npx), f(1)] + ut[..., f(npx - 1), f(1)]) * u[..., f(npx), f(1)]
+            + (vt[..., f(npx), f(1)] + vt[..., f(npx), f(0)]) * v[..., f(npx - 1), f(1)]
+            + (ut[..., f(npx - 1), f(1)] - vt[..., f(npx), f(1)]) * u[..., f(npx), f(0)]))
 
     # ---- relative vorticity (cell mean) -----------------------------------
     vt_w = u * g.dx                       # circulation along y-walls
@@ -764,22 +828,23 @@ def d_sw(delp, pt, w, u, v, uc, vc, ua, va, divg_d, g, *,
     # ---- divergence damping ----------------------------------------------
     if nord == 0:
         ptc_d = (u - 0.5 * (_rl(va) + _rr(va)) * g.cosa_v) * g.dyc * g.sina_v
-        for jw in (1, npx):
+        for jw in (1, npx) if edges else ():
             ptc_d = ptc_d.at[..., f(jw), :].set(jnp.where(
                 vc[..., f(jw), :] > 0.0,
                 u[..., f(jw), :] * g.dyc[..., f(jw), :] * g.sin_sg4[..., f(jw - 1), :],
                 u[..., f(jw), :] * g.dyc[..., f(jw), :] * g.sin_sg2[..., f(jw), :]))
         vort_d = (v - 0.5 * (_cl(ua) + _cr(ua)) * g.cosa_u) * g.dxc * g.sina_u
-        for iw in (1, npx):
+        for iw in (1, npx) if edges else ():
             vort_d = vort_d.at[..., :, f(iw)].set(jnp.where(
                 uc[..., :, f(iw)] > 0.0,
                 v[..., :, f(iw)] * g.dxc[..., :, f(iw)] * g.sin_sg3[..., :, f(iw - 1)],
                 v[..., :, f(iw)] * g.dxc[..., :, f(iw)] * g.sin_sg1[..., :, f(iw)]))
         delpc_d = _rl(vort_d) - _rr(vort_d) + _cl(ptc_d) - _cr(ptc_d)
-        delpc_d = delpc_d.at[..., f(1), f(1)].add(-vort_d[..., f(0), f(1)])
-        delpc_d = delpc_d.at[..., f(1), f(npx)].add(-vort_d[..., f(0), f(npx)])
-        delpc_d = delpc_d.at[..., f(npx), f(npx)].add(vort_d[..., f(npx), f(npx)])
-        delpc_d = delpc_d.at[..., f(npx), f(1)].add(vort_d[..., f(npx), f(1)])
+        if edges:
+            delpc_d = delpc_d.at[..., f(1), f(1)].add(-vort_d[..., f(0), f(1)])
+            delpc_d = delpc_d.at[..., f(1), f(npx)].add(-vort_d[..., f(0), f(npx)])
+            delpc_d = delpc_d.at[..., f(npx), f(npx)].add(vort_d[..., f(npx), f(npx)])
+            delpc_d = delpc_d.at[..., f(npx), f(1)].add(vort_d[..., f(npx), f(1)])
         delpc_d = delpc_d * g.rarea_c
         damp = g.da_min_c * jnp.maximum(
             d2_bg, jnp.minimum(0.20, dddmp * jnp.abs(delpc_d * dt)))
@@ -791,19 +856,20 @@ def d_sw(delp, pt, w, u, v, uc, vc, ua, va, divg_d, g, *,
         dd = divg_d
         for nn in range(1, nord + 1):
             nt = nord - nn
-            if nt != 0:
+            if nt != 0 and edges:
                 dd = fill_corners_bgrid(dd, 1, npx)
             vc_g = (dd[..., :, 1:] - dd[..., :, :-1]) * g.divg_u
-            if nt != 0:
+            if nt != 0 and edges:
                 dd = fill_corners_bgrid(dd, 2, npx)
             uc_g = (dd[..., 1:, :] - dd[..., :-1, :]) * g.divg_v
-            if nt != 0:
+            if nt != 0 and edges:
                 vc_g, uc_g = fill_corners_dgrid_vector(vc_g, uc_g, npx, sign=-1.0)
             dd = _rl(uc_g) - _rr(uc_g) + _cl(vc_g) - _cr(vc_g)
-            dd = dd.at[..., f(1), f(1)].add(-uc_g[..., f(0), f(1)])
-            dd = dd.at[..., f(1), f(npx)].add(-uc_g[..., f(0), f(npx)])
-            dd = dd.at[..., f(npx), f(npx)].add(uc_g[..., f(npx), f(npx)])
-            dd = dd.at[..., f(npx), f(1)].add(uc_g[..., f(npx), f(1)])
+            if edges:
+                dd = dd.at[..., f(1), f(1)].add(-uc_g[..., f(0), f(1)])
+                dd = dd.at[..., f(1), f(npx)].add(-uc_g[..., f(0), f(npx)])
+                dd = dd.at[..., f(npx), f(npx)].add(uc_g[..., f(npx), f(npx)])
+                dd = dd.at[..., f(npx), f(1)].add(uc_g[..., f(npx), f(1)])
             dd = dd * g.rarea_c
         if dddmp < 1.0e-5:
             vortS = jnp.zeros_like(dd)
@@ -825,7 +891,8 @@ def d_sw(delp, pt, w, u, v, uc, vc, ua, va, divg_d, g, *,
     # ---- vorticity transport & wind update -------------------------------
     vort_abs = wk + g.f0
     fxv, fyv = fv_tp_2d(vort_abs, crx, cry, hord_vt, xfx, yfx, g.area,
-                        ra_x, ra_y, g.dxa, g.dya, lim_fac=lim_fac)
+                        ra_x, ra_y, g.dxa, g.dya, lim_fac=lim_fac,
+                        edges=edges)
 
     keB = ke
     u_full = vt_w + (keB[..., :, :-1] - keB[..., :, 1:])
@@ -836,7 +903,7 @@ def d_sw(delp, pt, w, u, v, uc, vc, ua, va, divg_d, g, *,
     # ---- vorticity damping (sw_core.F90:1513-1529) ------------------------
     if damp_v > 1.0e-5:
         damp4 = (damp_v * g.da_min_c) ** (nord_v + 1)
-        fx2d, fy2d = deln_damp_fluxes(wk, nord_v, g, prefac=damp4)
+        fx2d, fy2d = deln_damp_fluxes(wk, nord_v, g, prefac=damp4, edges=edges)
     else:
         fx2d = fy2d = None
 

@@ -340,7 +340,7 @@ def yppm(q, c, dya, jord, lim_fac=1.0, edges=True):
     return jnp.swapaxes(xppm(qt, ct, dt, jord, lim_fac, edges), -1, -2)
 
 
-def deln_damp_fluxes(q, nord, g, prefac=None):
+def deln_damp_fluxes(q, nord, g, prefac=None, edges=True):
     """Del-n damping fluxes (tp_core.F90 deln_flux:1267, sw_core del6_vt_flux).
 
     q: [..., P, P] padded cells (halo-exchanged). Returns (fx2, fy2) full-size
@@ -361,22 +361,24 @@ def deln_damp_fluxes(q, nord, g, prefac=None):
         f = g.del6_u[..., 1:-1, :] * s * (d2[..., 1:, :] - d2[..., :-1, :])
         return jnp.pad(f, pad[:-1] + [(1, 1), (0, 0)])
 
+    cc1 = (lambda a: copy_corners(a, h, 1)) if edges else (lambda a: a)
+    cc2 = (lambda a: copy_corners(a, h, 2)) if edges else (lambda a: a)
     d2 = q if prefac is None else prefac * q
     if nord > 0:
-        fx2 = dgx(copy_corners(d2, h, 1), -1.0)
-        fy2 = dgy(copy_corners(d2, h, 2), -1.0)
+        fx2 = dgx(cc1(d2), -1.0)
+        fy2 = dgy(cc2(d2), -1.0)
     else:
         fx2 = dgx(d2, -1.0)
         fy2 = dgy(d2, -1.0)
     for _ in range(nord):
         d2 = (fx2[..., :, :-1] - fx2[..., :, 1:]
               + fy2[..., :-1, :] - fy2[..., 1:, :]) * g.rarea
-        fx2 = dgx(copy_corners(d2, h, 1), 1.0)
-        fy2 = dgy(copy_corners(d2, h, 2), 1.0)
+        fx2 = dgx(cc1(d2), 1.0)
+        fy2 = dgy(cc2(d2), 1.0)
     return fx2, fy2
 
 
-def deln_flux_add(q, fx, fy, nord, damp4, g, mass=None):
+def deln_flux_add(q, fx, fy, nord, damp4, g, mass=None, edges=True):
     """Add del-n diffusive fluxes to advective fluxes on the compute walls.
 
     fx: [..., n, W] x-fluxes at compute walls; fy: [..., W, n].
@@ -388,7 +390,9 @@ def deln_flux_add(q, fx, fy, nord, damp4, g, mass=None):
     n = q.shape[-1] - 2 * h
     ctr = slice(h, h + n)
     wsl = slice(h, h + n + 1)
-    fx2, fy2 = deln_damp_fluxes(q, nord, g, prefac=None if mass is not None else damp4)
+    fx2, fy2 = deln_damp_fluxes(q, nord, g,
+                                prefac=None if mass is not None else damp4,
+                                edges=edges)
     fx2c = fx2[..., ctr, wsl]
     fy2c = fy2[..., wsl, ctr]
     if mass is None:
@@ -461,5 +465,6 @@ def fv_tp_2d(q, crx, cry, hord, xfx, yfx, area, ra_x, ra_y, dxa, dya,
 
     if nord is not None and damp_c is not None and damp_c > 1.0e-4 and g is not None:
         damp4 = (damp_c * g.da_min) ** (nord + 1)   # NOTE: da_min (tp_core.F90:204)
-        fx, fy = deln_flux_add(q, fx, fy, nord, damp4, g, mass=mass)
+        fx, fy = deln_flux_add(q, fx, fy, nord, damp4, g, mass=mass,
+                               edges=edges)
     return fx, fy

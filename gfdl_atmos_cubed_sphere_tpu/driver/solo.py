@@ -72,19 +72,19 @@ class Atmosphere:
             self.v0 = self.state["v"]
             self._step = self._build_step()
 
-    def _build_step(self):
+    def _build_step(self, cfg=None, physics=None):
         import jax
         import jax.numpy as jnp
         from ..model.fv_dynamics import fv_dynamics_hydro, fv_dynamics_nh
         from ..physics.held_suarez import hs_forcing
 
-        cfg = self.cfg
+        cfg = cfg if cfg is not None else self.cfg
         g = self.g
         akj = jnp.asarray(self.ak, self.dtype)
         bkj = jnp.asarray(self.bk, self.dtype)
         ptop = self.ptop
         dp0 = self.dp0
-        physics = self.physics
+        physics = physics if physics is not None else self.physics
 
         def step(state, u0, v0):
             if cfg.hydrostatic:
@@ -106,6 +106,31 @@ class Atmosphere:
             return new
 
         return jax.jit(step)
+
+    def adiabatic_init(self, na_init=1, wt=1.5):
+        """Forward-backward adiabatic initialization
+        (driver/solo/atmosphere.F90 adiabatic_init:194): na_init cycles of
+        {forward, backward, nudge-to-IC, backward, forward, nudge-to-IC}
+        with physics off; the backward passes run the full dynamics with
+        dt -> -dt, damping the unbalanced (fast) modes while the slow
+        balanced flow round-trips."""
+        import dataclasses
+        cfgb = dataclasses.replace(self.cfg, dt=-self.cfg.dt)
+        fwd = self._build_step(physics="none")
+        bwd = self._build_step(cfg=cfgb, physics="none")
+        xt = 1.0 / (1.0 + wt)
+        keep = [k for k in ("u", "v", "pt", "delp") if k in self.state]
+        s0 = {k: self.state[k] for k in keep}
+
+        def nudge(s):
+            return dict(s, **{k: xt * (s[k] + wt * s0[k]) for k in keep})
+
+        s = self.state
+        for _ in range(na_init):
+            s = nudge(bwd(fwd(s, None, None), None, None))
+            s = nudge(fwd(bwd(s, None, None), None, None))
+        self.state = s
+        return s
 
     # -- the public API (atmosphere_init is __init__) ----------------------
 

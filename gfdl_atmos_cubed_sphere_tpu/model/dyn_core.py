@@ -167,7 +167,7 @@ def _sponge_groups(cfg):
     if cfg.npz == 1 or cfg.n_sponge < 0:
         groups.append((slice(0, cfg.npz), dict(base, d2_divg=cfg.d2_bg)))
         return groups
-    top = dict(base)
+    top = dict(base, sponge=True)
     top.update(nord=0, d2_divg=(max(cfg.d2_bg, cfg.d2_bg_k1) if cfg.is_ideal_case
                                 else max(0.01, cfg.d2_bg, cfg.d2_bg_k1)),
                d_con=0.0)
@@ -176,20 +176,62 @@ def _sponge_groups(cfg):
     groups.append((slice(0, 1), top))
     k0 = 1
     if cfg.d2_bg_k2 > 0.01:
-        lvl2 = dict(base)
+        lvl2 = dict(base, sponge=True)
         lvl2.update(nord=0, d2_divg=max(cfg.d2_bg, cfg.d2_bg_k2), d_con=0.0)
         if cfg.do_vort_damp:
             lvl2.update(nord_v=0, damp_v=0.5 * lvl2["d2_divg"])
         groups.append((slice(1, 2), lvl2))
         k0 = 2
         if cfg.d2_bg_k2 > 0.05:
-            lvl3 = dict(base)
+            lvl3 = dict(base, sponge=True)
             lvl3.update(nord=0, d2_divg=max(cfg.d2_bg, 0.2 * cfg.d2_bg_k2),
                         d_con=0.0)
             groups.append((slice(2, 3), lvl3))
             k0 = 3
     groups.append((slice(k0, cfg.npz), base))
     return groups
+
+
+def _sponge_level_params(cfg):
+    """Flatten _sponge_groups into per-level damping profiles so the whole
+    column runs through ONE d_sw call (instead of one call per group —
+    4500+ ops/iteration saved; see PERFORMANCE.md). Returns kwargs for
+    d_sw's merged-sponge path."""
+    groups = _sponge_groups(cfg)
+    K = cfg.npz
+    d2 = np.zeros(K)
+    dcon = np.zeros(K)
+    nord_mask = np.zeros(K, bool)
+    dv_base = np.zeros(K)       # (damp_v, nord_v=min(2,nord)) combo
+    dv_sponge = np.zeros(K)     # (damp_v, nord_v=0) sponge combo
+    dw_base = np.zeros(K)
+    dw_sponge = np.zeros(K)
+    nv_base = min(2, cfg.nord)
+    for ksl, p in groups:
+        d2[ksl] = p["d2_divg"]
+        dcon[ksl] = p["d_con"]
+        if p["nord"] == 0 and cfg.nord > 0:
+            nord_mask[ksl] = True
+        # vorticity/delp damping: the (nord_v=0, 0.5*d2) sponge combo
+        if p["nord_v"] == 0 and nv_base > 0:
+            dv_sponge[ksl] = p["damp_v"]
+        else:
+            dv_base[ksl] = p["damp_v"]
+        # nonhydro w damping: ALL sponge levels use damp_w = d2_divg with
+        # nord_w = 0, unconditionally (dyn_core.F90:709/720/730-731)
+        if p.get("sponge") and nv_base > 0:
+            dw_sponge[ksl] = p["d2_divg"]
+        elif p.get("sponge"):
+            dw_base[ksl] = p["d2_divg"]
+        else:
+            dw_base[ksl] = p["damp_v"]
+    return dict(
+        nord=cfg.nord, nord_v=nv_base, d2_bg=d2, d_con=dcon,
+        nord_mask=nord_mask if nord_mask.any() else None,
+        damp_v=dv_base, damp_v2=dv_sponge if dv_sponge.any() else None,
+        nord_v2=0,
+        damp_w=dw_base, damp_w2=dw_sponge if dw_sponge.any() else None,
+        nord_w=nv_base, nord_w2=0)
 
 
 def dyn_core_hydro(delp, pt, u, v, phis, g, cfg: DynConfig, akap, ptop,
@@ -207,7 +249,7 @@ def dyn_core_hydro(delp, pt, u, v, phis, g, cfg: DynConfig, akap, ptop,
     ptk = ptop ** akap
     phis_p = g.phis_p
 
-    groups = _sponge_groups(cfg)
+    pl = _sponge_level_params(cfg)
 
     def body(carry, _):
         delp, pt, u, v, mfx, mfy, cx, cy = carry
@@ -231,35 +273,28 @@ def dyn_core_hydro(delp, pt, u, v, phis, g, cfg: DynConfig, akap, ptop,
         if cfg.nord > 0:
             divg_p = halo.pad_corner(cs.divg_d[..., wsl, wsl])
 
-        # per-sponge-group d_sw (the reference's per-k damping dispatch)
-        outs = []
-        for ksl, p in groups:
-            ds = sw_core.d_sw(
-                delp_p[:, ksl], pt_p[:, ksl], None, u_p[:, ksl], v_p[:, ksl],
-                uc_p[:, ksl], vc_p[:, ksl], cs.ua[:, ksl], cs.va[:, ksl],
-                None if divg_p is None else divg_p[:, ksl], g,
-                dt=dt, hord_mt=cfg.hord_mt, hord_vt=cfg.hord_vt,
-                hord_dp=cfg.hord_dp, hord_tm=cfg.hord_tm,
-                nord=p["nord"], nord_v=p["nord_v"], dddmp=cfg.dddmp,
-                d2_bg=p["d2_divg"], d4_bg=cfg.d4_bg, damp_v=p["damp_v"],
-                d_con=p["d_con"], hydrostatic=True, sw_mode=False,
-                lim_fac=cfg.lim_fac)
-            outs.append(ds)
+        # merged d_sw: the reference's per-sponge-group dispatch collapsed
+        # into one full-K call with per-level damping profiles
+        ds = sw_core.d_sw(
+            delp_p, pt_p, None, u_p, v_p, uc_p, vc_p, cs.ua, cs.va,
+            divg_p, g,
+            dt=dt, hord_mt=cfg.hord_mt, hord_vt=cfg.hord_vt,
+            hord_dp=cfg.hord_dp, hord_tm=cfg.hord_tm,
+            dddmp=cfg.dddmp, d4_bg=cfg.d4_bg,
+            hydrostatic=True, sw_mode=False, lim_fac=cfg.lim_fac,
+            **{k: pl[k] for k in ("nord", "nord_v", "d2_bg", "d_con",
+                                  "nord_mask", "damp_v", "damp_v2",
+                                  "nord_v2")})
 
-        def cat(name):
-            return jnp.concatenate([getattr(o, name) for o in outs], axis=1)
-
-        delp = cat("delp")
-        pt = cat("pt")
-        fx, fy = cat("fx"), cat("fy")
-        crx, cry = cat("crx"), cat("cry")
-        mfx, mfy = mfx + fx, mfy + fy
-        cx, cy = cx + crx, cy + cry
+        delp = ds.delp
+        pt = ds.pt
+        mfx, mfy = mfx + ds.fx, mfy + ds.fy
+        cx, cy = cx + ds.crx, cy + ds.cry
 
         delp_p2 = halo.pad_cell(delp)
         pt_p2 = halo.pad_cell(pt)
         _, _, pk, gz, _ = geopk(delp_p2, pt_p2, phis_p, akap, ptop)
-        u, v = one_grad_p(cat("u"), cat("v"), pk, gz, g, dt, npx, ptk)
+        u, v = one_grad_p(ds.u, ds.v, pk, gz, g, dt, npx, ptk)
         return (delp, pt, u, v, mfx, mfy, cx, cy), None
 
     T = delp.shape[0]
@@ -369,7 +404,7 @@ def dyn_core_nh(delp, pt, u, v, w, delz, phis, g, cfg: DynConfig, akap, ptop,
     phis_p = g.phis_p
     phis2 = phis_p[:, 0] if phis_p.ndim == 4 else phis_p
     zs_p = phis2 / con.GRAV                       # [6, Y, X] surface height
-    groups = _sponge_groups(cfg)
+    pl = _sponge_level_params(cfg)
     dp0 = np.asarray(dp0, np.float64)   # static host profile
 
     # initial height interfaces from delz (dyn_core.F90: zh saved from gz)
@@ -402,32 +437,21 @@ def dyn_core_nh(delp, pt, u, v, w, delz, phis, g, cfg: DynConfig, akap, ptop,
         if cfg.nord > 0:
             divg_p = halo.pad_corner(cs.divg_d[..., wsl, wsl])
 
-        outs = []
-        for ksl, p in groups:
-            ds = sw_core.d_sw(
-                delp_p[:, ksl], pt_p[:, ksl], w_p[:, ksl], u_p[:, ksl],
-                v_p[:, ksl], uc_p[:, ksl], vc_p[:, ksl], cs.ua[:, ksl],
-                cs.va[:, ksl],
-                None if divg_p is None else divg_p[:, ksl], g,
-                dt=dt, hord_mt=cfg.hord_mt, hord_vt=cfg.hord_vt,
-                hord_dp=cfg.hord_dp, hord_tm=cfg.hord_tm,
-                nord=p["nord"], nord_v=p["nord_v"], dddmp=cfg.dddmp,
-                d2_bg=p["d2_divg"], d4_bg=cfg.d4_bg, damp_v=p["damp_v"],
-                d_con=p["d_con"], damp_w=p["damp_v"], nord_w=p["nord_v"],
-                ke_bg=cfg.ke_bg, hydrostatic=False, sw_mode=False,
-                lim_fac=cfg.lim_fac)
-            outs.append(ds)
+        ds = sw_core.d_sw(
+            delp_p, pt_p, w_p, u_p, v_p, uc_p, vc_p, cs.ua, cs.va,
+            divg_p, g,
+            dt=dt, hord_mt=cfg.hord_mt, hord_vt=cfg.hord_vt,
+            hord_dp=cfg.hord_dp, hord_tm=cfg.hord_tm,
+            dddmp=cfg.dddmp, d4_bg=cfg.d4_bg,
+            ke_bg=cfg.ke_bg, hydrostatic=False, sw_mode=False,
+            lim_fac=cfg.lim_fac, **pl)
 
-        def cat(name):
-            return jnp.concatenate([getattr(o, name) for o in outs], axis=1)
-
-        delp = cat("delp")
-        pt = cat("pt")
-        w = cat("w")
-        fx, fy = cat("fx"), cat("fy")
-        crx, cry = cat("crx"), cat("cry")
-        xfx, yfx = cat("xfx"), cat("yfx")
-        mfx, mfy = mfx + fx, mfy + fy
+        delp = ds.delp
+        pt = ds.pt
+        w = ds.w
+        crx, cry = ds.crx, ds.cry
+        xfx, yfx = ds.xfx, ds.yfx
+        mfx, mfy = mfx + ds.fx, mfy + ds.fy
         cx, cy = cx + crx, cy + cry
 
         # D-stage height advection on the pre-update zh
@@ -449,7 +473,7 @@ def dyn_core_nh(delp, pt, u, v, w, delz, phis, g, cfg: DynConfig, akap, ptop,
         w = rs.w[..., ctr, ctr]
         zh = rs.zh[..., ctr, ctr][:, :, :, :]
         gz_geo = rs.zh * con.GRAV
-        u, v = nh_p_grad(cat("u"), cat("v"), rs.ppe, rs.pk3, gz_geo,
+        u, v = nh_p_grad(ds.u, ds.v, rs.ppe, rs.pk3, gz_geo,
                          delp_p2, g, dt, npx, ptk)
         ws_c = ws_full[..., ctr, ctr]
         return (delp, pt, u, v, w, zh, ws_c, mfx, mfy, cx, cy), rs.pem

@@ -135,11 +135,13 @@ def fv_dynamics_hydro(delp, pt, u, v, q, g, cfg: DynConfig, ak, bk, ptop,
         u, v, _ = rayleigh_super(u, v, None, u0, v0, ak, bk, cfg, ptop)
     ptv = tv / pkz
 
+    conv = jnp.zeros_like(delp)
     for n_map in range(cfg.k_split):
         last = n_map == cfg.k_split - 1
         dp1 = delp                                    # delp before acoustics
         res = dyn_core_hydro(delp, ptv, u, v, None, g, cfg, akap, ptop,
                              cfg.n_split, mdt / cfg.n_split)
+        conv = conv + _mass_convergence(res.mfx, res.mfy, g)
         if q:
             # large-timestep transport on the accumulated flux capacitors
             # (fv_dynamics.F90:518-536)
@@ -181,7 +183,22 @@ def fv_dynamics_hydro(delp, pt, u, v, q, g, cfg: DynConfig, ak, bk, ptop,
                                             cfg=mp_cfg, hydrostatic=True)
 
     return SimpleNamespace(delp=delp, pt=pt, u=u, v=v, q=q, ps=rm.ps,
-                           mp_diag=mp_diag)
+                           mp_diag=mp_diag, omga=_omega(conv, cfg.dt))
+
+
+def _mass_convergence(mfx, mfy, g):
+    """Per-layer mass convergence (Pa) from the accumulated wall mass
+    fluxes (the dyn_core.F90:739/778 omga prep)."""
+    rarea = g.rarea[..., 3:-3, 3:-3]
+    return (mfx[..., :, :-1] - mfx[..., :, 1:]
+            + mfy[..., :-1, :] - mfy[..., 1:, :]) * rarea
+
+
+def _omega(conv, dt):
+    """Vertical pressure velocity omga (Pa/s) at layer lower interfaces:
+    the top-down cumulative sum of layer convergence rates
+    (dyn_core.F90:1197-1214 om2d path, use_old_omega=.false.)."""
+    return jnp.cumsum(conv, axis=1) / dt
 
 
 def rayleigh_super(u, v, w, u0, v0, ak, bk, cfg, ptop):
@@ -312,11 +329,13 @@ def fv_dynamics_nh(delp, pt, u, v, w, delz, q, g, cfg: DynConfig, ak, bk,
         u, v, w = rayleigh_super(u, v, w, u0, v0, ak, bk, cfg, ptop)
     ptv = tv / pkz
 
+    conv = jnp.zeros_like(delp)
     for n_map in range(cfg.k_split):
         last = n_map == cfg.k_split - 1
         dp1 = delp
         res = dyn_core_nh(delp, ptv, u, v, w, delz, None, g, cfg, akap,
                           ptop, cfg.n_split, mdt / cfg.n_split, dp0)
+        conv = conv + _mass_convergence(res.mfx, res.mfy, g)
         if q:
             q, _ = tracer_2d(q, dp1, res.mfx, res.mfy, res.cx, res.cy, g,
                              hord_tr=cfg.hord_tr,
@@ -351,4 +370,5 @@ def fv_dynamics_nh(delp, pt, u, v, w, delz, q, g, cfg: DynConfig, ak, bk,
                                             cfg=mp_cfg, hydrostatic=False)
 
     return SimpleNamespace(delp=delp, pt=pt, u=u, v=v, w=w, delz=delz,
-                           q=q, ps=rm.ps, mp_diag=mp_diag)
+                           q=q, ps=rm.ps, mp_diag=mp_diag,
+                           omga=_omega(conv, cfg.dt))

@@ -17,6 +17,7 @@ the reference's per-rank `is==1`-style conditionals become static index ops.
 from types import SimpleNamespace
 
 import jax.numpy as jnp
+import numpy as np
 
 from .tp_core import fv_tp_2d, deln_damp_fluxes, _pert_ppm_iv1
 from .a2b_edge import a2b_ord4, a2b_ord2
@@ -627,22 +628,48 @@ def ytp_v(c, v, dy, rdy, jord, lim_fac=1.0, edges=True):
 # d_sw (sw_core.F90:494): full D-grid forward step for one layer group
 # ===========================================================================
 
+def _pl(x, dtype):
+    """Normalize a damping parameter: scalar stays a float; a per-level [K]
+    numpy profile becomes a [K,1,1] device array broadcasting over
+    [..., K, P, P] fields (the merged sponge-group path)."""
+    a = np.asarray(x)
+    if a.ndim == 0:
+        return float(a)
+    return jnp.asarray(a, dtype).reshape((-1, 1, 1))
+
+
+def _on(x):
+    """Static is-this-damping-active test for scalar or [K] profile."""
+    return x is not None and float(np.max(np.asarray(x))) > 1.0e-5
+
+
 def d_sw(delp, pt, w, u, v, uc, vc, ua, va, divg_d, g, *,
          dt, hord_mt, hord_vt, hord_dp, hord_tm, nord, nord_v,
          dddmp, d2_bg, d4_bg, damp_v, d_con=0.0, ke_bg=0.0,
          damp_w=0.0, nord_w=0, hydrostatic=True, sw_mode=False,
-         advection_only=False, lim_fac=1.0):
+         advection_only=False, lim_fac=1.0,
+         nord_mask=None, damp_v2=None, nord_v2=0,
+         damp_w2=None, nord_w2=0):
     """All inputs padded. Returns SimpleNamespace of interior (compute-domain)
     updated fields + fluxes:
       u [*, n+1, n], v [*, n, n+1], delp/pt/w [*, n, n],
       fx/crx/xfx..., heat_source, divg_d (corner padded), ke.
-    """
+
+    Damping parameters (d2_bg/damp_v/d_con/damp_w) accept either scalars or
+    per-level [K] numpy profiles — the merged-sponge path (dyn_core.F90's
+    per-k damping dispatch :675-733 collapsed into one call). nord_mask, a
+    [K] bool profile, selects levels that use the del-2 (nord==0)
+    divergence-damping branch when nord > 0; (damp_v2, nord_v2) and
+    (damp_w2, nord_w2) are a second vorticity/w damping combo whose fluxes
+    add (used for the nord=0 sponge levels)."""
     npx = g.npx
     n = g.n
     f = fi
     edges = getattr(g, "grid_type", 0) < 3
     ctr = slice(H, H + n)
     wsl = slice(f(1), f(npx) + 1)
+    d2_bg_b = _pl(d2_bg, delp.dtype)
+    d_con_b = _pl(d_con, delp.dtype)
 
     # ---- advective C-grid winds -> courant / area fluxes ------------------
     if advection_only:
@@ -712,7 +739,8 @@ def d_sw(delp, pt, w, u, v, uc, vc, ua, va, divg_d, g, *,
     # ---- transport delp ---------------------------------------------------
     fx, fy = fv_tp_2d(delp, crx, cry, hord_dp, xfx, yfx, g.area, ra_x, ra_y,
                       g.dxa, g.dya, lim_fac=lim_fac,
-                      nord=nord_v, damp_c=damp_v, g=g, edges=edges)
+                      nord=nord_v, damp_c=damp_v, g=g, edges=edges,
+                      nord2=nord_v2, damp_c2=damp_v2)
 
     def div_c(fxc, fyc):
         return (fxc[..., :, :-1] - fxc[..., :, 1:]
@@ -722,13 +750,20 @@ def d_sw(delp, pt, w, u, v, uc, vc, ua, va, divg_d, g, *,
     w_new = None
     if not hydrostatic:
         dw = None
-        if damp_w > 1.0e-5:
+        if _on(damp_w) or _on(damp_w2):
             dd8 = ke_bg * abs(dt)
-            damp4 = (damp_w * g.da_min_c) ** (nord_w + 1)
-            fx2w, fy2w = deln_damp_fluxes(w, nord_w, g, prefac=damp4, edges=edges)
-            dw = ((fx2w[..., ctr, wsl][..., :, :-1] - fx2w[..., ctr, wsl][..., :, 1:]
-                   + fy2w[..., wsl, ctr][..., :-1, :] - fy2w[..., wsl, ctr][..., 1:, :])
-                  * g.rarea[..., ctr, ctr])
+            dw = 0.0
+            for dwc, nwc in ((damp_w, nord_w), (damp_w2, nord_w2)):
+                if not _on(dwc):
+                    continue
+                damp4 = (_pl(dwc, w.dtype) * g.da_min_c) ** (nwc + 1)
+                fx2w, fy2w = deln_damp_fluxes(w, nwc, g, prefac=damp4,
+                                              edges=edges)
+                dw = dw + ((fx2w[..., ctr, wsl][..., :, :-1]
+                            - fx2w[..., ctr, wsl][..., :, 1:]
+                            + fy2w[..., wsl, ctr][..., :-1, :]
+                            - fy2w[..., wsl, ctr][..., 1:, :])
+                           * g.rarea[..., ctr, ctr])
             heat_source = dd8 - dw * (w[..., ctr, ctr] + 0.5 * dw)
         gx, gy = fv_tp_2d(w, crx, cry, hord_vt, xfx, yfx, g.area, ra_x, ra_y,
                           g.dxa, g.dya, lim_fac=lim_fac, mfx=fx, mfy=fy,
@@ -739,7 +774,7 @@ def d_sw(delp, pt, w, u, v, uc, vc, ua, va, divg_d, g, *,
         gx, gy = fv_tp_2d(pt, crx, cry, hord_tm, xfx, yfx, g.area, ra_x, ra_y,
                           g.dxa, g.dya, lim_fac=lim_fac, mfx=fx, mfy=fy,
                           nord=nord_v, damp_c=damp_v, g=g, mass=delp,
-                          edges=edges)
+                          edges=edges, nord2=nord_v2, damp_c2=damp_v2)
 
     delp_int = delp[..., ctr, ctr]
     delp_new = delp_int + div_c(fx, fy)
@@ -749,7 +784,7 @@ def d_sw(delp, pt, w, u, v, uc, vc, ua, va, divg_d, g, *,
         pt_new = pt[..., ctr, ctr]
     if not hydrostatic:
         w_new = w_new / delp_new
-        if damp_w > 1.0e-5:
+        if dw is not None:
             w_new = w_new + dw
 
     if advection_only:
@@ -826,7 +861,12 @@ def d_sw(delp, pt, w, u, v, uc, vc, ua, va, divg_d, g, *,
                     - ut_w[..., :, :-1] + ut_w[..., :, 1:])
 
     # ---- divergence damping ----------------------------------------------
-    if nord == 0:
+    # need0: levels using the del-2 branch exist (nord==0 everywhere, or a
+    # sponge nord_mask under nord>0); needN: the del-2^nord branch.
+    need0 = (nord == 0) or (nord_mask is not None and bool(np.any(nord_mask)))
+    needN = nord > 0
+    vortB0 = vortBN = None
+    if need0:
         ptc_d = (u - 0.5 * (_rl(va) + _rr(va)) * g.cosa_v) * g.dyc * g.sina_v
         for jw in (1, npx) if edges else ():
             ptc_d = ptc_d.at[..., f(jw), :].set(jnp.where(
@@ -847,11 +887,9 @@ def d_sw(delp, pt, w, u, v, uc, vc, ua, va, divg_d, g, *,
             delpc_d = delpc_d.at[..., f(npx), f(1)].add(vort_d[..., f(npx), f(1)])
         delpc_d = delpc_d * g.rarea_c
         damp = g.da_min_c * jnp.maximum(
-            d2_bg, jnp.minimum(0.20, dddmp * jnp.abs(delpc_d * dt)))
-        vortB = damp * delpc_d
-        ke = ke + vortB
-        divg_out = divg_d
-    else:
+            d2_bg_b, jnp.minimum(0.20, dddmp * jnp.abs(delpc_d * dt)))
+        vortB0 = damp * delpc_d
+    if needN:
         delpc_d = divg_d
         dd = divg_d
         for nn in range(1, nord + 1):
@@ -878,12 +916,24 @@ def d_sw(delp, pt, w, u, v, uc, vc, ua, va, divg_d, g, *,
             vortS = jnp.abs(dt) * jnp.sqrt(delpc_d ** 2 + vortS ** 2)
         dd8 = (g.da_min_c * d4_bg) ** (nord + 1)
         damp2 = g.da_min_c * jnp.maximum(
-            d2_bg, jnp.minimum(0.20, dddmp * vortS))
-        vortB = damp2 * delpc_d + dd8 * dd
-        ke = ke + vortB
-        divg_out = dd
+            d2_bg_b, jnp.minimum(0.20, dddmp * vortS))
+        vortBN = damp2 * delpc_d + dd8 * dd
 
-    do_heat = d_con > 1.0e-5
+    if vortB0 is not None and vortBN is not None:
+        # blended per-level branch select (merged sponge groups)
+        m0 = jnp.asarray(np.asarray(nord_mask, np.float64),
+                         delp.dtype).reshape((-1, 1, 1))
+        vortB = m0 * vortB0 + (1.0 - m0) * vortBN
+        divg_out = dd
+    elif vortBN is not None:
+        vortB = vortBN
+        divg_out = dd
+    else:
+        vortB = vortB0
+        divg_out = divg_d
+    ke = ke + vortB
+
+    do_heat = _on(d_con)
     if do_heat:
         ub_h = vortB[..., :, :-1] - vortB[..., :, 1:]       # y-wall shape
         vb_h = vortB[..., :-1, :] - vortB[..., 1:, :]       # x-wall shape
@@ -901,11 +951,14 @@ def d_sw(delp, pt, w, u, v, uc, vc, ua, va, divg_d, g, *,
     v_new = v_full[..., ctr, wsl] - fxv
 
     # ---- vorticity damping (sw_core.F90:1513-1529) ------------------------
-    if damp_v > 1.0e-5:
-        damp4 = (damp_v * g.da_min_c) ** (nord_v + 1)
-        fx2d, fy2d = deln_damp_fluxes(wk, nord_v, g, prefac=damp4, edges=edges)
-    else:
-        fx2d = fy2d = None
+    fx2d = fy2d = None
+    for dvc, nvc in ((damp_v, nord_v), (damp_v2, nord_v2)):
+        if not _on(dvc):
+            continue
+        damp4 = (_pl(dvc, wk.dtype) * g.da_min_c) ** (nvc + 1)
+        a_, b_ = deln_damp_fluxes(wk, nvc, g, prefac=damp4, edges=edges)
+        fx2d = a_ if fx2d is None else fx2d + a_
+        fy2d = b_ if fy2d is None else fy2d + b_
 
     if do_heat:
         rdx_c = g.rdx[..., wsl, ctr]
@@ -930,7 +983,7 @@ def d_sw(delp, pt, w, u, v, uc, vc, ua, va, divg_d, g, *,
                               + gx[..., :, :-1] + gx[..., :, 1:])
                      - cs_ * (u2 * dv2 + v2 * du2 + du2 * dv2))
         hs0 = heat_source if heat_source is not None else 0.0
-        heat_source = delp[..., ctr, ctr] * (hs0 - 0.25 * d_con * tmp)
+        heat_source = delp[..., ctr, ctr] * (hs0 - 0.25 * d_con_b * tmp)
 
     if fx2d is not None:
         u_new = u_new + fy2d[..., wsl, ctr]

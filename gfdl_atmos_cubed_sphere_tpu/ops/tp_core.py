@@ -15,6 +15,7 @@ All functions operate along the LAST axis; y-direction variants transpose.
 
 import jax
 import jax.numpy as jnp
+import numpy as _np
 
 from ..parallel.halo import copy_corners
 
@@ -407,7 +408,8 @@ def deln_flux_add(q, fx, fy, nord, damp4, g, mass=None, edges=True):
 
 def fv_tp_2d(q, crx, cry, hord, xfx, yfx, area, ra_x, ra_y, dxa, dya,
              h=3, lim_fac=1.0, mfx=None, mfy=None, edges=True,
-             nord=None, damp_c=None, g=None, mass=None):
+             nord=None, damp_c=None, g=None, mass=None,
+             nord2=0, damp_c2=None):
     """2-D flux-form advection operator (tp_core.F90 fv_tp_2d:85).
 
     Shapes (n = cells/side, P = n+2h, W = n+1):
@@ -463,8 +465,19 @@ def fv_tp_2d(q, crx, cry, hord, xfx, yfx, area, ra_x, ra_y, dxa, dya,
         fx = 0.5 * (fx_ou + fx2[..., ctr, :]) * xfx[..., ctr, :]
         fy = 0.5 * (fy_ou + fy2[..., :, ctr]) * yfx[..., :, ctr]
 
-    if nord is not None and damp_c is not None and damp_c > 1.0e-4 and g is not None:
-        damp4 = (damp_c * g.da_min) ** (nord + 1)   # NOTE: da_min (tp_core.F90:204)
-        fx, fy = deln_flux_add(q, fx, fy, nord, damp4, g, mass=mass,
-                               edges=edges)
+    if g is not None and nord is not None:
+        # damp_c may be a scalar or a per-level [K] profile (the merged
+        # sponge-group path); a second (nord2, damp_c2) combo supports
+        # levels using a different damping order in the same call.
+        for nd, dc in ((nord, damp_c), (nord2, damp_c2)):
+            if dc is None:
+                continue
+            dcn = _np.asarray(dc)
+            if float(dcn.max()) <= 1.0e-4:
+                continue
+            dcb = (float(dcn) if dcn.ndim == 0
+                   else jnp.asarray(dcn, q.dtype).reshape((-1, 1, 1)))
+            damp4 = (dcb * g.da_min) ** (nd + 1)  # da_min (tp_core.F90:204)
+            fx, fy = deln_flux_add(q, fx, fy, nd, damp4, g, mass=mass,
+                                   edges=edges)
     return fx, fy

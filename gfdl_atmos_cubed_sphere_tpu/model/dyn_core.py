@@ -300,7 +300,9 @@ def dyn_core_hydro(delp, pt, u, v, phis, g, cfg: DynConfig, akap, ptop,
     T = delp.shape[0]
     K = delp.shape[1]
     NC, NW = n + 2 * H, n + 1 + 2 * H
-    zsh = lambda *s: jnp.zeros((T, K) + s, delp.dtype)
+    # 0*delp term: ties the zero capacitors to the sharded state so their
+    # shard_map "varying" type matches the scan body outputs (scan-vma rule)
+    zsh = lambda *s: jnp.zeros((T, K) + s, delp.dtype) + 0.0 * delp[:, :, :1, :1]
     carry0 = (delp, pt, u, v, zsh(n, n + 1), zsh(n + 1, n),
               zsh(NC, NW), zsh(NW, NC))
     if cfg.use_scan:
@@ -481,7 +483,9 @@ def dyn_core_nh(delp, pt, u, v, w, delz, phis, g, cfg: DynConfig, akap, ptop,
     T = delp.shape[0]
     K = delp.shape[1]
     NC, NW = n + 2 * H, n + 1 + 2 * H
-    zsh = lambda *s: jnp.zeros((T, K) + s, delp.dtype)
+    # 0*delp term: ties the zero capacitors to the sharded state so their
+    # shard_map "varying" type matches the scan body outputs (scan-vma rule)
+    zsh = lambda *s: jnp.zeros((T, K) + s, delp.dtype) + 0.0 * delp[:, :, :1, :1]
     carry0 = (delp, pt, u, v, w, zh, jnp.zeros_like(delp[:, 0]),
               zsh(n, n + 1), zsh(n + 1, n), zsh(NC, NW), zsh(NW, NC))
     if cfg.use_scan:

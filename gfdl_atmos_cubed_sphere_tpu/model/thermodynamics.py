@@ -56,10 +56,21 @@ def total_energy_2d_nh(u, v, w, tv, qsphum, delp, delz, phis, g):
 
 
 def g_mean(field2d, g):
-    """Area-weighted global mean (fv_grid_utils.F90 g_sum mode 0)."""
+    """Area-weighted global mean (fv_grid_utils.F90 g_sum mode 0).
+
+    Tile-parallel aware: inside a shard_map body (g.halo is a ShardHalo
+    with a mesh axis) the sum crosses tiles with lax.psum."""
     area = g.area_int if hasattr(g, "area_int") else None
     if area is None:
         area = jnp.asarray(g.geom.interior("area"))
+    axis = getattr(getattr(g, "halo", None), "axis", None)
+    if axis is not None and field2d.shape[0] != area.shape[0]:
+        import jax
+        ti = jax.lax.axis_index(axis)
+        area = jax.lax.dynamic_index_in_dim(area, ti, 0, keepdims=True)
+        num = jax.lax.psum(jnp.sum(field2d * area), axis)
+        den = jax.lax.psum(jnp.sum(area), axis)
+        return num / den
     return jnp.sum(field2d * area) / jnp.sum(area)
 
 

@@ -44,6 +44,16 @@ def save_state(path, state, ak=None, bk=None, tracers=None, step=0,
         payload["bk"] = np.asarray(bk)
     payload["__manifest__"] = np.frombuffer(
         json.dumps(manifest).encode(), dtype=np.uint8)
+    if str(path).endswith(".fvio"):
+        # native async C++ writer (io/native_io.py; the FMS-I/O analog):
+        # the model thread returns as soon as the arrays are copied
+        from .native_io import AsyncWriter
+        tmp = path + ".tmp"
+        with AsyncWriter(tmp) as w:
+            for k, v in payload.items():
+                w.write(k, v)
+        os.replace(tmp, path)
+        return
     tmp = path + ".tmp.npz"
     np.savez(tmp, **payload)
     os.replace(tmp, path)
@@ -51,6 +61,20 @@ def save_state(path, state, ak=None, bk=None, tracers=None, step=0,
 
 def load_state(path, verify_checksums=True):
     """Read a native checkpoint -> (state dict, tracers dict, manifest)."""
+    if str(path).endswith(".fvio"):
+        from .native_io import read_fvio
+        z = read_fvio(path)
+        manifest = json.loads(bytes(z.pop("__manifest__")).decode())
+        state, tracers = {}, {}
+        for k, arr in z.items():
+            if verify_checksums and k in manifest["checksums"]:
+                if _checksum(arr) != manifest["checksums"][k]:
+                    raise ValueError(f"checksum mismatch for {k} in {path}")
+            if k.startswith("tracer__"):
+                tracers[k[len("tracer__"):]] = arr
+            else:
+                state[k] = arr
+        return state, tracers, manifest
     with np.load(path) as z:
         manifest = json.loads(bytes(z["__manifest__"]).decode())
         state, tracers = {}, {}

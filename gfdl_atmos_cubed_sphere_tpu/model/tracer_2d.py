@@ -89,6 +89,11 @@ def tracer_2d(q, dp1, mfx, mfy, cx, cy, g, hord_tr, q_split=0,
         wsl = slice(H, H + n + 1)
         cmax = jnp.maximum(jnp.max(jnp.abs(cx[..., ctr, wsl])),
                            jnp.max(jnp.abs(cy[..., wsl, ctr])))
+        axis = getattr(halo, "axis", None)
+        if axis is not None:
+            # tile-parallel: the split count must be the GLOBAL courant max
+            # (fv_tracer2d.F90 mp_reduce_max analog)
+            cmax = jax.lax.pmax(cmax, axis)
         nsplt = jnp.minimum(jnp.floor(1.0 + cmax), float(max_split))
         frac = 1.0 / nsplt
 

@@ -135,3 +135,31 @@ def test_shield_driver_split_api():
     assert tb.shape == (6, 12, 12)
     nx, nz = atm.atmosphere_resolution()
     assert (nx, nz) == (12, 10)
+
+
+def test_native_fvio_restart_roundtrip(tmp_path):
+    """C++ async-writer restart container (.fvio) roundtrips with
+    checksums (io/native_io.py + io/restart.py)."""
+    import numpy as np
+    import pytest
+    from gfdl_atmos_cubed_sphere_tpu.io import restart as rst
+    from gfdl_atmos_cubed_sphere_tpu.io.native_io import native_available
+    if not native_available():
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(7)
+    state = {"delp": rng.random((6, 4, 8, 8), np.float32),
+             "pt": rng.random((6, 4, 8, 8))}
+    q = {"sphum": rng.random((6, 4, 8, 8), np.float32)}
+    path = str(tmp_path / "ck.fvio")
+    rst.save_state(path, state, tracers=q, step=42, time_seconds=123.0)
+    s2, q2, man = rst.load_state(path)
+    assert man["step"] == 42 and man["time_seconds"] == 123.0
+    np.testing.assert_array_equal(s2["delp"], state["delp"])
+    np.testing.assert_array_equal(q2["sphum"], q["sphum"])
+    # corruption is detected by the CRC or sha256 layer
+    import struct
+    raw = bytearray(open(path, "rb").read())
+    raw[200] ^= 0xFF
+    open(path, "wb").write(bytes(raw))
+    with pytest.raises(ValueError):
+        rst.load_state(path)

@@ -125,6 +125,46 @@ def test_hydro_step_parity(setup):
     assert not bool(jnp.isnan(ss[1]).any())
 
 
+def test_nh_step_parity(setup):
+    """Nonhydrostatic fv_dynamics (SIM1 Riemann solver, update_dz, dual
+    pressure gradient) tile-parallel vs single-array, adaptive tracer
+    subcycling (pmax path)."""
+    from gfdl_atmos_cubed_sphere_tpu.model.sw_dynamics import prepare_phis
+    from gfdl_atmos_cubed_sphere_tpu.model.dyn_core import DynConfig
+    from gfdl_atmos_cubed_sphere_tpu.model.fv_dynamics import fv_dynamics_nh
+    from gfdl_atmos_cubed_sphere_tpu.grid.fv_eta import set_eta
+    from gfdl_atmos_cubed_sphere_tpu.init.baroclinic import jw_baroclinic
+    g, mesh = setup
+    K = 10
+    ks, ptop, ak, bk = set_eta(K)
+    ic = jw_baroclinic(g.geom, K, ak, bk, ptop, moist=True)
+    prepare_phis(g, jnp.asarray(ic["phis"]))
+    cfg = DynConfig(npx=N + 1, npz=K, dt=600.0, n_split=4, adiabatic=False,
+                    hydrostatic=False, q_split=0)
+    akj, bkj = jnp.asarray(ak), jnp.asarray(bk)
+    dp0 = np.asarray(ic["delp"])[0, :, 0, 0]
+
+    def dyn(gl, delp, pt, u, v, w, delz, qs):
+        r = fv_dynamics_nh(delp, pt, u, v, w, delz, {"sphum": qs}, gl, cfg,
+                           akj, bkj, ptop, dp0)
+        return r.delp, r.pt, r.u, r.v, r.w, r.delz, r.q["sphum"]
+
+    step_s = jax.jit(shard_step(g, dyn, mesh=mesh))
+    step_r = jax.jit(lambda *s: dyn(g, *s))
+    s0 = tuple(jnp.asarray(ic[k])
+               for k in ("delp", "pt", "u", "v", "w", "delz", "sphum"))
+    ss, sr = s0, s0
+    for _ in range(2):
+        ss = step_s(*ss)
+        sr = step_r(*sr)
+    for a, b, name in zip(ss, sr,
+                          ("delp", "pt", "u", "v", "w", "delz", "q")):
+        scale = float(jnp.abs(b).max())
+        diff = float(jnp.abs(a - b).max())
+        assert diff <= 1e-10 * max(scale, 1.0), (name, diff, scale)
+    assert not bool(jnp.isnan(ss[4]).any())
+
+
 def test_sw_step_parity(setup):
     """A full shallow-water case-2 day, entire step inside shard_map (scan
     acoustic loop — safe under shard_map unlike GSPMD), must match the

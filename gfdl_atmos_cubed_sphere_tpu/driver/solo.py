@@ -103,6 +103,29 @@ class Atmosphere:
                 pt2, u2, v2 = hs_forcing(new["pt"], new["delp"], new["u"],
                                          new["v"], g, ptop, cfg.dt)
                 new.update(pt=pt2, u=u2, v=v2)
+            elif physics == "sim":
+                # idealized gray-radiation + PBL suite (GFDL_sim_phys)
+                from ..physics.sim_phys import sim_phys
+                from ..model.fv_update_phys import (cubed_to_latlon,
+                                                    fv_update_phys)
+                import gfdl_atmos_cubed_sphere_tpu.constants as con
+                ua, va = cubed_to_latlon(new["u"], new["v"], g)
+                delz = new.get("delz")
+                if delz is None:
+                    pe = ptop + jnp.cumsum(new["delp"], axis=1)
+                    pe0 = jnp.concatenate(
+                        [jnp.full_like(pe[:, :1], ptop), pe], axis=1)
+                    delz = (-con.RDGAS * new["pt"] / con.GRAV
+                            * jnp.log(pe0[:, 1:] / pe0[:, :-1]))
+                ts = new["pt"][:, -1] + 1.0     # fixed warm-ocean skin
+                ua2, va2, ta2, _, _ = sim_phys(
+                    ua, va, new["pt"], None, new["delp"], delz, ts, g,
+                    ptop, cfg.dt)
+                _, u2, v2, _ = fv_update_phys(
+                    cfg.dt, new["pt"], new["delp"], new["u"], new["v"],
+                    None, (ua2 - ua) / cfg.dt, (va2 - va) / cfg.dt,
+                    jnp.zeros_like(ta2), None, g)
+                new.update(pt=ta2, u=u2, v=v2)
             return new
 
         return jax.jit(step)

@@ -119,3 +119,64 @@ def zonal_mean(field, lat, bins=64):
 
 def surface_pressure(delp, ptop):
     return ptop + jnp.sum(delp, axis=1)
+
+
+class ColumnDiag:
+    """Pointwise column ("sounding") diagnostics at named lat-lon locations
+    (tools/fv_diag_column.F90 fv_diag_column_init/read locations :60-200,
+    sounding printout): each location is snapped to the nearest cube cell
+    center at init; sample() extracts full columns, printout() formats them.
+    """
+
+    def __init__(self, geom, points):
+        """points: list of (name, lon_deg, lat_deg)."""
+        lon = np.asarray(geom.interior("aglon"))
+        lat = np.asarray(geom.interior("aglat"))
+        self.points = []
+        for name, plon, plat in points:
+            lo = np.deg2rad(plon % 360.0)
+            la = np.deg2rad(plat)
+            # nearest cell center by chord distance
+            d = (np.cos(lat) * np.cos(la) * np.cos(lon - lo)
+                 + np.sin(lat) * np.sin(la))
+            t, j, i = np.unravel_index(np.argmax(d), lon.shape)
+            self.points.append(dict(
+                name=name, tile=int(t), j=int(j), i=int(i),
+                lon=float(np.rad2deg(lon[t, j, i])),
+                lat=float(np.rad2deg(lat[t, j, i]))))
+
+    def sample(self, fields):
+        """fields: dict name -> [T, K, n, n] (or [T, n, n]) arrays.
+        Returns {point_name: {field: column ndarray}}."""
+        out = {}
+        for p in self.points:
+            cols = {}
+            for fname, arr in fields.items():
+                if arr is None:
+                    continue
+                a = np.asarray(arr)
+                cols[fname] = (a[p["tile"], :, p["j"], p["i"]]
+                               if a.ndim == 4 else a[p["tile"], p["j"], p["i"]])
+            out[p["name"]] = cols
+        return out
+
+    def printout(self, fields, out=print):
+        """Formatted sounding block per point (the do_diag_debug printout)."""
+        samples = self.sample(fields)
+        for p in self.points:
+            cols = samples[p["name"]]
+            out(f"=== column '{p['name']}' at ({p['lat']:.2f}N, "
+                f"{p['lon']:.2f}E) tile {p['tile']} ===")
+            names = [k for k, v in cols.items() if np.ndim(v) == 1]
+            scalars = {k: v for k, v in cols.items() if np.ndim(v) == 0}
+            for k, v in scalars.items():
+                out(f"  {k} = {float(v):.6g}")
+            # group profile fields by column length (e.g. K vs K+1 vs 1)
+            lengths = sorted({len(cols[nm]) for nm in names})
+            for L in lengths:
+                grp = [nm for nm in names if len(cols[nm]) == L]
+                out("  k   " + "  ".join(f"{k:>12s}" for k in grp))
+                for kk in range(L):
+                    out(f"  {kk:3d} " + "  ".join(
+                        f"{float(cols[nm][kk]):12.5g}" for nm in grp))
+        return samples

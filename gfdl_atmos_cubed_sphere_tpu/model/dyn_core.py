@@ -471,7 +471,8 @@ def dyn_core_nh(delp, pt, u, v, w, delz, phis, g, cfg: DynConfig, akap, ptop,
         pt_p2 = halo.pad_cell(pt)
         w_p2 = halo.pad_cell(w)
         rs = nh_core.riem_solver3(dt, delp_p2, pt_p2, w_p2, zh_p2, zs_p,
-                                  ws_full, akap, ptop, cfg.p_fac)
+                                  ws_full, akap, ptop, cfg.p_fac,
+                                  a_imp=cfg.a_imp)
         w = rs.w[..., ctr, ctr]
         zh = rs.zh[..., ctr, ctr][:, :, :, :]
         gz_geo = rs.zh * con.GRAV

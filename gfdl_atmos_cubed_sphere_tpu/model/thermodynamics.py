@@ -74,6 +74,78 @@ def g_mean(field2d, g):
     return jnp.sum(field2d * area) / jnp.sum(area)
 
 
+def moist_cv(q, nwat=6):
+    """Moist heat capacity at constant volume + condensate loading q_con
+    (fv_thermodynamics.F90 moist_cv:250, nwat cases 2-6). q: dict of tracer
+    arrays. Returns (cvm, q_con) broadcast like the tracers."""
+    z = lambda k: q.get(k) if q.get(k) is not None else 0.0
+    qv = jnp.maximum(z("sphum"), 0.0) if "sphum" in q else 0.0
+    if nwat == 2:
+        qs = jnp.maximum(z("liq_wat"), 0.0)
+        q_con = qs
+        cvm = (1.0 - qv) * con.CV_AIR + qv * con.CV_VAP
+        return cvm, q_con
+    if nwat == 3:
+        ql, qs = z("liq_wat"), z("ice_wat")
+    elif nwat == 4:
+        ql, qs = z("liq_wat") + z("rainwat"), 0.0
+    elif nwat == 5:
+        ql = z("liq_wat") + z("rainwat")
+        qs = z("ice_wat") + z("snowwat")
+    elif nwat == 6:
+        ql = z("liq_wat") + z("rainwat")
+        qs = z("ice_wat") + z("snowwat") + z("graupel")
+    else:
+        return jnp.asarray(con.CV_AIR), 0.0
+    q_con = ql + qs
+    cvm = ((1.0 - (qv + q_con)) * con.CV_AIR + qv * con.CV_VAP
+           + ql * con.C_LIQ + qs * con.C_ICE)
+    return cvm, q_con
+
+
+def moist_cp(q, nwat=6):
+    """Moist heat capacity at constant pressure (moist_cp:327)."""
+    z = lambda k: q.get(k) if q.get(k) is not None else 0.0
+    qv = jnp.maximum(z("sphum"), 0.0) if "sphum" in q else 0.0
+    if nwat == 2:
+        q_con = jnp.maximum(z("liq_wat"), 0.0)
+        return (1.0 - qv) * con.CP_AIR + qv * con.CP_VAPOR, q_con
+    if nwat == 3:
+        ql, qs = z("liq_wat"), z("ice_wat")
+    elif nwat == 4:
+        ql, qs = z("liq_wat") + z("rainwat"), 0.0
+    elif nwat == 5:
+        ql = z("liq_wat") + z("rainwat")
+        qs = z("ice_wat") + z("snowwat")
+    elif nwat == 6:
+        ql = z("liq_wat") + z("rainwat")
+        qs = z("ice_wat") + z("snowwat") + z("graupel")
+    else:
+        return jnp.asarray(con.CP_AIR), 0.0
+    q_con = ql + qs
+    cpm = ((1.0 - (qv + q_con)) * con.CP_AIR + qv * con.CP_VAPOR
+           + ql * con.C_LIQ + qs * con.C_ICE)
+    return cpm, q_con
+
+
+def compute_aam(u, v, delp, g, ptop):
+    """Vertically mass-integrated atmospheric angular momentum + moment
+    factor (fv_dynamics.F90 compute_aam:1266). Returns (aam [T,n,n],
+    m_fac, ps)."""
+    from .fv_update_phys import cubed_to_latlon
+    ua, _ = cubed_to_latlon(u, v, g)
+    R = g.geom.radius
+    omg = g.geom.omega
+    lat = jnp.asarray(g.geom.interior("aglat"))
+    r1 = R * jnp.cos(lat)
+    r2 = r1 * r1
+    dm = delp / con.GRAV
+    aam = jnp.sum((r2[:, None] * omg + r1[:, None] * ua) * dm, axis=1)
+    m_fac = jnp.sum(dm * r2[:, None], axis=1)
+    ps = ptop + jnp.sum(delp, axis=1)
+    return aam, m_fac, ps
+
+
 def energy_fixer_dtmp(te0, te1, pkz, delp, pk, ptop, consv, g,
                       hydrostatic=True):
     """Global heating increment dtmp (fv_mapz.F90:740-772): consv times the

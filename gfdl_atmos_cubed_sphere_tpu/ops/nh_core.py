@@ -36,8 +36,14 @@ def _kmid(a):
     return jnp.moveaxis(a, 0, -3)
 
 
-def sim1_solver(dt, dm2, pm2, pem, w2, dz2, pt2, ws, gama, akap, p_fac):
-    """Fully-implicit Riemann/vertical-sound-wave solver (SIM1_solver:1277).
+def sim1_solver(dt, dm2, pm2, pem, w2, dz2, pt2, ws, gama, akap, p_fac,
+                alpha=1.0):
+    """Semi-implicit Riemann/vertical-sound-wave solver.
+
+    alpha=1 (default) is the fully-implicit SIM1_solver (nh_utils.F90:1277);
+    0.5 < alpha < 1 is the off-centered SIM_solver (:1396): the pressure
+    force is alpha*new + beta*old with beta = 1-alpha, adding the explicit
+    wk terms and the final pp blend of pe2.
 
     All fields [.., K, y, x] (interfaces [.., K+1, y, x]); ws [.., y, x].
     dm2 = delp/grav; pm2 log-mean layer pressure; pem hydrostatic interface
@@ -46,7 +52,10 @@ def sim1_solver(dt, dm2, pm2, pem, w2, dz2, pt2, ws, gama, akap, p_fac):
     interfaces, w2 updated, dz2 updated).
     """
     rgas = con.RDGAS
-    t1g = 2.0 * dt * dt
+    beta = 1.0 - alpha
+    ra = 1.0 / alpha
+    t2 = beta / alpha
+    t1g = 2.0 * (alpha * dt) ** 2
     rdt = 1.0 / dt
     capa1 = akap - 1.0
     gm2 = gama            # 1/(1-kappa), scalar in the adiabatic path
@@ -101,23 +110,29 @@ def sim1_solver(dt, dm2, pm2, pem, w2, dz2, pt2, ws, gama, akap, p_fac):
 
     # ---- implicit w solve -------------------------------------------------
     aa = (t1g * 0.5 * (gm2 + gm2) / (dz[:-1] + dz[1:])) * pe_m[1:-1]  # [K-1]
+    # off-centered explicit shear terms wk(k) = t2*aa(k)*(w1(k-1)-w1(k))
+    # (SIM_solver:1464-1468); identically zero for alpha = 1
+    wk = t2 * aa * (w1[:-1] - w1[1:]) if beta != 0.0 else None
     ws_k = ws
     bet = dm[0] - aa[0]
-    w0 = (dm[0] * w1[0] + dt * pp[1]) / bet
+    w0 = (dm[0] * w1[0] + dt * pp[1]
+          + (wk[0] if wk is not None else 0.0)) / bet
 
     def wfwd(carry, x):
         bet, wkm1 = carry
-        dmk, w1k, dpp, aak, aak1 = x
+        dmk, w1k, dpp, aak, aak1, dwk = x
         gam = aak / bet
         bet = dmk - (aak + aak1 + aak * gam)
-        wk = (dmk * w1k + dt * dpp - aak * wkm1) / bet
-        return (bet, wk), (gam, wk)
+        wk_ = (dmk * w1k + dt * dpp + dwk - aak * wkm1) / bet
+        return (bet, wk_), (gam, wk_)
 
     dpp = pp[2:-1] - pp[1:-2]         # for k=2..K-1 (0-based rows 1..K-2)
+    dwk_mid = (wk[1:] - wk[:-1] if wk is not None
+               else jnp.zeros_like(aa[:-1]) * dm[1:-1])
     if K > 2:
         (betf, _), (gam_w, w_mid) = jax.lax.scan(
             wfwd, (bet, w0),
-            (dm[1:-1], w1[1:-1], dpp, aa[:-1], aa[1:]))
+            (dm[1:-1], w1[1:-1], dpp, aa[:-1], aa[1:], dwk_mid))
     else:
         betf = bet
         gam_w = jnp.zeros((0,) + w0.shape, w0.dtype)
@@ -127,7 +142,11 @@ def sim1_solver(dt, dm2, pm2, pem, w2, dz2, pt2, ws, gama, akap, p_fac):
     gamK = aa[-1] / betf
     betK = dm[-1] - (aa[-1] + p1 + aa[-1] * gamK)
     w_prev = w_mid[-1] if K > 2 else w0
-    wK = (dm[-1] * w1[-1] + dt * (pp[-1] - pp[-2]) - p1 * ws_k
+    # bottom: SIM1 forcing -p1*ws; SIM adds -wk(km) and the t2*w1 blend
+    # (SIM_solver:1487-1492): wk1*(t2*w1(km) - ra*ws)
+    bot_extra = (p1 * (t2 * w1[-1] - ra * ws_k) - wk[-1] if wk is not None
+                 else -p1 * ws_k)
+    wK = (dm[-1] * w1[-1] + dt * (pp[-1] - pp[-2]) + bot_extra
           - aa[-1] * w_prev) / betK
 
     gam_full = jnp.concatenate([gam_w, gamK[None]], axis=0)   # gam rows 1..K-1
@@ -143,6 +162,9 @@ def sim1_solver(dt, dm2, pm2, pem, w2, dz2, pt2, ws, gama, akap, p_fac):
 
     # ---- new nonhydro pressure + dz ---------------------------------------
     dpe = dm * (w_new - w1) * rdt
+    if beta != 0.0:
+        # off-centered pressure recovery (SIM_solver:1511-1516)
+        dpe = (dpe - beta * (pp[1:] - pp[:-1])) * ra
     pe_new = jnp.concatenate(
         [jnp.zeros_like(dpe[:1]), jnp.cumsum(dpe, axis=0)], axis=0)
 
@@ -166,6 +188,10 @@ def sim1_solver(dt, dm2, pm2, pem, w2, dz2, pt2, ws, gama, akap, p_fac):
         dz_new = jnp.concatenate([dz_rest[::-1], dzK[None]], axis=0)
     else:
         dz_new = dzK[None]
+
+    if beta != 0.0:
+        # blend toward the implicit interface pressure (SIM_solver:1533-1535)
+        pe_new = pe_new + beta * (pp - pe_new)
 
     return _kmid(pe_new), _kmid(w_new), _kmid(dz_new)
 
@@ -201,8 +227,10 @@ def riem_solver_c(dt2, delpc, ptc, w3, gz, phis_p, ws, akap, ptop, p_fac):
 
 
 def riem_solver3(dt, delp, pt, w, zh, zs, ws, akap, ptop, p_fac,
-                 use_logp=False):
-    """D-stage implicit solver (nh_core.F90 Riem_Solver3 -> SIM1).
+                 use_logp=False, a_imp=1.0):
+    """D-stage implicit solver (nh_core.F90 Riem_Solver3:47, dispatch
+    :169-185): a_imp > 0.999 -> fully-implicit SIM1; 0.5 < a_imp <= 0.999
+    -> off-centered SIM.
 
     delp/pt/w [6,K,Y,X] (padded or interior; shapes preserved); zh height
     interfaces [6,K+1,Y,X] (meters); zs surface height [6,Y,X]; ws [6,Y,X].
@@ -222,8 +250,12 @@ def riem_solver3(dt, delp, pt, w, zh, zs, ws, akap, ptop, p_fac,
     dm = delp * rgrav
     dz2 = zh[:, 1:] - zh[:, :-1]
 
+    alpha = 1.0 if a_imp > 0.999 else float(a_imp)
+    if alpha <= 0.5:
+        raise NotImplementedError(
+            "explicit RIM_2D (a_imp <= 0.5) not implemented; use a_imp>0.5")
     pe2, w2, dz2n = sim1_solver(dt, dm, pm2, pem, w, dz2, pt, ws,
-                                gama, akap, p_fac)
+                                gama, akap, p_fac, alpha=alpha)
 
     # rebuild zh from zs upward
     incr = jnp.cumsum(dz2n[:, ::-1], axis=1)[:, ::-1]

@@ -39,6 +39,38 @@ def _var_hi(km, ptop, pint, s_rate):
     s_fac[1] = 1.45 * s_fac[2]
     s_fac[0] = 1.5 * s_fac[1]
 
+    return _hybrid_from_sfac(km, s_fac, ztop, peln1, pint, t0)
+
+
+def _var_hi2(km, ptop, pint, s_rate):
+    """fv_eta.F90 var_hi2:1342 — the km > 79 stretched-dz generator (used
+    for L91/L127-class hi-top sets): shallower surface-layer ramp (10
+    levels), then geometric stretching, 7 fixed top factors."""
+    p00 = 1.0e5
+    peln1 = np.log(ptop)
+    t0 = 270.0
+    ztop = con.RDGAS / con.GRAV * t0 * (np.log(p00) - peln1)
+    s_fac = np.zeros(km)
+    ramp = [0.15, 0.20, 0.30, 0.40, 0.50, 0.60, 0.70, 0.80, 0.90, 0.95]
+    for n, v in enumerate(ramp):
+        s_fac[km - 1 - n] = v
+    s_fac[km - 11] = 0.5 * (s_fac[km - 10] + s_rate)
+    for k in range(km - 12, 6, -1):
+        s_fac[k] = s_rate * s_fac[k + 1]
+    s_fac[6] = 0.5 * (1.1 + s_rate) * s_fac[8]
+    s_fac[5] = 1.05 * s_fac[6]
+    s_fac[4] = 1.1 * s_fac[5]
+    s_fac[3] = 1.15 * s_fac[4]
+    s_fac[2] = 1.2 * s_fac[3]
+    s_fac[1] = 1.3 * s_fac[2]
+    s_fac[0] = 1.4 * s_fac[1]
+    return _hybrid_from_sfac(km, s_fac, ztop, peln1, pint, t0)
+
+
+def _hybrid_from_sfac(km, s_fac, ztop, peln1, pint, t0):
+    """Shared tail of var_hi/var_hi2: heights from stretch factors,
+    sm1_edge smoothing, z->p, ks location, UKMO hybrid blend."""
+    p00 = 1.0e5
     dz0 = ztop / s_fac.sum()
     dz = s_fac * dz0
     ze = np.zeros(km + 1)
@@ -117,13 +149,17 @@ def set_eta(km, npz_type=""):
         ptop, pint, fac = 10.0, 100.0e2, 1.035
     elif km in (63, 71, 79, 91, 127):
         ptop, pint, fac = 1.0, 100.0e2, 1.03
+        if km == 63:
+            fac = 1.035           # fv_eta.F90:218 (c360/c384 set)
     elif km == 30:
         ptop, pint, fac = 2.26e2, 250.0e2, 1.03
     elif km == 60:
         ptop, pint, fac = 3.0e2, 300.0e2, 1.03
     else:
         ptop, pint, fac = 1.0, 100.0e2, 1.03
-    ak, bk, ks = _var_hi(km, ptop, pint, fac)
+    # km > 79 uses the var_hi2 generator (fv_eta.F90:243-246)
+    gen = _var_hi2 if km > 79 else _var_hi
+    ak, bk, ks = gen(km, ptop, pint, fac)
     return ks, float(ak[0]), ak, bk
 
 

@@ -81,3 +81,19 @@ def test_jw_steady_state():
     # interior winds stay near the balanced jet
     du = np.abs(np.asarray(u1 - u)).max(axis=(0, 2, 3))
     assert du[4:].max() < 8.0
+
+
+def test_var_hi2_levels():
+    """km > 79 level sets use the var_hi2 generator (fv_eta.F90:243-246):
+    monotone hybrid coordinate with a hi-top and valid ks split."""
+    import numpy as np
+    from gfdl_atmos_cubed_sphere_tpu.grid.fv_eta import set_eta
+    for km in (91, 96):
+        ks, ptop, ak, bk = set_eta(km)
+        pe = ak + bk * 1.0e5
+        assert ptop == ak[0] and ptop <= 2.0          # hi-top (~1 Pa)
+        assert np.all(np.diff(pe) > 0)
+        assert np.all(bk[:ks + 1] == 0.0) and bk[-1] == 1.0
+        assert abs(ak[-1]) < 1e-9
+        # surface-adjacent layers thinner than ~60 hPa, top layers thin
+        assert np.diff(pe)[-1] < 60.0e2

@@ -257,3 +257,213 @@ def case7(geom):
     return dict(delp=_k1(gh), u=_k1(_interior(u, geom, "u")),
                 v=_k1(_interior(v, geom, "v")),
                 phis=_k1(np.zeros_like(gh)))
+
+
+def case0(geom):
+    """Deformational vortex flow (test_cases.F90 case(0):889-916): an
+    azimuthal vortex centered on the (lon0=0, lat0=pi/2) pole advects a
+    tanh filament in the height field. Constants p0_c0=3, rgamma=5
+    (test_cases.F90:142-145). Returns delp + D winds + padded uc/vc (the
+    winds are steady; usable as a pure-advection test like case 1)."""
+    lat0, lon0 = np.pi / 2.0, 0.0
+    p0_c0, rgamma = 3.0, 5.0
+    R = geom.radius
+    lam = geom.arrays["aglon"]
+    th = geom.arrays["aglat"]
+
+    def vort_w(lat):
+        p = p0_c0 * np.cos(lat)
+        vtx = (3.0 * np.sqrt(2.0) / 2.0) / np.cosh(p) ** 2 * np.tanh(p)
+        return np.where(p != 0.0, vtx / np.where(p == 0, 1.0, p), 0.0)
+
+    p = p0_c0 * np.cos(th)
+    w_p = vort_w(th)
+    delp = 1.0 - np.tanh(p / rgamma * np.sin(lam))
+
+    def fn(lon, lat):
+        wp = vort_w(lat)
+        u = wp * (np.sin(lat0) * np.cos(lat)
+                  + np.cos(lat0) * np.cos(lon - lon0) * np.sin(lat))
+        v = wp * np.cos(lat0) * np.sin(lon - lon0)
+        return u * R / DAY, v * R / DAY
+
+    u, v = _project_dgrid(fn, geom)
+
+    # C-grid winds from the streamfunction (init_winds defOnGrid==1): the
+    # lat0=pi/2 vortex is purely zonal with angular rate w_p(lat)/86400, so
+    # psi(lat) = -(R^2/86400) * int w_p(t) cos t dt, tabulated numerically.
+    tt = np.linspace(-np.pi / 2.0, np.pi / 2.0, 4001)
+    integrand = vort_w(tt) * np.cos(tt)
+    psi_t = np.concatenate([[0.0], np.cumsum(
+        0.5 * (integrand[1:] + integrand[:-1]) * np.diff(tt))])
+    psi_t = -(R ** 2 / DAY) * psi_t
+    psi_b = np.interp(geom.arrays["lat"], tt, psi_t)
+    with np.errstate(all="ignore"):
+        vc = (psi_b[:, :, 1:] - psi_b[:, :, :-1]) / geom.arrays["dx"]
+        uc = -(psi_b[:, 1:, :] - psi_b[:, :-1, :]) / geom.arrays["dy"]
+    uc = np.nan_to_num(uc)
+    vc = np.nan_to_num(vc)
+    return dict(delp=_k1(_interior(np.nan_to_num(delp), geom, "cell")),
+                u=_k1(_interior(np.nan_to_num(u), geom, "u")),
+                v=_k1(_interior(np.nan_to_num(v), geom, "v")),
+                uc=_k1(np.nan_to_num(uc)), vc=_k1(np.nan_to_num(vc)),
+                phi0=_k1(_interior(np.nan_to_num(delp), geom, "cell")))
+
+
+def case3(geom, no_wind=False):
+    """Non-rotating potential flow past a cosine bell (test_cases.F90
+    case(3):993-1067): gh bell at (1.5*pi, 0) + g*2000 offset, u = 40*cos(lat),
+    and Coriolis CANCELLED by an anti-rotation (anti_rot = -ubar/radius).
+    Build the grid ops with omega = -40/geom.radius to reproduce the
+    reference's modified fC/f0 (or omega=0 with no_wind)."""
+    ubar = 0.0 if no_wind else 40.0
+    gh0 = 1.0e3 * con.GRAV
+    R = geom.radius
+    lam = geom.arrays["aglon"]
+    th = geom.arrays["aglat"]
+    p1 = np.stack([np.cos(0.0) * np.cos(1.5 * np.pi),
+                   np.cos(0.0) * np.sin(1.5 * np.pi), np.sin(0.0)])
+    pa = np.stack([np.cos(th) * np.cos(lam), np.cos(th) * np.sin(lam),
+                   np.sin(th)], axis=-1)
+    r = great_circle_angle(pa, p1) * R
+    r0 = R / 3.0
+    delp = np.where(r < r0, gh0 * 0.5 * (1.0 + np.cos(np.pi * r / r0)), 0.0)
+    delp = delp + con.GRAV * 2.0e3
+    u, v = _project_dgrid(solid_body(ubar), geom)
+    return dict(delp=_k1(_interior(np.nan_to_num(delp), geom, "cell")),
+                u=_k1(_interior(np.nan_to_num(u), geom, "u")),
+                v=_k1(_interior(np.nan_to_num(v), geom, "v")),
+                phis=_k1(np.zeros((geom.topology.ntiles, geom.n, geom.n))),
+                omega_override=(-ubar / R))
+
+
+def _rankine_dgrid(geom, ubar, r0, center):
+    """D-grid winds of one Rankine vortex at center=(lon, lat)
+    (test_cases.F90 rankine_vortex:3934): solid-body inside r0, 1/r outside,
+    azimuthal winds computed in the vortex-centered frame."""
+    lon1, lat1 = center
+    R = geom.radius
+
+    def fn(lon, lat):
+        lonp = lon - lon1
+        cosp = (np.sin(lat) * np.sin(lat1)
+                + np.cos(lat) * np.cos(lat1) * np.cos(lonp))
+        r = R * np.arccos(np.clip(cosp, -1.0, 1.0))
+        vr = np.where(r < r0, ubar * r / r0,
+                      ubar * r0 / np.maximum(r, 1.0))
+        x1 = np.cos(lat) * np.sin(lonp)
+        y1 = np.sin(lat) * np.cos(lat1) - np.cos(lat) * np.sin(lat1) * np.cos(lonp)
+        d2 = np.maximum(1.0e-25, np.sqrt(x1 ** 2 + y1 ** 2))
+        return -vr * y1 / d2, vr * x1 / d2
+
+    return _project_dgrid(fn, geom)
+
+
+def case4(geom):
+    """Merging tropical-cyclone pair (test_cases.F90 case(4):1068-1119):
+    two Rankine vortices 10N at 1.5*pi -/+ 1.8*r0/a, plus the anti-podal
+    mirror pair with reversed sign; flat gh0 = g*1000 height."""
+    ubar, r0 = 50.0, 250.0e3
+    R = geom.radius
+    ddeg = 1.80 * r0 / R
+    gh0 = con.GRAV * 1.0e3
+    n = geom.n
+    delp = np.full((geom.topology.ntiles, n, n), gh0)
+
+    centers = [(np.pi * 1.5 - ddeg, np.pi / 18.0, ubar),
+               (np.pi * 1.5 + ddeg, np.pi / 18.0, ubar)]
+    # anti-podal points with reversed rotation
+    for lon, lat, ub in list(centers):
+        centers.append((lon - np.pi, -lat, -ub))
+
+    u = v = None
+    for lon, lat, ub in centers:
+        du, dv = _rankine_dgrid(geom, ub, r0, (lon % (2 * np.pi), lat))
+        u = du if u is None else u + du
+        v = dv if v is None else v + dv
+    return dict(delp=_k1(delp),
+                u=_k1(_interior(u, geom, "u")),
+                v=_k1(_interior(v, geom, "v")),
+                phis=_k1(np.zeros_like(delp)))
+
+
+def case8(geom, nsolitons=2, umax=50.0, size=750.0e3):
+    """Soliton twin-vortex (test_cases.F90 case(8):1306-1385): Gaussian
+    westerly wind burst at (pi/2, 0) [minus an easterly burst at the
+    antipode for nsolitons > 1], flat gh0 = g*5000, NON-ROTATING planet
+    (build grid ops with omega=0)."""
+    gh0 = 5.0e3 * con.GRAV
+    R = geom.radius
+    n = geom.n
+    delp = np.full((geom.topology.ntiles, n, n), gh0)
+
+    def burst(center_lon, sign):
+        p0 = np.stack([np.cos(0.0) * np.cos(center_lon),
+                       np.cos(0.0) * np.sin(center_lon), np.sin(0.0)])
+
+        def fn(lon, lat):
+            pa = np.stack([np.cos(lat) * np.cos(lon),
+                           np.cos(lat) * np.sin(lon), np.sin(lat)], axis=-1)
+            r = great_circle_angle(pa, p0) * R
+            return sign * umax * np.exp(-(r / size) ** 2), 0.0 * lon
+
+        return _project_dgrid(fn, geom)
+
+    u, v = burst(np.pi * 0.5, 1.0)
+    if nsolitons > 1:
+        du, dv = burst(np.pi * 1.5, -1.0)
+        u, v = u + du, v + dv
+    return dict(delp=_k1(delp),
+                u=_k1(_interior(u, geom, "u")),
+                v=_k1(_interior(v, geom, "v")),
+                phis=_k1(np.zeros_like(delp)),
+                omega_override=0.0)
+
+
+def case9(geom):
+    """Stratospheric polar vortex (test_cases.F90 case(9):1386-1462): a
+    piecewise-linear zonal wind profile (in degrees latitude) balanced by
+    meridional integration of the gradient-wind relation on a jm=5761
+    latitude table; forced later by case9_forcing (the surface-height
+    anomaly cycle)."""
+    jm = 5761
+    jm1 = jm - 1
+    dp = np.pi / jm1
+    ll_j = -0.5 * np.pi + np.arange(jm) * dp
+    ph5 = -0.5 * np.pi + (np.arange(2, jm + 1) - 1.5) * dp   # sine(2..jm)
+    sine = np.sin(ph5)                                        # [jm-1]
+    cosp = np.empty(jm)
+    cosp[0] = 0.0
+    cosp[jm - 1] = 0.0
+    cosp[1:jm1] = (sine[1:] - sine[:-1]) / dp
+    cose = np.empty(jm)
+    cose[1:] = 0.5 * (cosp[:-1] + cosp[1:])
+    cose[0] = cose[1]
+
+    deg = -90.0 + (np.arange(2, jm + 1) - 1.5) * (180.0 / jm1)
+
+    def u_profile(degl):
+        return np.where(degl <= 0.0, -10.0 * (degl + 90.0) / 90.0,
+                        np.where(degl <= 60.0, -10.0 + degl,
+                                 50.0 - (50.0 / 30.0) * (degl - 60.0)))
+
+    ll_u = u_profile(deg)                                     # rows 2..jm
+    ll_phi = np.empty(jm)
+    ll_phi[0] = 6000.0 * con.GRAV
+    incr = -dp * sine[:jm1 - 1] * (
+        geom.radius * 2.0 * geom.omega + ll_u[:jm1 - 1] / cose[1:jm1]
+    ) * ll_u[:jm1 - 1]
+    ll_phi[1:jm1] = ll_phi[0] + np.cumsum(incr)
+    ll_phi[jm - 1] = ll_phi[jm - 2]
+
+    lat_c = geom.interior("aglat")
+    # bin lookup: delp = mean of the bracketing table rows
+    jj = np.clip(((lat_c + 0.5 * np.pi) / dp).astype(int), 0, jm - 2)
+    delp = 0.5 * (ll_phi[jj] + ll_phi[jj + 1])
+
+    u, v = _project_dgrid(
+        lambda lon, lat: (u_profile(np.rad2deg(lat)), 0.0 * lon), geom)
+    return dict(delp=_k1(delp),
+                u=_k1(_interior(u, geom, "u")),
+                v=_k1(_interior(v, geom, "v")),
+                phis=_k1(np.zeros_like(delp)))

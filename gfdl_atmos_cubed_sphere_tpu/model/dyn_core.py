@@ -61,6 +61,8 @@ class DynConfig:
     rf_cutoff: float = 3000.0
     p_fac: float = 0.05
     a_imp: float = 1.0
+    scale_m: float = 0.0
+    d2bg_zq: float = 0.0
     hydrostatic: bool = True
     adiabatic: bool = True
     consv_te: float = 0.0
@@ -472,7 +474,8 @@ def dyn_core_nh(delp, pt, u, v, w, delz, phis, g, cfg: DynConfig, akap, ptop,
         w_p2 = halo.pad_cell(w)
         rs = nh_core.riem_solver3(dt, delp_p2, pt_p2, w_p2, zh_p2, zs_p,
                                   ws_full, akap, ptop, cfg.p_fac,
-                                  a_imp=cfg.a_imp)
+                                  a_imp=cfg.a_imp, scale_m=cfg.scale_m,
+                                  d2bg_zq=cfg.d2bg_zq)
         w = rs.w[..., ctr, ctr]
         zh = rs.zh[..., ctr, ctr][:, :, :, :]
         gz_geo = rs.zh * con.GRAV

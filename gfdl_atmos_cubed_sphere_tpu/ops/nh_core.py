@@ -196,6 +196,216 @@ def sim1_solver(dt, dm2, pm2, pem, w2, dz2, pt2, ws, gama, akap, p_fac,
     return _kmid(pe_new), _kmid(w_new), _kmid(dz_new)
 
 
+def sim3_solver(dt, dm2, pem, w2, dz2, pt2, ws, gama, akap, p_fac,
+                scale_m=0.0, alpha=1.0):
+    """SIM3-family semi-implicit solver (nh_utils.F90 SIM3_solver:984,
+    SIM3p0_solver:1134). Unlike SIM1/SIM (which work on the nonhydrostatic
+    pressure *perturbation*), this family reconstructs the FULL edge
+    pressure by a tridiagonal profile fit of the gas-law cell pressure with
+    a hydrostatic half-layer correction at the bottom (r2g/r6g terms), then
+    solves the implicit w system against it.
+
+    alpha=1 is SIM3p0 (a_imp < -0.999); 0.5 < alpha < 1 is SIM3 with
+    off-centering alpha = |a_imp| (-0.999 <= a_imp < -0.5). scale_m adds
+    the vertical-motion damping term -scale_m*dm(1) to the off-diagonals.
+
+    Shapes as sim1_solver. Returns (pe2 perturbation at interfaces
+    [.., K+1, y, x], w2, dz2).
+    """
+    rgas = con.RDGAS
+    beta = 1.0 - alpha
+    ra = 1.0 / alpha
+    t2 = beta / alpha
+    t1g = gama * 2.0 * (alpha * dt) ** 2
+    rdt = 1.0 / dt
+    capa1 = akap - 1.0
+    r2g = con.GRAV / 2.0
+    r6g = con.GRAV / 6.0
+
+    K = dm2.shape[-3]
+    dm = _kfirst(dm2)
+    pe_m = _kfirst(pem)       # [K+1, ...]
+    w1 = _kfirst(w2)
+    dz = _kfirst(dz2)
+    pt = _kfirst(pt2)
+
+    # full gas-law pressure at cell centers
+    pc = jnp.exp(gama * jnp.log(-dm / dz * rgas * pt))        # [K, ...]
+
+    g_rat = dm[:-1] / dm[1:]                                   # [K-1, ...]
+    bb = jnp.concatenate([2.0 * (1.0 + g_rat),
+                          2.0 * jnp.ones_like(dm[:1])], axis=0)
+    dd = jnp.concatenate([3.0 * (pc[:-1] + g_rat * pc[1:]),
+                          3.0 * pc[-1:] + r2g * dm[-1:]], axis=0)
+
+    # ---- tridiagonal for FULL interface pressure ------------------------
+    # pe(1) = pem(1) fixed; forward produces pe(2)..pe(K+1)
+    bet0 = bb[0]
+    pe_top = pe_m[0]
+    pe_2 = (dd[0] - pe_top) / bet0
+
+    def fwd(carry, x):
+        bet, pek = carry
+        bbk, ddk, gr_km1 = x
+        gam = gr_km1 / bet
+        bet = bbk - gam
+        pek1 = (ddk - pek) / bet
+        return (bet, pek1), (gam, pek1)
+
+    (_, _), (gam_f, pe_rest) = jax.lax.scan(
+        fwd, (bet0, pe_2), (bb[1:], dd[1:], g_rat))
+    pei = jnp.concatenate([pe_2[None], pe_rest], axis=0)      # pe(2)..pe(K+1)
+    pK = pei[-1]
+
+    def bwd2(carry, x):
+        gamk, pk = x
+        pk = pk - gamk * carry
+        return pk, pk
+
+    _, pe_b = jax.lax.scan(bwd2, pK, (gam_f[::-1], pei[:-1][::-1]))
+    pe_full = jnp.concatenate([pe_top[None], pe_b[::-1], pK[None]], axis=0)
+
+    pp = pe_full - pe_m                                        # perturbation
+
+    # ---- implicit w solve ----------------------------------------------
+    aa0 = t1g / (dz[:-1] + dz[1:]) * pe_full[1:-1]            # [K-1, ...]
+    wk = t2 * aa0 * (w1[:-1] - w1[1:]) if beta != 0.0 else None
+    aa = aa0 - scale_m * dm[0]
+
+    bet = dm[0] - aa[0]
+    w0 = (dm[0] * w1[0] + dt * pp[1]
+          + (wk[0] if wk is not None else 0.0)) / bet
+
+    def wfwd(carry, x):
+        bet, wkm1 = carry
+        dmk, w1k, dpp, aak, aak1, dwk = x
+        gam = aak / bet
+        bet = dmk - (aak + aak1 + aak * gam)
+        wk_ = (dmk * w1k + dt * dpp + dwk - aak * wkm1) / bet
+        return (bet, wk_), (gam, wk_)
+
+    dpp = pp[2:-1] - pp[1:-2]
+    dwk_mid = (wk[1:] - wk[:-1] if wk is not None
+               else jnp.zeros_like(aa[:-1]) * dm[1:-1])
+    if K > 2:
+        (betf, _), (gam_w, w_mid) = jax.lax.scan(
+            wfwd, (bet, w0),
+            (dm[1:-1], w1[1:-1], dpp, aa[:-1], aa[1:], dwk_mid))
+    else:
+        betf = bet
+        gam_w = jnp.zeros((0,) + w0.shape, w0.dtype)
+        w_mid = jnp.zeros((0,) + w0.shape, w0.dtype)
+
+    wk1 = t1g / dz[-1] * pe_full[-1]
+    gamK = aa[-1] / betf
+    betK = dm[-1] - (aa[-1] + wk1 + aa[-1] * gamK)
+    w_prev = w_mid[-1] if K > 2 else w0
+    bot_extra = (wk1 * (t2 * w1[-1] - ra * ws) - wk[-1] if wk is not None
+                 else -wk1 * ws)
+    wK = (dm[-1] * w1[-1] + dt * (pp[-1] - pp[-2]) + bot_extra
+          - aa[-1] * w_prev) / betK
+
+    gam_full = jnp.concatenate([gam_w, gamK[None]], axis=0)
+    w_fwd = jnp.concatenate([w0[None], w_mid], axis=0)
+
+    def wbwd(carry, x):
+        gamk1, wkv = x
+        wkv = wkv - gamk1 * carry
+        return wkv, wkv
+
+    _, w_b = jax.lax.scan(wbwd, wK, (gam_full[::-1], w_fwd[::-1]))
+    w_new = jnp.concatenate([w_b[::-1], wK[None]], axis=0)
+
+    # ---- updated perturbation -> clamped full pressure -> dz -------------
+    dpe = dm * (w_new - w1) * rdt
+    if beta != 0.0:
+        dpe = (dpe - beta * (pp[1:] - pp[:-1])) * ra
+    pert = jnp.concatenate(
+        [jnp.zeros_like(dpe[:1]), jnp.cumsum(dpe, axis=0)], axis=0)
+    pe_new = jnp.concatenate(
+        [pe_m[:1],
+         jnp.maximum(p_fac * pe_m[1:], pert[1:] + pe_m[1:])], axis=0)
+
+    p1K = (pe_new[-2] + 2.0 * pe_new[-1]) * R3 - r6g * dm[-1]
+    dzK = -dm[-1] * rgas * pt[-1] * jnp.exp(capa1 * jnp.log(p1K))
+
+    def dzbwd(carry, x):
+        p1 = carry
+        pek, bbk, pek1, grk, pek2, dmk, ptk = x
+        p1 = (pek + bbk * pek1 + grk * pek2) * R3 - grk * p1
+        dzk = -dmk * rgas * ptk * jnp.exp(capa1 * jnp.log(p1))
+        return p1, dzk
+
+    if K > 1:
+        xs = (pe_new[:-2][::-1], bb[:-1][::-1], pe_new[1:-1][::-1],
+              g_rat[::-1], pe_new[2:][::-1], dm[:-1][::-1], pt[:-1][::-1])
+        _, dz_rest = jax.lax.scan(dzbwd, p1K, xs)
+        dz_new = jnp.concatenate([dz_rest[::-1], dzK[None]], axis=0)
+    else:
+        dz_new = dzK[None]
+
+    pe_out = pe_new - pe_m
+    if beta != 0.0:
+        pe_out = pe_out + beta * (pp - pe_out)
+
+    return _kmid(pe_out), _kmid(w_new), _kmid(dz_new)
+
+
+def imp_diff_w(cd, delz, ws, w):
+    """Implicit vertical diffusion of w (nh_utils.F90 imp_diff_w:688),
+    applied after the Riemann solver when d2bg_zq > 0 (nh_core.F90:188-190).
+
+    cd: diffusion coefficient (m^2/s * dt, the reference passes d2bg_zq);
+    delz [.., K, y, x] (negative heights); ws [.., y, x] surface w BC.
+    Returns diffused w.
+    """
+    K = w.shape[-3]
+    dzl = _kfirst(delz)
+    wl = _kfirst(w)
+
+    dz_i = 0.5 * (dzl[:-1] + dzl[1:])          # dz(k) for k=2..K  [K-1,...]
+    c = -cd / (dz_i * dzl[:-1])                # c(k) for k=1..K-1
+
+    bet0 = 1.0 - c[0]
+    wt0 = wl[0] / bet0
+
+    def fwd(carry, x):
+        bet, wtm1 = carry
+        ck_m1, ck, ak, wk = x
+        gam = ck_m1 / bet
+        bet = (1.0 + ak - ck) + ak * gam
+        wt = (wk + ak * wtm1) / bet
+        return (bet, wt), (gam, wt)
+
+    a_mid = cd / (dz_i[:-1] * dzl[1:-1])       # a(k), k=2..K-1
+    if K > 2:
+        (betf, _), (gam_mid, wt_mid) = jax.lax.scan(
+            fwd, (bet0, wt0), (c[:-1], c[1:], a_mid, wl[1:-1]))
+    else:
+        betf = bet0
+        gam_mid = jnp.zeros((0,) + wt0.shape, wt0.dtype)
+        wt_mid = jnp.zeros((0,) + wt0.shape, wt0.dtype)
+
+    gamK = c[-1] / betf
+    dzK2 = dzl[-1] * dzl[-1]
+    aK = cd / (0.5 * (dzl[-2] + dzl[-1]) * dzl[-1]) if K > 1 else 0.0
+    wt_prev = wt_mid[-1] if K > 2 else wt0
+    wK = ((wl[-1] + 2.0 * ws * cd / dzK2 + aK * wt_prev)
+          / (1.0 + aK + 2.0 * cd / dzK2 + aK * gamK))
+
+    gam_full = jnp.concatenate([gam_mid, gamK[None]], axis=0)  # gam(2..K)
+    wt_full = jnp.concatenate([wt0[None], wt_mid], axis=0)     # wt(1..K-1)
+
+    def bwd(carry, x):
+        gamk1, wtk = x
+        wk = wtk - gamk1 * carry
+        return wk, wk
+
+    _, w_b = jax.lax.scan(bwd, wK, (gam_full[::-1], wt_full[::-1]))
+    w_new = jnp.concatenate([w_b[::-1], wK[None]], axis=0)
+    return _kmid(w_new)
+
+
 def riem_solver_c(dt2, delpc, ptc, w3, gz, phis_p, ws, akap, ptop, p_fac):
     """C-stage semi-implicit solver (nh_utils.F90 Riem_Solver_C:323).
 
@@ -227,10 +437,12 @@ def riem_solver_c(dt2, delpc, ptc, w3, gz, phis_p, ws, akap, ptop, p_fac):
 
 
 def riem_solver3(dt, delp, pt, w, zh, zs, ws, akap, ptop, p_fac,
-                 use_logp=False, a_imp=1.0):
+                 use_logp=False, a_imp=1.0, scale_m=0.0, d2bg_zq=0.0):
     """D-stage implicit solver (nh_core.F90 Riem_Solver3:47, dispatch
     :169-185): a_imp > 0.999 -> fully-implicit SIM1; 0.5 < a_imp <= 0.999
-    -> off-centered SIM.
+    -> off-centered SIM; a_imp < -0.999 -> SIM3p0; -0.999 <= a_imp < -0.5
+    -> SIM3 (alpha = |a_imp|). d2bg_zq > 0 adds the post-solve implicit
+    w-diffusion (imp_diff_w, nh_core.F90:188-190).
 
     delp/pt/w [6,K,Y,X] (padded or interior; shapes preserved); zh height
     interfaces [6,K+1,Y,X] (meters); zs surface height [6,Y,X]; ws [6,Y,X].
@@ -250,12 +462,21 @@ def riem_solver3(dt, delp, pt, w, zh, zs, ws, akap, ptop, p_fac,
     dm = delp * rgrav
     dz2 = zh[:, 1:] - zh[:, :-1]
 
-    alpha = 1.0 if a_imp > 0.999 else float(a_imp)
-    if alpha <= 0.5:
+    if a_imp < -0.5:
+        alpha = 1.0 if a_imp < -0.999 else float(abs(a_imp))
+        pe2, w2, dz2n = sim3_solver(dt, dm, pem, w, dz2, pt, ws,
+                                    gama, akap, p_fac, scale_m=scale_m,
+                                    alpha=alpha)
+    elif a_imp <= 0.5:
         raise NotImplementedError(
-            "explicit RIM_2D (a_imp <= 0.5) not implemented; use a_imp>0.5")
-    pe2, w2, dz2n = sim1_solver(dt, dm, pm2, pem, w, dz2, pt, ws,
-                                gama, akap, p_fac, alpha=alpha)
+            "explicit RIM_2D (|a_imp| <= 0.5) not implemented; "
+            "use the implicit families (|a_imp| > 0.5)")
+    else:
+        alpha = 1.0 if a_imp > 0.999 else float(a_imp)
+        pe2, w2, dz2n = sim1_solver(dt, dm, pm2, pem, w, dz2, pt, ws,
+                                    gama, akap, p_fac, alpha=alpha)
+    if d2bg_zq > 1.0e-4:
+        w2 = imp_diff_w(d2bg_zq, dz2n, ws, w2)
 
     # rebuild zh from zs upward
     incr = jnp.cumsum(dz2n[:, ::-1], axis=1)[:, ::-1]

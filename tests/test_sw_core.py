@@ -162,3 +162,88 @@ def test_case7_barotropic_jet(g24):
     # height stays within physical bounds
     assert float(jnp.abs(d - d0).max()) > 2000.0
     assert 8.0e4 < float(d.min()) and float(d.max()) < 1.1e5
+
+
+# ---------------------------------------------------------------------------
+# cases 0/3/4/8/9 (test_cases.F90 :889,:993,:1068,:1306,:1386)
+# ---------------------------------------------------------------------------
+
+def test_case0_deformational(g24):
+    """Vortex-advected tanh filament: steady vortex winds advect the height
+    field; mass conserved, bounds preserved (pure-advection driver)."""
+    g = g24
+    ic = sw_cases.case0(g.geom)
+    swd.prepare_phis(g, np.zeros((6, 1, g.n, g.n)))
+    cfg = swd.SWConfig(npx=g.npx, dt=3600.0, n_split=2, advection_only=True,
+                       hord_dp=8, hord_vt=8, hord_mt=8)
+    step = jax.jit(swd.make_sw_step(g, cfg))
+    d = jnp.asarray(ic["delp"])
+    uc = jnp.asarray(ic["uc"])
+    vc = jnp.asarray(ic["vc"])
+    m0 = _mass(g, d)
+    for _ in range(24):
+        d, _, _ = step(d, None, None, uc, vc)
+    assert not bool(jnp.isnan(d).any())
+    # O(1) field everywhere (unlike the compact case-1 bell), so the f64
+    # roundoff floor of the global sum is relatively higher
+    assert abs(_mass(g, d) - m0) / m0 < 1e-7
+    assert -0.05 < float(d.min()) and float(d.max()) < 2.05
+
+
+def test_case4_cyclone_pair(g24):
+    """Merging Rankine-vortex pair: stable integration, mass conserved,
+    vortices persist (nonzero relative vorticity)."""
+    g = g24
+    ic = sw_cases.case4(g.geom)
+    swd.prepare_phis(g, ic["phis"])
+    cfg = swd.SWConfig(npx=g.npx, dt=600.0, n_split=4, nord=2, d4_bg=0.12)
+    step = jax.jit(swd.make_sw_step(g, cfg))
+    d = jnp.asarray(ic["delp"])
+    u = jnp.asarray(ic["u"])
+    v = jnp.asarray(ic["v"])
+    m0 = _mass(g, d)
+    for _ in range(72):                      # 12 h
+        d, u, v = step(d, u, v, None, None)
+    assert not bool(jnp.isnan(d).any())
+    assert abs(_mass(g, d) - m0) / m0 < 1e-6
+    assert float(jnp.abs(u).max()) < 120.0
+    assert float(jnp.abs(u).max()) > 5.0     # vortices not damped away
+
+
+def test_case8_soliton_nonrotating(g24):
+    """Soliton twin-vortex on a NON-rotating planet (omega_override=0)."""
+    ic = sw_cases.case8(build_grid_ops(25, dtype=jnp.float64).geom)
+    assert ic["omega_override"] == 0.0
+    g = build_grid_ops(25, dtype=jnp.float64, omega=0.0)
+    swd.prepare_phis(g, ic["phis"])
+    cfg = swd.SWConfig(npx=g.npx, dt=900.0, n_split=4, nord=2, d4_bg=0.12)
+    step = jax.jit(swd.make_sw_step(g, cfg))
+    d = jnp.asarray(ic["delp"])
+    u = jnp.asarray(ic["u"])
+    v = jnp.asarray(ic["v"])
+    m0 = _mass(g, d)
+    for _ in range(96):                      # 1 day
+        d, u, v = step(d, u, v, None, None)
+    assert not bool(jnp.isnan(d).any())
+    assert abs(_mass(g, d) - m0) / m0 < 1e-6
+    assert float(jnp.abs(u).max()) < 120.0
+
+
+def test_case9_polar_vortex_balanced(g24):
+    """Polar-vortex profile is gradient-wind balanced: drift over one day
+    stays at truncation level."""
+    g = g24
+    ic = sw_cases.case9(g.geom)
+    swd.prepare_phis(g, ic["phis"])
+    cfg = swd.SWConfig(npx=g.npx, dt=1800.0, n_split=4, nord=1, d4_bg=0.16)
+    step = jax.jit(swd.make_sw_step(g, cfg))
+    d0 = jnp.asarray(ic["delp"])
+    u0 = jnp.asarray(ic["u"])
+    d, u, v = d0, u0, jnp.asarray(ic["v"])
+    m0 = _mass(g, d)
+    for _ in range(48):
+        d, u, v = step(d, u, v, None, None)
+    assert not bool(jnp.isnan(d).any())
+    assert abs(_mass(g, d) - m0) / m0 < 1e-6
+    assert float(jnp.abs(d - d0).max()) / float(d0.mean()) < 2e-2
+    assert float(jnp.abs(u - u0).max()) < 8.0

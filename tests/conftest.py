@@ -1,4 +1,4 @@
-"""Test configuration: run on CPU with 8 virtual devices (simulates the
+"""Test configuration: run on CPU with 12 virtual devices (simulates the
 multi-chip mesh; the reference's analog is real MPI jobs with layouts up to
 8x8x6 — SURVEY.md §4).
 
@@ -10,7 +10,7 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=12"
 
 import jax
 

@@ -195,3 +195,49 @@ def test_sw_step_parity(setup):
     np.testing.assert_allclose(np.asarray(us), np.asarray(ur),
                                rtol=0.0, atol=1e-7)
     assert not bool(jnp.isnan(ds).any())
+
+
+def test_hybrid_tile_yx_mesh_matches_single_device():
+    """Manual-tile + auto-(y,x) hybrid decomposition (shard_halo.shard_step
+    on a hybrid_mesh): the reference's intra-tile layout decomposition
+    (fv_mp_mod.F90:386-413). Cross-tile rotated halos ride ppermute; XLA's
+    SPMD partitioner splits each tile's interior over x. Must match the
+    single-device step to f64 roundoff."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+    from gfdl_atmos_cubed_sphere_tpu.model.grid_ops import build_grid_ops
+    from gfdl_atmos_cubed_sphere_tpu.model.dyn_core import DynConfig
+    from gfdl_atmos_cubed_sphere_tpu.model.fv_dynamics import fv_dynamics_hydro
+    from gfdl_atmos_cubed_sphere_tpu.model.sw_dynamics import prepare_phis
+    from gfdl_atmos_cubed_sphere_tpu.grid.fv_eta import set_eta
+    from gfdl_atmos_cubed_sphere_tpu.init.baroclinic import jw_baroclinic
+    from gfdl_atmos_cubed_sphere_tpu.parallel.shard_halo import (
+        shard_step, hybrid_mesh)
+
+    if len(jax.devices()) < 12:
+        pytest.skip("needs 12 devices")
+
+    npx, npz = 13, 10
+    g = build_grid_ops(npx, dtype=jnp.float64)
+    ks, ptop, ak, bk = set_eta(npz)
+    ic = jw_baroclinic(g.geom, npz, ak, bk, ptop)
+    prepare_phis(g, ic["phis"])
+    cfg = DynConfig(npx=npx, npz=npz, dt=120.0, n_split=2, use_scan=False)
+    akj = jnp.asarray(ak, jnp.float64)
+    bkj = jnp.asarray(bk, jnp.float64)
+
+    def dyn(gl, delp, pt, u, v):
+        r = fv_dynamics_hydro(delp, pt, u, v, None, gl, cfg, akj, bkj, ptop)
+        return r.delp, r.pt, r.u, r.v
+
+    args = tuple(jnp.asarray(ic[k], jnp.float64)
+                 for k in ("delp", "pt", "u", "v"))
+    ref = jax.jit(lambda *a: dyn(g, *a))(*args)
+    step = jax.jit(shard_step(g, dyn, mesh=hybrid_mesh(ly=1, lx=2)))
+    out = step(*args)
+    for r, o, name in zip(ref, out, ("delp", "pt", "u", "v")):
+        d = float(jnp.abs(r - o).max())
+        rel = d / max(1.0, float(jnp.abs(r).max()))
+        assert rel < 1e-12, (name, d, rel)

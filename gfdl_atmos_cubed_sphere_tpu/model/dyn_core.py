@@ -67,6 +67,8 @@ class DynConfig:
     adiabatic: bool = True
     consv_te: float = 0.0
     fill: bool = False
+    fill_dp: bool = False     # mix_dp delp-floor fixer (dyn_core.F90:820)
+    rf_fast: bool = False     # inline Rayleigh friction (dyn_core.F90:1058)
     is_ideal_case: bool = True
     # acoustic loop as lax.scan (fast compile) vs python-unrolled. Unrolled is
     # required under a GSPMD-sharded mesh: XLA mis-partitions the while-loop
@@ -236,8 +238,114 @@ def _sponge_level_params(cfg):
         nord_w=nv_base, nord_w2=0)
 
 
+def mix_dp(delp, pt, w, dpmin, hydrostatic=True):
+    """delp floor fixer (dyn_core.F90 mix_dp:2119): any layer thinner than
+    1% of its reference thickness borrows mass from the layer below (bottom
+    layer borrows from above), mass-weight-mixing pt (and w) so the column
+    stays conservative. Sequential in k (level k's deficit thins level k+1
+    before k+1 is tested) => a top-down lax.scan over levels.
+
+    delp, pt, w: [T, K, y, x]; dpmin: [K] static reference floor.
+    """
+    K = delp.shape[1]
+    dpm = np.asarray(dpmin, np.float64)
+    w_ = w if (w is not None and not hydrostatic) else jnp.zeros_like(delp)
+
+    # xs: level k+1 fields + level-k floor, scanned k = 0 .. K-2
+    mv = lambda a: jnp.moveaxis(a[:, 1:], 1, 0)
+    xs = (mv(delp), mv(pt), mv(w_),
+          jnp.asarray(dpm[:-1], delp.dtype).reshape(K - 1, 1, 1, 1))
+
+    def step(carry, x):
+        d_cur, p_cur, w_cur = carry
+        d_nxt, p_nxt, w_nxt, floor = x
+        bad = ~(d_cur >= floor)                       # catches NaN too
+        dp = floor - d_cur
+        p_out = jnp.where(bad, (p_cur * d_cur + p_nxt * dp) / floor, p_cur)
+        w_out = jnp.where(bad, (w_cur * d_cur + w_nxt * dp) / floor, w_cur)
+        d_out = jnp.where(bad, floor, d_cur)
+        d_nxt = jnp.where(bad, d_nxt - dp, d_nxt)
+        return (d_nxt, p_nxt, w_nxt), (d_out, p_out, w_out)
+
+    carry0 = (delp[:, 0], pt[:, 0], w_[:, 0])
+    (d_last, p_last, w_last), (d_up, p_up, w_up) = jax.lax.scan(
+        step, carry0, xs)
+
+    # bottom level borrows from (already-fixed) level K-2
+    floor = jnp.asarray(dpm[-1], delp.dtype)
+    bad = ~(d_last >= floor)
+    dp = floor - d_last
+    p_last = jnp.where(bad, (p_last * d_last + p_up[-1] * dp) / floor, p_last)
+    w_last = jnp.where(bad, (w_last * d_last + w_up[-1] * dp) / floor, w_last)
+    d_last = jnp.where(bad, floor, d_last)
+    d_up = d_up.at[-1].set(jnp.where(bad, d_up[-1] - dp, d_up[-1]))
+
+    cat = lambda up, last: jnp.concatenate(
+        [jnp.moveaxis(up, 0, 1), last[:, None]], axis=1)
+    delp = cat(d_up, d_last)
+    pt = cat(p_up, p_last)
+    if w is not None and not hydrostatic:
+        w = cat(w_up, w_last)
+    return delp, pt, w
+
+
+def ray_fast_profile(ak, bk, dt, tau, rf_cutoff, ptop, p_ref=1.e5):
+    """Static per-level profile for the inline Rayleigh friction
+    (dyn_core.F90 Ray_fast:2485 setup block). Returns (rf[K], dp_ref[K],
+    dm, k_rf); rf == 1 below the cutoff."""
+    ak = np.asarray(ak, np.float64)
+    bk = np.asarray(bk, np.float64)
+    K = ak.size - 1
+    ph = ak + bk * p_ref
+    ph = np.maximum(ph, 1e-8)
+    pfull = (ph[1:] - ph[:-1]) / np.log(ph[1:] / ph[:-1])
+    dp_ref = np.diff(ak) + np.diff(bk) * 1.e5
+    rf = np.ones(K)
+    tau0 = tau * 86400.0
+    for k in range(K):
+        if pfull[k] < rf_cutoff:
+            rff = dt / tau0 * np.sin(
+                0.5 * np.pi * np.log(rf_cutoff / pfull[k])
+                / np.log(rf_cutoff / ptop)) ** 2
+            rf[k] = 1.0 / (1.0 + rff)
+        else:
+            break
+    ks = max(int(np.sum(bk == 0.0)) - 1, 0)   # pure-pressure levels
+    dm = 0.0
+    k_rf = 0
+    for k in range(ks):
+        if pfull[k] < rf_cutoff + min(100.0, 10.0 * ptop):
+            dm += dp_ref[k]
+            k_rf = k + 1
+        else:
+            break
+    return rf, dp_ref, dm, k_rf
+
+
+def ray_fast(u, v, w, rf, dp_ref, dm, k_rf, hydrostatic=True):
+    """Momentum-conserving inline Rayleigh damping (dyn_core.F90
+    Ray_fast:2551-2599): damp u/v/w above rf_cutoff, deposit the removed
+    (mass-weighted) momentum uniformly into the top k_rf pressure levels."""
+    K = u.shape[1]
+    sh = (1, K, 1, 1)
+    rfb = jnp.asarray(rf, u.dtype).reshape(sh)
+    dpb = jnp.asarray(dp_ref, u.dtype).reshape(sh)
+    kmask = jnp.asarray(np.arange(K) < k_rf, u.dtype).reshape(sh)
+    loss = (1.0 - rfb) * dpb
+    if dm > 0.0 and k_rf > 0:
+        dmu = jnp.sum(loss * u, axis=1, keepdims=True) / dm
+        dmv = jnp.sum(loss * v, axis=1, keepdims=True) / dm
+    else:
+        dmu = dmv = 0.0
+    u = u * rfb + kmask * dmu
+    v = v * rfb + kmask * dmv
+    if w is not None and not hydrostatic:
+        w = w * rfb
+    return u, v, w
+
+
 def dyn_core_hydro(delp, pt, u, v, phis, g, cfg: DynConfig, akap, ptop,
-                   n_split, dt_acoustic):
+                   n_split, dt_acoustic, ak=None, bk=None):
     """Run the acoustic loop; returns updated fields + accumulated tracer
     transport info (mfx/mfy/cx/cy on compute walls) + final pressures."""
     halo = g.halo
@@ -252,6 +360,12 @@ def dyn_core_hydro(delp, pt, u, v, phis, g, cfg: DynConfig, akap, ptop,
     phis_p = g.phis_p
 
     pl = _sponge_level_params(cfg)
+    dpmin = rfp = None
+    if ak is not None and cfg.fill_dp:
+        dpmin = 0.01 * (np.diff(np.asarray(ak, np.float64))
+                        + np.diff(np.asarray(bk, np.float64)) * 1.e5)
+    if ak is not None and cfg.rf_fast and cfg.tau > 0.0:
+        rfp = ray_fast_profile(ak, bk, abs(dt), cfg.tau, cfg.rf_cutoff, ptop)
 
     def body(carry, _):
         delp, pt, u, v, mfx, mfy, cx, cy = carry
@@ -290,6 +404,8 @@ def dyn_core_hydro(delp, pt, u, v, phis, g, cfg: DynConfig, akap, ptop,
 
         delp = ds.delp
         pt = ds.pt
+        if dpmin is not None:
+            delp, pt, _ = mix_dp(delp, pt, None, dpmin, hydrostatic=True)
         mfx, mfy = mfx + ds.fx, mfy + ds.fy
         cx, cy = cx + ds.crx, cy + ds.cry
 
@@ -297,6 +413,8 @@ def dyn_core_hydro(delp, pt, u, v, phis, g, cfg: DynConfig, akap, ptop,
         pt_p2 = halo.pad_cell(pt)
         _, _, pk, gz, _ = geopk(delp_p2, pt_p2, phis_p, akap, ptop)
         u, v = one_grad_p(ds.u, ds.v, pk, gz, g, dt, npx, ptk)
+        if rfp is not None:
+            u, v, _ = ray_fast(u, v, None, *rfp)
         return (delp, pt, u, v, mfx, mfy, cx, cy), None
 
     T = delp.shape[0]
@@ -386,7 +504,7 @@ def nh_p_grad(u_acc, v_acc, pp, pk3, gz, delp_p, g, dt, npx, ptk):
 
 
 def dyn_core_nh(delp, pt, u, v, w, delz, phis, g, cfg: DynConfig, akap, ptop,
-                n_split, dt_acoustic, dp0):
+                n_split, dt_acoustic, dp0, ak=None, bk=None):
     """Nonhydrostatic acoustic loop (dyn_core.F90, hydrostatic=.false.):
     per iteration c_sw -> update_dz_c -> Riem_Solver_C -> p_grad_c ->
     d_sw -> update_dz_d -> Riem_Solver3 (SIM1) -> nh_p_grad.
@@ -410,6 +528,12 @@ def dyn_core_nh(delp, pt, u, v, w, delz, phis, g, cfg: DynConfig, akap, ptop,
     zs_p = phis2 / con.GRAV                       # [6, Y, X] surface height
     pl = _sponge_level_params(cfg)
     dp0 = np.asarray(dp0, np.float64)   # static host profile
+    dpmin = rfp = None
+    if ak is not None and cfg.fill_dp:
+        dpmin = 0.01 * (np.diff(np.asarray(ak, np.float64))
+                        + np.diff(np.asarray(bk, np.float64)) * 1.e5)
+    if ak is not None and cfg.rf_fast and cfg.tau > 0.0:
+        rfp = ray_fast_profile(ak, bk, abs(dt), cfg.tau, cfg.rf_cutoff, ptop)
 
     # initial height interfaces from delz (dyn_core.F90: zh saved from gz)
     def zh_from_delz(dz_int):
@@ -453,6 +577,8 @@ def dyn_core_nh(delp, pt, u, v, w, delz, phis, g, cfg: DynConfig, akap, ptop,
         delp = ds.delp
         pt = ds.pt
         w = ds.w
+        if dpmin is not None:
+            delp, pt, w = mix_dp(delp, pt, w, dpmin, hydrostatic=False)
         crx, cry = ds.crx, ds.cry
         xfx, yfx = ds.xfx, ds.yfx
         mfx, mfy = mfx + ds.fx, mfy + ds.fy
@@ -481,6 +607,8 @@ def dyn_core_nh(delp, pt, u, v, w, delz, phis, g, cfg: DynConfig, akap, ptop,
         gz_geo = rs.zh * con.GRAV
         u, v = nh_p_grad(ds.u, ds.v, rs.ppe, rs.pk3, gz_geo,
                          delp_p2, g, dt, npx, ptk)
+        if rfp is not None:
+            u, v, w = ray_fast(u, v, w, *rfp, hydrostatic=False)
         ws_c = ws_full[..., ctr, ctr]
         return (delp, pt, u, v, w, zh, ws_c, mfx, mfy, cx, cy), rs.pem
 

@@ -131,7 +131,7 @@ def fv_dynamics_hydro(delp, pt, u, v, q, g, cfg: DynConfig, ak, bk, ptop,
     if cfg.consv_te > 0.0:
         te0 = thermo.total_energy_2d_hydro(u, v, tv, delp, peln, pe,
                                            g.phis_p[..., 3:-3, 3:-3], g)
-    if cfg.tau > 0.0 and u0 is not None:
+    if cfg.tau > 0.0 and not cfg.rf_fast and u0 is not None:
         u, v, _ = rayleigh_super(u, v, None, u0, v0, ak, bk, cfg, ptop)
     ptv = tv / pkz
 
@@ -140,7 +140,7 @@ def fv_dynamics_hydro(delp, pt, u, v, q, g, cfg: DynConfig, ak, bk, ptop,
         last = n_map == cfg.k_split - 1
         dp1 = delp                                    # delp before acoustics
         res = dyn_core_hydro(delp, ptv, u, v, None, g, cfg, akap, ptop,
-                             cfg.n_split, mdt / cfg.n_split)
+                             cfg.n_split, mdt / cfg.n_split, ak=ak, bk=bk)
         conv = conv + _mass_convergence(res.mfx, res.mfy, g)
         if q:
             # large-timestep transport on the accumulated flux capacitors
@@ -325,7 +325,7 @@ def fv_dynamics_nh(delp, pt, u, v, w, delz, q, g, cfg: DynConfig, ak, bk,
                                         q["sphum"] if zvir else None,
                                         delp, delz,
                                         g.phis_p[..., 3:-3, 3:-3], g)
-    if cfg.tau > 0.0 and u0 is not None:
+    if cfg.tau > 0.0 and not cfg.rf_fast and u0 is not None:
         u, v, w = rayleigh_super(u, v, w, u0, v0, ak, bk, cfg, ptop)
     ptv = tv / pkz
 
@@ -334,7 +334,8 @@ def fv_dynamics_nh(delp, pt, u, v, w, delz, q, g, cfg: DynConfig, ak, bk,
         last = n_map == cfg.k_split - 1
         dp1 = delp
         res = dyn_core_nh(delp, ptv, u, v, w, delz, None, g, cfg, akap,
-                          ptop, cfg.n_split, mdt / cfg.n_split, dp0)
+                          ptop, cfg.n_split, mdt / cfg.n_split, dp0,
+                          ak=ak, bk=bk)
         conv = conv + _mass_convergence(res.mfx, res.mfy, g)
         if q:
             q, _ = tracer_2d(q, dp1, res.mfx, res.mfy, res.cx, res.cy, g,

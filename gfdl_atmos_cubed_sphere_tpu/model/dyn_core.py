@@ -69,6 +69,9 @@ class DynConfig:
     fill: bool = False
     fill_dp: bool = False     # mix_dp delp-floor fixer (dyn_core.F90:820)
     rf_fast: bool = False     # inline Rayleigh friction (dyn_core.F90:1058)
+    # bitwise layout-invariant global sums in the energy fixer
+    # (fv_control.F90:942 reproduce_sum -> parallel/reductions.py)
+    reproduce_sum: bool = False
     is_ideal_case: bool = True
     # acoustic loop as lax.scan (fast compile) vs python-unrolled. Unrolled is
     # required under a GSPMD-sharded mesh: XLA mis-partitions the while-loop

@@ -163,7 +163,7 @@ def fv_dynamics_hydro(delp, pt, u, v, q, g, cfg: DynConfig, ak, bk, ptop,
                     g.phis_p[..., 3:-3, 3:-3], g)
                 dtmp = thermo.energy_fixer_dtmp(
                     te0, te1, rm.pkz, delp, rm.pk2, ptop, cfg.consv_te, g,
-                    hydrostatic=True)
+                    hydrostatic=True, reproduce=cfg.reproduce_sum)
             qs_new = q["sphum"] if zvir else None
             pt = rm.tv + (dtmp / con.CP_AIR) * rm.pkz
             if zvir:
@@ -355,7 +355,7 @@ def fv_dynamics_nh(delp, pt, u, v, w, delz, q, g, cfg: DynConfig, ak, bk,
                     delp, delz, g.phis_p[..., 3:-3, 3:-3], g)
                 dtmp = thermo.energy_fixer_dtmp(
                     te0, te1, rm.pkz, delp, rm.pk2, ptop, cfg.consv_te, g,
-                    hydrostatic=False)
+                    hydrostatic=False, reproduce=cfg.reproduce_sum)
             pt = rm.tv + (dtmp / cv_air) * rm.pkz
             if zvir:
                 pt = pt / (1.0 + zvir * q["sphum"])

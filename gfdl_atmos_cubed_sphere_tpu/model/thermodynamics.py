@@ -55,11 +55,14 @@ def total_energy_2d_nh(u, v, w, tv, qsphum, delp, delz, phis, g):
     return te
 
 
-def g_mean(field2d, g):
+def g_mean(field2d, g, reproduce=False):
     """Area-weighted global mean (fv_grid_utils.F90 g_sum mode 0).
 
     Tile-parallel aware: inside a shard_map body (g.halo is a ShardHalo
-    with a mesh axis) the sum crosses tiles with lax.psum."""
+    with a mesh axis) the sum crosses tiles with lax.psum.
+
+    reproduce=True selects the bitwise layout-invariant fixed-point sum
+    (parallel/reductions.py, the reference's reproduce_sum contract)."""
     area = g.area_int if hasattr(g, "area_int") else None
     if area is None:
         area = jnp.asarray(g.geom.interior("area"))
@@ -68,9 +71,15 @@ def g_mean(field2d, g):
         import jax
         ti = jax.lax.axis_index(axis)
         area = jax.lax.dynamic_index_in_dim(area, ti, 0, keepdims=True)
+        if reproduce:
+            from ..parallel.reductions import g_sum_reproducible
+            return g_sum_reproducible(field2d, area, axis_name=axis)
         num = jax.lax.psum(jnp.sum(field2d * area), axis)
         den = jax.lax.psum(jnp.sum(area), axis)
         return num / den
+    if reproduce:
+        from ..parallel.reductions import g_sum_reproducible
+        return g_sum_reproducible(field2d, area)
     return jnp.sum(field2d * area) / jnp.sum(area)
 
 
@@ -147,7 +156,7 @@ def compute_aam(u, v, delp, g, ptop):
 
 
 def energy_fixer_dtmp(te0, te1, pkz, delp, pk, ptop, consv, g,
-                      hydrostatic=True):
+                      hydrostatic=True, reproduce=False):
     """Global heating increment dtmp (fv_mapz.F90:740-772): consv times the
     mean energy loss divided by the mean heat capacity integral."""
     zsum1 = jnp.sum(pkz * delp, axis=1)
@@ -155,4 +164,5 @@ def energy_fixer_dtmp(te0, te1, pkz, delp, pk, ptop, consv, g,
         zsum = ptop * (pk[:, 0] - pk[:, -1]) + zsum1
     else:
         zsum = zsum1
-    return consv * g_mean(te0 - te1, g) / g_mean(zsum, g)
+    return (consv * g_mean(te0 - te1, g, reproduce=reproduce)
+            / g_mean(zsum, g, reproduce=reproduce))

@@ -156,3 +156,95 @@ def import_fv_core_res(path):
     ak = state.pop("ak", None)
     bk = state.pop("bk", None)
     return state, ak, bk, tracers
+
+
+def remap_restart(state, tracers, ak_r, bk_r, ak, bk, g, kord=4,
+                  hydrostatic=True):
+    """Vertical remap of a restart state from the file's (ak_r, bk_r)
+    coordinate (npz_rst levels) onto the run's (ak, bk) coordinate
+    (fv_io.F90 remap_restart:624 / rst_remap:860, triggered by the
+    `npz_rst` namelist flag, fv_restart.F90:277).
+
+    state: dict with interior fields delp/pt/u/v [, w, delz] shaped
+    [6, K_r, ...]; tracers: dict of [6, K_r, n, n] (or None). pt is
+    TEMPERATURE. Returns (state, tracers) on the run coordinate, following
+    the reference recipe: ps from the restart column mass; tracers remapped
+    on p (iv=0); winds on wall-averaged p (iv=-1); virtual temperature on
+    log-p (iv=1, geopotential-conserving); delz via specific volume
+    (iv=1); all with monotone kord=4.
+    """
+    import jax.numpy as jnp
+
+    from ..ops import fv_mapz
+    from ..ops.sw_core import _rl, _cl
+    from ..ops.fill_corners import fi
+    from ..model import thermodynamics as thermo
+
+    delp_r = jnp.asarray(state["delp"])
+    K_r = delp_r.shape[1]
+    Kn = len(np.asarray(ak)) - 1
+    n = delp_r.shape[-1]
+    npx = n + 1
+    H = 3
+    ctr = slice(H, H + n)
+    f = fi
+    wsl = slice(f(1), f(npx) + 1)
+    kl = lambda a: jnp.moveaxis(a, 1, -1)          # k-minor for the remap ops
+    kf = lambda a: jnp.moveaxis(a, -1, 1)
+    e1 = lambda v: jnp.asarray(v, delp_r.dtype).reshape((1,) * 3 + (-1,))
+
+    ps = jnp.asarray(ak_r)[0] + jnp.sum(delp_r, axis=1)
+    pe1 = e1(ak_r) + e1(bk_r) * ps[..., None]      # [6, y, x, K_r+1]
+    pe2 = e1(ak) + e1(bk) * ps[..., None]
+    delp_new = kf(pe2[..., 1:] - pe2[..., :-1])
+
+    zvir = thermo.ZVIR
+    q_r = tracers or {}
+    has_sphum = "sphum" in q_r
+    tv = jnp.asarray(state["pt"])
+    if has_sphum:
+        tv = tv * (1.0 + zvir * jnp.asarray(q_r["sphum"]))
+
+    new_q = None
+    if q_r:
+        names = list(q_r.keys())
+        qs_stack = jnp.stack([kl(jnp.asarray(q_r[k])) for k in names], axis=1)
+        qk = fv_mapz.map1_ppm_ext(qs_stack, pe1[:, None], pe2[:, None], iv=0,
+                              kord=kord)
+        new_q = {nm: kf(qk[:, i]) for i, nm in enumerate(names)}
+
+    out = {"delp": delp_new}
+    if not hydrostatic and "w" in state and state["w"] is not None:
+        out["w"] = kf(fv_mapz.map1_ppm_ext(kl(jnp.asarray(state["w"])), pe1, pe2,
+                                       iv=-1, kord=kord))
+        if "delz" in state and state["delz"] is not None:
+            # remap -delz/delp ("specific volume"), then scale back
+            spv = -kl(jnp.asarray(state["delz"])) / kl(delp_r)
+            spv2 = fv_mapz.map1_ppm_ext(spv, pe1, pe2, iv=1, kord=kord)
+            out["delz"] = -kf(spv2) * delp_new
+
+    # geopotential-conserving virtual-T remap on log-p
+    tv_new = kf(fv_mapz.map1_ppm_ext(kl(tv), jnp.log(pe1), jnp.log(pe2), iv=1,
+                                 kord=kord))
+    pt_new = tv_new
+    if has_sphum:
+        pt_new = tv_new / (1.0 + zvir * new_q["sphum"])
+    out["pt"] = pt_new
+
+    # winds: edge pressures from wall-averaged ps (rst_remap:984-999, :1117)
+    ps_pad = g.halo.pad_cell(ps[:, None])
+    ps_u = 0.5 * (ps_pad[..., wsl, ctr] + _rl(ps_pad)[..., wsl, ctr])[:, 0]
+    pu1 = e1(ak_r) + e1(bk_r) * ps_u[..., None]
+    pu2 = e1(ak) + e1(bk) * ps_u[..., None]
+    out["u"] = kf(fv_mapz.map1_ppm_ext(kl(jnp.asarray(state["u"])), pu1, pu2,
+                                   iv=-1, kord=kord))
+    ps_v = 0.5 * (ps_pad[..., ctr, wsl] + _cl(ps_pad)[..., ctr, wsl])[:, 0]
+    pv1 = e1(ak_r) + e1(bk_r) * ps_v[..., None]
+    pv2 = e1(ak) + e1(bk) * ps_v[..., None]
+    out["v"] = kf(fv_mapz.map1_ppm_ext(kl(jnp.asarray(state["v"])), pv1, pv2,
+                                   iv=-1, kord=kord))
+
+    for k2 in ("phis", "ps"):
+        if k2 in state:
+            out[k2] = state[k2]
+    return out, new_q

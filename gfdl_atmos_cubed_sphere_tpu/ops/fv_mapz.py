@@ -369,6 +369,25 @@ def map1_ppm(q, pe1, pe2, qs=None, iv=1, kord=8, qmin=None):
     return remap_ppm(q, pe1, pe2, al, ar, a6)
 
 
+def map1_ppm_ext(q, pe1, pe2, qs=None, iv=1, kord=8, qmin=None):
+    """map1_ppm with constant extrapolation where the target coordinate
+    extends beyond the source column (mappm's above-ptop / below-surface
+    handling, fv_operators.F90:1782).  Needed when pe2's top edge lies above
+    pe1's (e.g. npz_rst restart remap onto a higher-top coordinate) —
+    remap_ppm clips target edges into the source range, so uncovered target
+    portions otherwise contribute zero mass.  The uncovered width of each
+    target layer is filled with the end source-layer value."""
+    q2 = map1_ppm(q, pe1, pe2, qs=qs, iv=iv, kord=kord, qmin=qmin)
+    w = pe2[..., 1:] - pe2[..., :-1]
+    top = pe1[..., :1]
+    bot = pe1[..., -1:]
+    miss_top = (jnp.clip(top - pe2[..., :-1], 0.0)
+                - jnp.clip(top - pe2[..., 1:], 0.0))
+    miss_bot = (jnp.clip(pe2[..., 1:] - bot, 0.0)
+                - jnp.clip(pe2[..., :-1] - bot, 0.0))
+    return (q2 * w + q[..., :1] * miss_top + q[..., -1:] * miss_bot) / w
+
+
 def map_scalar_logp(q, peln1, peln2, iv=1, kord=8, qmin=T_MIN):
     """map_scalar on log-p edges (temperature remap, kord_tm < 0)."""
     return map1_ppm(q, peln1, peln2, iv=iv, kord=abs(kord), qmin=qmin)

@@ -129,3 +129,66 @@ def cape_cin(pt, delp, qv, ptop):
     pos = jnp.maximum(contrib, 0.0).sum(axis=0)
     neg = jnp.minimum(contrib, 0.0).sum(axis=0)
     return pos, -neg
+
+
+def layer_heights(delz=None, pt=None, peln=None, sphum=None, phis=None):
+    """Height above ground of layer midpoints and bottom-up cumulative
+    column (fv_diagnostics' wz construction).  Nonhydrostatic: from -delz;
+    hydrostatic: dz = (Rd/g) Tv dlnp.  Inputs [.., K, n, n]; returns
+    (z_mid, z_edge_below) each [.., K, n, n] with z measured upward from
+    the surface."""
+    if delz is not None:
+        dz = -delz
+    else:
+        tv = pt if sphum is None else pt * (1.0 + mp.ZVIR * sphum)
+        dz = con.RDGAS / con.GRAV * tv * (peln[:, 1:] - peln[:, :-1])
+    # cumulative height of each layer's bottom interface, ground = 0
+    zbot = jnp.cumsum(dz[:, ::-1], axis=1)[:, ::-1] - dz
+    return zbot + 0.5 * dz, zbot
+
+
+def updraft_helicity(vort, w, z_mid, dz, z_bot=2.0e3, z_top=5.0e3):
+    """2-5 km updraft helicity UH = int vort*w dz over [z_bot, z_top]
+    (fv_diagnostics.F90 updraft_helicity, public :111), with partial-layer
+    overlap weighting.  vort/w/z_mid/dz: [.., K, n, n]; returns [.., n, n]
+    in (m/s)^2."""
+    lo = z_mid - 0.5 * dz
+    hi = z_mid + 0.5 * dz
+    overlap = jnp.clip(jnp.minimum(hi, z_top) - jnp.maximum(lo, z_bot),
+                       0.0, None)
+    return jnp.sum(vort * w * overlap, axis=1)
+
+
+def radar_reflectivity(delp, pt, q, delz=None, peln=None):
+    """Stoelinga (2005) simulated reflectivity with the constant-N0
+    Marshall-Palmer intercepts the GFDL MP uses (gfdl_mp.F90 rad_ref:6466;
+    registered as 'reflectivity' at fv_diagnostics.F90:1165).
+
+    Z_e = 3.63e9 (rho q_r)^1.75 + 9.80e8 (rho q_s)^1.75
+          + 4.33e10 (rho q_g)^1.75   [mm^6/m^3]
+    with the dry-ice correction alpha=0.224 folded into the snow/graupel
+    prefactors.  q: dict of tracers; returns (dbz [.., K, n, n],
+    composite_max [.., n, n]), floored at -20 dBZ."""
+    sph = q.get("sphum")
+    if delz is not None:
+        den = -delp / (con.GRAV * delz)
+    else:
+        tv = pt if sph is None else pt * (1.0 + mp.ZVIR * sph)
+        den = delp / ((peln[:, 1:] - peln[:, :-1]) * con.RDGAS * tv)
+    qmin = 1.0e-12
+    z_e = jnp.zeros_like(delp)
+    for name, fac in (("rainwat", 3.630803e9), ("snowwat", 9.80308e8),
+                      ("graupel", 4.330624e10)):
+        if name in q:
+            z_e = z_e + fac * jnp.maximum(den * q[name], qmin) ** 1.75
+    dbz = 10.0 * jnp.log10(jnp.maximum(z_e, 0.01))
+    dbz = jnp.maximum(dbz, -20.0)
+    return dbz, jnp.max(dbz, axis=1)
+
+
+def echo_top(dbz, z_mid, threshold=18.5):
+    """Highest altitude with dbz >= threshold (fv_diagnostics id_dbztop,
+    fv_diagnostics.F90:1265); -1 where never reached."""
+    hit = dbz >= threshold
+    z = jnp.where(hit, z_mid, -1.0)
+    return jnp.max(z, axis=1)

@@ -109,3 +109,62 @@ def test_cape_positive_for_unstable_column():
     cape, cin = derived.cape_cin(pt, delp, qv, ptop)
     assert float(cape.min()) > 0.0
     assert float(cin.min()) >= 0.0
+
+
+def test_updraft_helicity_partial_layers():
+    from gfdl_atmos_cubed_sphere_tpu.io.derived import (layer_heights,
+                                                        updraft_helicity)
+    K, n = 8, 4
+    delz = jnp.full((1, K, n, n), -1000.0)
+    zm, zb = layer_heights(delz=delz)
+    # column: layers span [0,8km]; UH over [2,5] km with vort*w = const c
+    vort = jnp.full((1, K, n, n), 2e-3)
+    w = jnp.full((1, K, n, n), 3.0)
+    uh = updraft_helicity(vort, w, zm, -delz, z_bot=2.0e3, z_top=5.0e3)
+    np.testing.assert_allclose(np.asarray(uh), 2e-3 * 3.0 * 3000.0,
+                               rtol=1e-12)
+    # half-layer overlap: [2.5, 4.5] km window
+    uh2 = updraft_helicity(vort, w, zm, -delz, z_bot=2.5e3, z_top=4.5e3)
+    np.testing.assert_allclose(np.asarray(uh2), 2e-3 * 3.0 * 2000.0,
+                               rtol=1e-12)
+
+
+def test_radar_reflectivity_monotone_in_rain():
+    from gfdl_atmos_cubed_sphere_tpu.io.derived import (radar_reflectivity,
+                                                        echo_top,
+                                                        layer_heights)
+    K, n = 6, 4
+    delp = jnp.full((1, K, n, n), 100e2)
+    pt = jnp.full((1, K, n, n), 270.0)
+    delz = jnp.full((1, K, n, n), -500.0)
+    q1 = {"rainwat": jnp.full((1, K, n, n), 1e-4)}
+    q2 = {"rainwat": jnp.full((1, K, n, n), 2e-3),
+          "snowwat": jnp.full((1, K, n, n), 1e-3)}
+    dbz1, c1 = radar_reflectivity(delp, pt, q1, delz=delz)
+    dbz2, c2 = radar_reflectivity(delp, pt, q2, delz=delz)
+    assert float(c2[0, 0, 0]) > float(c1[0, 0, 0]) > 0.0
+    # no hydrometeors -> floor
+    dbz0, c0 = radar_reflectivity(delp, pt, {}, delz=delz)
+    np.testing.assert_allclose(np.asarray(c0), -20.0)
+    # echo top: all layers above threshold -> top-layer midpoint (2750 m)
+    zm, _ = layer_heights(delz=delz)
+    et = echo_top(dbz2, zm)
+    np.testing.assert_allclose(np.asarray(et), 2750.0)
+    et0 = echo_top(dbz0, zm)
+    np.testing.assert_allclose(np.asarray(et0), -1.0)
+
+
+def test_layer_heights_hydrostatic_matches_nh():
+    from gfdl_atmos_cubed_sphere_tpu.io.derived import layer_heights
+    import gfdl_atmos_cubed_sphere_tpu.constants as con
+    K, n = 10, 3
+    rng = np.random.default_rng(3)
+    pt = jnp.asarray(rng.uniform(220.0, 290.0, (1, K, n, n)))
+    pe = np.linspace(100e2, 1000e2, K + 1)
+    peln = jnp.asarray(np.broadcast_to(
+        np.log(pe)[None, :, None, None], (1, K + 1, n, n)))
+    dz_h = con.RDGAS / con.GRAV * pt * (peln[:, 1:] - peln[:, :-1])
+    zm_h, _ = layer_heights(pt=pt, peln=peln)
+    zm_n, _ = layer_heights(delz=-dz_h)
+    np.testing.assert_allclose(np.asarray(zm_h), np.asarray(zm_n),
+                               rtol=1e-12)

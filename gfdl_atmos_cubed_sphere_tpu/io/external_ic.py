@@ -129,3 +129,112 @@ def read_latlon_netcdf(path, names=None):
         for key, var in f.variables.items():
             out[names.get(key, key)] = np.array(var[:])
     return out
+
+
+# ---- named source flavors (external_ic.F90 dispatch, get_external_ic:94) --
+
+#: NCEP/GFS spectral analysis variable names -> `ana` layout
+NCEP_NAMES = {"PS": "ps", "PHIS": "phis", "T": "t", "Q": "sphum",
+              "U": "u", "V": "v", "hyai": "ak_src", "hybi": "bk_src",
+              "lon": "lon", "lat": "lat"}
+
+#: ECMWF (ERA/IFS L137) variable names -> `ana` layout
+ECMWF_NAMES = {"sp": "ps", "z": "phis", "t": "t", "q": "sphum",
+               "u": "u", "v": "v", "clwc": "liq_wat", "ciwc": "ice_wat",
+               "crwc": "rainwat", "cswc": "snowwat",
+               "longitude": "lon", "latitude": "lat"}
+
+
+def _rename(raw, names):
+    out = {}
+    for k, v in raw.items():
+        out[names.get(k, k)] = v
+    return out
+
+
+def _finish_latlon_ic(ana, geom, g, ak, bk, ptop, kord, tracers=()):
+    st = state_from_latlon_analysis(ana, geom, ak, bk, ptop, kord=kord)
+    for name in tracers:
+        if name in ana:
+            lon_c = geom.interior("aglon")
+            lat_c = geom.interior("aglat")
+            w = latlon_bilinear_weights(ana["lon"], ana["lat"], lon_c, lat_c)
+            ps = interp_to_cube(ana["ps"], w)
+            aks = jnp.asarray(ana["ak_src"]).reshape((1,) * ps.ndim + (-1,))
+            bks = jnp.asarray(ana["bk_src"]).reshape((1,) * ps.ndim + (-1,))
+            pe1 = aks + bks * ps[..., None]
+            akd = jnp.asarray(ak).reshape((1,) * ps.ndim + (-1,))
+            bkd = jnp.asarray(bk).reshape((1,) * ps.ndim + (-1,))
+            pe2 = akd + bkd * ps[..., None]
+            f = jnp.moveaxis(interp_to_cube(jnp.asarray(ana[name]), w), 0, -1)
+            st[name] = jnp.moveaxis(
+                remap_column_field(f, pe1, pe2, iv=0, kord=kord), -1, 1)
+    if g is not None:
+        st["u"], st["v"] = d_winds_from_latlon(st["ua"], st["va"], g)
+    return st
+
+
+def get_ncep_ic(raw, geom, ak, bk, ptop, g=None, kord=8, t_is_virtual=True):
+    """NCEP/GFS lat-lon analysis -> model state (external_ic.F90
+    get_ncep_ic:1206).  The NCEP temperature is virtual; it is converted to
+    dry temperature after humidity interpolation (the reference's
+    virt-T handling)."""
+    ana = _rename(raw, NCEP_NAMES)
+    st = _finish_latlon_ic(ana, geom, g, ak, bk, ptop, kord)
+    if t_is_virtual and "sphum" in st:
+        zvir = con.RVGAS / con.RDGAS - 1.0
+        st["pt"] = st["pt"] / (1.0 + zvir * st["sphum"])
+    return st
+
+
+def get_ecmwf_ic(raw, geom, ak, bk, ptop, g=None, kord=8):
+    """ECMWF (ERA5/IFS) L137 hybrid-level analysis -> model state
+    (external_ic.F90 get_ecmwf_ic:1663), including the four condensate
+    species when present."""
+    ana = _rename(raw, ECMWF_NAMES)
+    return _finish_latlon_ic(ana, geom, g, ak, bk, ptop, kord,
+                             tracers=("liq_wat", "ice_wat", "rainwat",
+                                      "snowwat"))
+
+
+def get_nggps_ic(data, ak, bk, ptop, kord=8):
+    """Cube-native NGGPS/chgres input -> model state (external_ic.F90
+    get_nggps_ic:290).  `data` holds fields already on the cube grid:
+    ps [6,n,n], zh [6,K_s+1,n,n] interface heights, t, sphum (+ tracers)
+    [6,K_s,n,n] on the source's levels with ak_src/bk_src.  Vertically
+    remaps to (ak, bk) and derives delz from the remapped heights."""
+    ps = jnp.asarray(data["ps"])
+    aks = jnp.asarray(data["ak_src"]).reshape((1,) * ps.ndim + (-1,))
+    bks = jnp.asarray(data["bk_src"]).reshape((1,) * ps.ndim + (-1,))
+    pe1 = aks + bks * ps[..., None]
+    akd = jnp.asarray(ak).reshape((1,) * ps.ndim + (-1,))
+    bkd = jnp.asarray(bk).reshape((1,) * ps.ndim + (-1,))
+    pe2 = akd + bkd * ps[..., None]
+    delp = jnp.moveaxis(pe2[..., 1:] - pe2[..., :-1], -1, 1)
+    out = dict(delp=delp, ps=ps[:, None])
+
+    def remap(name, iv):
+        f = jnp.moveaxis(jnp.asarray(data[name]), 1, -1)
+        r = fv_mapz.map1_ppm_ext(f, pe1, pe2, iv=iv, kord=kord)
+        return jnp.moveaxis(r, -1, 1)
+
+    out["pt"] = remap("t", 1)
+    for name in ("sphum", "liq_wat", "ice_wat", "rainwat", "snowwat",
+                 "graupel"):
+        if name in data:
+            out[name] = remap(name, 0)
+    if "zh" in data:
+        # specific volume route for delz (get_nggps_ic's height remap)
+        zh = jnp.asarray(data["zh"])
+        dz1 = jnp.moveaxis(zh[:, 1:] - zh[:, :-1], 1, -1)   # negative up
+        dp1 = pe1[..., 1:] - pe1[..., :-1]
+        spv = -dz1 / dp1
+        spv2 = fv_mapz.map1_ppm_ext(spv, pe1, pe2, iv=1, kord=kord)
+        out["delz"] = -jnp.moveaxis(spv2, -1, 1) * delp
+    return out
+
+
+def get_external_ic(source, *args, **kw):
+    """Dispatcher matching external_ic.F90 get_external_ic:94."""
+    return {"ncep": get_ncep_ic, "ecmwf": get_ecmwf_ic,
+            "nggps": get_nggps_ic}[source](*args, **kw)

@@ -84,3 +84,62 @@ def test_iau_spreads_increment():
     np.testing.assert_allclose(np.asarray(state["pt"]), 6.0, rtol=1e-12)
     one = apply_da_increment({"pt": jnp.zeros((2, 2))}, inc)
     np.testing.assert_allclose(np.asarray(one["pt"]), 6.0)
+
+
+def test_get_ncep_ic_virtual_t_and_names():
+    g = build_grid_ops(NPX, dtype=jnp.float64)
+    ks, ptop, ak, bk = set_eta(NPZ)
+    ana = _analysis()
+    raw = {"PS": ana["ps"], "PHIS": ana["phis"], "T": ana["t"],
+           "Q": ana["sphum"], "U": ana["u"], "V": ana["v"],
+           "hyai": ana["ak_src"], "hybi": ana["bk_src"],
+           "lon": ana["lon"], "lat": ana["lat"]}
+    st = eic.get_ncep_ic(raw, g.geom, ak, bk, ptop, g=g)
+    stv = eic.get_ncep_ic(raw, g.geom, ak, bk, ptop, g=g,
+                          t_is_virtual=False)
+    # virtual-T conversion cools by ~ zvir*q*T
+    dT = np.asarray(stv["pt"]) - np.asarray(st["pt"])
+    assert (dT > 0).all() and float(dT.max()) < 0.5
+    assert "u" in st and st["u"].shape == (6, NPZ, g.n + 1, g.n)
+
+
+def test_get_ecmwf_ic_condensates():
+    g = build_grid_ops(NPX, dtype=jnp.float64)
+    ks, ptop, ak, bk = set_eta(NPZ)
+    ana = _analysis()
+    raw = {"sp": ana["ps"], "z": ana["phis"], "t": ana["t"],
+           "q": ana["sphum"], "u": ana["u"], "v": ana["v"],
+           "clwc": 1e-5 * np.ones_like(ana["t"]),
+           "ciwc": 2e-6 * np.ones_like(ana["t"]),
+           "hyai": 0, "ak_src": ana["ak_src"], "bk_src": ana["bk_src"],
+           "longitude": ana["lon"], "latitude": ana["lat"]}
+    st = eic.get_ecmwf_ic(raw, g.geom, ak, bk, ptop, g=g)
+    assert "liq_wat" in st and "ice_wat" in st
+    np.testing.assert_allclose(np.asarray(st["liq_wat"]), 1e-5, rtol=1e-6)
+
+
+def test_get_nggps_ic_cube_native_delz():
+    g = build_grid_ops(NPX, dtype=jnp.float64)
+    ks, ptop, ak, bk = set_eta(NPZ)
+    n = g.n
+    Ks = 14
+    ak_s = np.linspace(100.0, 0.0, Ks + 1)
+    bk_s = np.linspace(0.0, 1.0, Ks + 1) ** 1.2
+    ps = np.full((6, n, n), 1.0e5)
+    t = np.full((6, Ks, n, n), 260.0)
+    # isothermal heights consistent with hydrostatics
+    import gfdl_atmos_cubed_sphere_tpu.constants as con
+    pe = ak_s[:, None, None] + bk_s[:, None, None] * ps[0, :1]
+    zh1 = (con.RDGAS * 260.0 / con.GRAV
+           * np.log(pe[-1][None] / pe))                      # [Ks+1,1,n]
+    zh = np.broadcast_to(zh1[None, :, :], (6, Ks + 1, n, n)).copy()
+    data = dict(ps=ps, t=t, zh=zh, sphum=np.full((6, Ks, n, n), 1e-3),
+                ak_src=ak_s, bk_src=bk_s)
+    st = eic.get_external_ic("nggps", data, ak, bk, ptop)
+    assert st["delp"].shape == (6, NPZ, n, n)
+    assert (np.asarray(st["delz"]) < 0).all()
+    # remapped isothermal delz ~ hydrostatic thickness on new levels
+    pe2 = ak + bk * 1.0e5
+    dz2 = -(con.RDGAS * 260.0 / con.GRAV) * np.diff(np.log(pe2))
+    np.testing.assert_allclose(np.asarray(st["delz"])[0, :, 5, 5], dz2,
+                               rtol=0.05)

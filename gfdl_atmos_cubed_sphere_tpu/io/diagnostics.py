@@ -180,3 +180,83 @@ class ColumnDiag:
                     out(f"  {kk:3d} " + "  ".join(
                         f"{float(cols[nm][kk]):12.5g}" for nm in grp))
         return samples
+
+
+def fv_diag(dm, state, q, g, ak, bk, ptop, plevs=(850.0e2, 500.0e2, 200.0e2),
+            hydrostatic=True, prefix=""):
+    """Standard diagnostic sweep (fv_diagnostics.F90 fv_diag:1590): computes
+    the core registered-field set from the prognostic state and sends each
+    to the DiagManager `dm` (registering on first use).
+
+    state: dict with delp, pt (temperature), u, v [, w, delz, omga];
+    q: tracer dict or None.  Sends 3-D fields (ucomp, vcomp, temp, delp,
+    vort, pv, tracers), 2-D fields (ps, slp, vort850, composite
+    reflectivity, 2-5 km updraft helicity, CAPE/CIN, per-plev u/v/t/h), and
+    returns the dict of computed arrays for callers that want them."""
+    import jax.numpy as jnp
+
+    from .derived import (relative_vorticity, potential_vorticity,
+                          sea_level_pressure, interp_to_pressure_levels,
+                          cape_cin, radar_reflectivity, updraft_helicity,
+                          layer_heights)
+    from ..model.fv_update_phys import cubed_to_latlon
+
+    delp, pt, u, v = (state[k] for k in ("delp", "pt", "u", "v"))
+    sph = (q or {}).get("sphum")
+    out = {}
+
+    ua, va = cubed_to_latlon(u, v, g)
+    out["ucomp"], out["vcomp"] = ua, va
+    out["temp"] = pt
+    out["delp"] = delp
+    ps = ptop + jnp.sum(delp, axis=1)
+    out["ps"] = ps
+    vort = relative_vorticity(u, v, g)
+    out["vort"] = vort
+    out["pv"] = potential_vorticity(u, v, pt, delp, g, ptop=ptop)
+    out["slp"] = sea_level_pressure(ps, state["phis"][:, 0]
+                                    if state.get("phis") is not None
+                                    else jnp.zeros_like(ps), pt[:, -1])
+    if "omga" in state and state["omga"] is not None:
+        out["omga"] = state["omga"]
+    if q:
+        for name, field in q.items():
+            out[name] = field
+
+    for p in plevs:
+        tag = f"{int(p / 100)}"
+        for nm, f in (("u", ua), ("v", va), ("t", pt)):
+            out[f"{nm}{tag}"] = interp_to_pressure_levels(
+                f, delp, ptop, jnp.asarray([p]))[:, 0]
+        out[f"vort{tag}"] = interp_to_pressure_levels(
+            vort, delp, ptop, jnp.asarray([p]))[:, 0]
+
+    if q and "rainwat" in q:
+        peln = jnp.log(jnp.concatenate(
+            [jnp.full_like(delp[:, :1], ptop),
+             ptop + jnp.cumsum(delp, axis=1)], axis=1))
+        dbz, comp = radar_reflectivity(delp, pt, q,
+                                       delz=state.get("delz"),
+                                       peln=None if not hydrostatic
+                                       else peln)
+        out["reflectivity"] = dbz
+        out["max_reflectivity"] = comp
+    if not hydrostatic and state.get("w") is not None \
+            and state.get("delz") is not None:
+        zm, _ = layer_heights(delz=state["delz"])
+        out["uh25"] = updraft_helicity(vort, state["w"], zm,
+                                       -state["delz"])
+    if sph is not None:
+        cape, cin = cape_cin(pt, delp, sph, ptop)
+        out["cape"] = cape
+        out["cin"] = cin
+        # total water path (kg/m^2)
+        import gfdl_atmos_cubed_sphere_tpu.constants as con
+        out["tq"] = jnp.sum(delp * sph, axis=1) / con.GRAV
+
+    for name, arr in out.items():
+        full = prefix + name
+        if full not in dm._fields:
+            dm.register(full)
+        dm.send(full, arr)
+    return out

@@ -176,3 +176,38 @@ def test_output_bundles(setup):
     register_and_send(dm, cm, prefix="cmip_")
     register_and_send(dm, cm, prefix="cmip_")
     assert dm.series("cmip_ua").shape[0] == 2
+
+
+def test_fv_diag_sweep_registers_and_sends():
+    from gfdl_atmos_cubed_sphere_tpu.io.diagnostics import (DiagManager,
+                                                            fv_diag)
+    from gfdl_atmos_cubed_sphere_tpu.model.grid_ops import build_grid_ops
+    from gfdl_atmos_cubed_sphere_tpu.grid.fv_eta import set_eta
+    from gfdl_atmos_cubed_sphere_tpu.init.baroclinic import jw_baroclinic
+
+    g = build_grid_ops(13, dtype=jnp.float64)
+    ks, ptop, ak, bk = set_eta(10)
+    ic = jw_baroclinic(g.geom, 10, ak, bk, ptop, perturb=True, moist=True)
+    st = {k: jnp.asarray(ic[k]) for k in ("delp", "pt", "u", "v", "w",
+                                          "delz", "phis")}
+    if st["phis"].ndim == 3:
+        st["phis"] = st["phis"][:, None]
+    q = {"sphum": jnp.asarray(ic["sphum"]),
+         "rainwat": jnp.full_like(jnp.asarray(ic["sphum"]), 1e-5)}
+    dm = DiagManager()
+    out = fv_diag(dm, st, q, g, ak, bk, ptop, hydrostatic=False)
+    for key in ("ucomp", "temp", "ps", "slp", "vort850", "u500", "cape",
+                "max_reflectivity", "uh25", "tq"):
+        assert key in out, key
+    # sent into the registry with one snapshot each
+    assert len(dm.series("slp")) == 1
+    # slp is higher than ps wherever terrain is elevated
+    import numpy as np
+    phis = np.asarray(st["phis"][:, 0])
+    sel = phis > 100.0
+    if sel.any():
+        assert (np.asarray(out["slp"])[sel] >
+                np.asarray(out["ps"])[sel]).all()
+    # second sweep appends
+    fv_diag(dm, st, q, g, ak, bk, ptop, hydrostatic=False)
+    assert len(dm.series("slp")) == 2

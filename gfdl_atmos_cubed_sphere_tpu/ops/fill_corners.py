@@ -15,6 +15,8 @@ All tiles span a full cube face here, so every tile has all four corners.
 """
 
 import jax.numpy as jnp
+import numpy as np
+from functools import lru_cache
 
 H = 3
 NG = 3
@@ -33,7 +35,7 @@ def _flip(a):
 # Cell-centered (A-grid data layout) fills used by c_sw (sw_core.F90:3496).
 # ---------------------------------------------------------------------------
 
-def fill_4corners_cell(q, direction, npx):
+def _fill_4corners_cell_ref(q, direction, npx):
     """sw_core.F90 fill_4corners: fill 2 cells at each corner for a sweep.
 
     q: [..., P, P] padded cell array. direction: 1 = x, 2 = y.
@@ -65,7 +67,7 @@ def fill_4corners_cell(q, direction, npx):
 # B-grid (corner point) scalar fills (fv_mp_mod.F90:944-982, BGRID branch).
 # ---------------------------------------------------------------------------
 
-def fill_corners_bgrid(q, direction, npx):
+def _fill_corners_bgrid_ref(q, direction, npx):
     """q: [..., NW, NW] padded corner-point array; fills ng x ng corner blocks."""
     f = fi
     npy = npx
@@ -104,7 +106,7 @@ def fill_corners_bgrid(q, direction, npx):
 # u: y-wall [..., NW, P]; v: x-wall [..., P, NW]; sign=-1 for wind vectors.
 # ---------------------------------------------------------------------------
 
-def fill_corners_dgrid_vector(u, v, npx, sign=-1.0):
+def _fill_corners_dgrid_vector_ref(u, v, npx, sign=-1.0):
     f = fi
     npy = npx
     for j in range(1, NG + 1):
@@ -128,3 +130,209 @@ def fill_corners_dgrid_vector(u, v, npx, sign=-1.0):
         v = v.at[..., f(npy - 1 + j), f(npx + 1):f(npx + NG) + 1].set(
             sign * u[..., f(npy + 1):f(npy + NG) + 1, f(npx - j)])
     return u, v
+
+
+# ---------------------------------------------------------------------------
+# Strip-concat reimplementation of the fills above.
+#
+# Each static-index .at[].set on a [.., K, P, P] array lowers to a separate
+# full-array dynamic-update-slice pass on TPU (~one HBM round trip per
+# assignment), so the reference-transcribed fills above cost ~8 full passes
+# per call. All of them only modify the top/bottom h rows, so we instead run
+# the reference implementation ONCE on an encoded index array (cached per
+# shape/config), decompose the changed strip rows into affine runs, and
+# rebuild the output with small slices + one concatenate (a single pass).
+# The plan is verified against the reference output at build time.
+# ---------------------------------------------------------------------------
+
+_ENC = float(1 << 22)
+
+
+def _encode(shape, tag):
+    n = int(np.prod(shape))
+    v = np.arange(1, n + 1, dtype=np.float64).reshape(shape)
+    return v * (_ENC if tag == 1 else 1.0)
+
+
+def _decode(v):
+    sign = 1.0 if v > 0 else -1.0
+    a = abs(v)
+    if a >= _ENC:
+        return 1, sign, int(round(a / _ENC)) - 1
+    return 0, sign, int(round(a)) - 1
+
+
+def _strip_runs(rows, src_shapes):
+    """rows: [nr, Px] encoded output; returns per-row list of runs
+    (src, sign, j0, dj, i0, di, L)."""
+    plan = []
+    nr, Px = rows.shape
+    for r in range(nr):
+        row = rows[r]
+        pieces = []
+        k = 0
+        while k < Px:
+            src, sign, lin = _decode(row[k])
+            Pxs = src_shapes[src][1]
+            j0, i0 = divmod(lin, Pxs)
+            L = 1
+            dj = di = 0
+            jp, ip = j0, i0
+            m = k + 1
+            while m < Px:
+                s2, g2, l2 = _decode(row[m])
+                if s2 != src or g2 != sign:
+                    break
+                j2, i2 = divmod(l2, Pxs)
+                sj, si = j2 - jp, i2 - ip
+                if L == 1:
+                    if abs(sj) + abs(si) != 1:
+                        break
+                    dj, di = sj, si
+                elif (sj, si) != (dj, di):
+                    break
+                jp, ip = j2, i2
+                L += 1
+                m += 1
+            pieces.append((src, sign, j0, dj, i0, di, L))
+            k = m
+        plan.append(pieces)
+    return plan
+
+
+def _emit_run(arrs, run):
+    src, sign, j0, dj, i0, di, L = run
+    q = arrs[src]
+    if L == 1 or dj == 0:
+        if di >= 0:
+            piece = q[..., j0:j0 + 1, i0:i0 + L]
+        else:
+            piece = q[..., j0:j0 + 1, i0 - L + 1:i0 + 1][..., ::-1]
+    else:
+        if dj > 0:
+            piece = q[..., j0:j0 + L, i0:i0 + 1]
+        else:
+            piece = q[..., j0 - L + 1:j0 + 1, i0:i0 + 1][..., ::-1, :]
+        piece = jnp.swapaxes(piece, -1, -2)
+    return piece if sign > 0 else -piece
+
+
+def _apply_strip_plan(arrs, out_idx, plan_top, plan_bot, h):
+    q = arrs[out_idx]
+    Py = q.shape[-2]
+    rows = []
+    for pieces in plan_top:
+        rows.append(jnp.concatenate([_emit_run(arrs, rn) for rn in pieces], -1)
+                    if len(pieces) > 1 else _emit_run(arrs, pieces[0]))
+    top = jnp.concatenate(rows, -2) if len(rows) > 1 else rows[0]
+    rows = []
+    for pieces in plan_bot:
+        rows.append(jnp.concatenate([_emit_run(arrs, rn) for rn in pieces], -1)
+                    if len(pieces) > 1 else _emit_run(arrs, pieces[0]))
+    bot = jnp.concatenate(rows, -2) if len(rows) > 1 else rows[0]
+    return jnp.concatenate([top, q[..., h:Py - h, :], bot], -2)
+
+
+def _np_apply_plan(arrs_np, out_idx, plan_top, plan_bot, h):
+    import numpy as _n
+
+    def emit(run):
+        src, sign, j0, dj, i0, di, L = run
+        q = arrs_np[src]
+        if L == 1 or dj == 0:
+            if di >= 0:
+                piece = q[j0:j0 + 1, i0:i0 + L]
+            else:
+                piece = q[j0:j0 + 1, i0 - L + 1:i0 + 1][:, ::-1]
+        else:
+            if dj > 0:
+                piece = q[j0:j0 + L, i0:i0 + 1]
+            else:
+                piece = q[j0 - L + 1:j0 + 1, i0:i0 + 1][::-1, :]
+            piece = piece.T
+        return piece * sign
+
+    q = arrs_np[out_idx]
+    Py = q.shape[-2]
+    top = _n.concatenate([_n.concatenate([emit(rn) for rn in pieces], -1)
+                          for pieces in plan_top], -2)
+    bot = _n.concatenate([_n.concatenate([emit(rn) for rn in pieces], -1)
+                          for pieces in plan_bot], -2)
+    return _n.concatenate([top, q[h:Py - h, :], bot], -2)
+
+
+def _build_plan(ref_fn, src_shapes, out_specs, h=H):
+    """ref_fn: maps encoded numpy arrays -> tuple of output numpy arrays
+    (reference semantics). src_shapes: [(Py, Px), ...]. out_specs: list of
+    source indices that are also outputs. Returns per-output
+    (plan_top, plan_bot), verified to reproduce ref_fn exactly."""
+    enc = [_encode(sh, i) for i, sh in enumerate(src_shapes)]
+    import jax as _jax
+    with _jax.ensure_compile_time_eval():
+        # plans may be built lazily inside a jit trace; the reference run on
+        # the encoded index array must evaluate eagerly
+        outs = ref_fn(*enc)
+    plans = []
+    for oi, out in zip(out_specs, outs):
+        out = np.asarray(out)
+        base = enc[oi]
+        Py = base.shape[-2]
+        assert np.array_equal(out[h:Py - h, :], base[h:Py - h, :]), \
+            "fill touches middle rows; strip plan invalid"
+        pt = _strip_runs(out[:h, :], src_shapes)
+        pb = _strip_runs(out[Py - h:, :], src_shapes)
+        rec = _np_apply_plan(enc, oi, pt, pb, h)
+        assert np.array_equal(rec, out), "strip plan failed verification"
+        plans.append((pt, pb))
+    return plans
+
+
+@lru_cache(maxsize=64)
+def _plan_cell(P, direction, npx):
+    return _build_plan(
+        lambda e: (np.asarray(_fill_4corners_cell_ref(jnp.asarray(e),
+                                                      direction, npx)),),
+        [(P, P)], [0])[0]
+
+
+@lru_cache(maxsize=64)
+def _plan_bgrid(P, direction, npx):
+    return _build_plan(
+        lambda e: (np.asarray(_fill_corners_bgrid_ref(jnp.asarray(e),
+                                                      direction, npx)),),
+        [(P, P)], [0])[0]
+
+
+@lru_cache(maxsize=64)
+def _plan_dgrid(PuY, PuX, PvY, PvX, npx, sign):
+    def ref(eu, ev):
+        u2, v2 = _fill_corners_dgrid_vector_ref(jnp.asarray(eu),
+                                                jnp.asarray(ev), npx,
+                                                sign=sign)
+        return np.asarray(u2), np.asarray(v2)
+    return _build_plan(ref, [(PuY, PuX), (PvY, PvX)], [0, 1])
+
+
+def fill_4corners_cell(q, direction, npx):
+    """sw_core.F90 fill_4corners: fill 2 cells at each corner for a sweep.
+    q: [..., P, P] padded cell array; direction: 1 = x, 2 = y."""
+    pt, pb = _plan_cell(q.shape[-1], direction, npx)
+    return _apply_strip_plan([q], 0, pt, pb, H)
+
+
+def fill_corners_bgrid(q, direction, npx):
+    """q: [..., NW, NW] padded corner-point array; fills ng x ng corner
+    blocks (fv_mp_mod.F90:944-982 BGRID)."""
+    pt, pb = _plan_bgrid(q.shape[-1], direction, npx)
+    return _apply_strip_plan([q], 0, pt, pb, H)
+
+
+def fill_corners_dgrid_vector(u, v, npx, sign=-1.0):
+    """D-grid staggered vector corner fill (fv_mp_mod.F90:1249-1281).
+    u: y-wall [..., NW, P]; v: x-wall [..., P, NW]; sign=-1 for winds."""
+    (put, pub), (pvt, pvb) = _plan_dgrid(u.shape[-2], u.shape[-1],
+                                         v.shape[-2], v.shape[-1],
+                                         npx, float(sign))
+    u2 = _apply_strip_plan([u, v], 0, put, pub, H)
+    v2 = _apply_strip_plan([u, v], 1, pvt, pvb, H)
+    return u2, v2

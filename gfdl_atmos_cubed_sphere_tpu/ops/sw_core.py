@@ -408,220 +408,236 @@ def c_sw(delp, pt, w, u, v, g, dt2, hydrostatic=True, nord=0, sw_mode=False):
 # xtp_u / ytp_v (sw_core.F90:2154 / 2524): wind advection to B points
 # ===========================================================================
 
-def xtp_u(c, u, dx, rdx, iord, lim_fac=1.0, edges=True):
-    """Flux of the D-grid u wind to cell corners.
+def xtp_u(c, u, dx, rdx, iord, lim_fac=1.0, edges=True, axis=-1):
+    """Flux of the D-grid u wind to cell corners (sw_core.F90 xtp_u:2154).
 
-    c: [..., NW, NW] advective courant at corners (valid [1..npx] cols,
-       [1..npy] rows); u, dx, rdx: [..., NW, NC] y-wall arrays.
-    Returns [..., NW, NW] flux (valid on the same corner range).
+    axis=-1: c [..., NW, NW] corner courant (valid [1..npx] cols/rows);
+    u, dx, rdx [..., NW, NC] y-wall arrays; PPM stencil along the last axis.
+    axis=-2: the ytp_v orientation (sw_core.F90 ytp_v:2524) — v/dy/rdy
+    [..., NC, NW] x-wall arrays, stencil along rows — same code path with
+    axis-generic slicing, no physical transposes.
+
+    Edge overrides are assembled by strip concatenation (one materialization
+    per output array) instead of per-column dynamic-update-slices: on TPU a
+    static-index .at[].set lowers to a full-array pass, so the reference's
+    ~20 scattered edge assignments per call cost ~20 full passes; here the
+    interior and six edge cells are concatenated in a single pass.
     """
     npx = c.shape[-1] - 2 * H
     if not edges:
         # periodic interior: identical interior scheme via the generic xppm
         from .tp_core import xppm
         f_ = fi
+        if axis == -2:
+            ct = jnp.swapaxes(c, -1, -2)
+            out = xtp_u(ct, jnp.swapaxes(u, -1, -2), jnp.swapaxes(dx, -1, -2),
+                        jnp.swapaxes(rdx, -1, -2), iord, lim_fac, edges=False)
+            return jnp.swapaxes(out, -1, -2)
         cw = c[..., :, f_(1):f_(npx) + 1]
         flux = xppm(u, cw, dx, iord, lim_fac, edges=False)
         out = jnp.zeros_like(c)
         return out.at[..., :, f_(1):f_(npx) + 1].set(flux)
     n = npx - 1
     f = fi
-    NC = n + 2 * H
+    ax = axis
 
-    def ucol(i):
-        return u[..., :, f(i)]
+    def S(q, sl):
+        return q[..., sl] if ax == -1 else q[..., sl, :]
 
-    def dxc_(i):
-        return dx[..., :, f(i)]
+    def col(q, i, w=1):
+        """width-w f-indexed cell slice along the stencil axis (keepdim)."""
+        return S(q, slice(f(i), f(i) + w))
+
+    def cat(parts):
+        return jnp.concatenate(parts, ax)
+
+    def padq(q, lo, hi):
+        pad = [(0, 0)] * q.ndim
+        pad[q.ndim + ax] = (lo, hi)
+        return jnp.pad(q, pad)
+
+    cl = lambda q: padq(q, 1, 0)     # cell i-1 viewed at wall i
+    cr = lambda q: padq(q, 0, 1)     # cell i viewed at wall i
+
+    # corner-row zero mask along the orthogonal (wall) axis: rows f(1), f(npx)
+    NWlen = c.shape[-1]
+    zr = np.ones((NWlen,), np.float64)
+    zr[f(1)] = 0.0
+    zr[f(npx)] = 0.0
+    zmask = jnp.asarray(zr, u.dtype)
+    zmask = zmask[:, None] if ax == -1 else zmask[None, :]
+    zero2 = jnp.zeros_like(S(u, slice(0, 2)))
+
+    u0 = lambda i: col(u, i)
+    dx0 = lambda i: col(dx, i)
+    La = npx - 4          # al walls [3, npx-2]
+    Lb = npx - 5          # interior cells [3, npx-3]
+
+    def edge_extrap_w():
+        xl = 0.5 * ((2.0 * dx0(0) + dx0(-1)) * u0(0)
+                    - dx0(0) * u0(-1)) / (dx0(0) + dx0(-1))
+        xr = 0.5 * ((2.0 * dx0(1) + dx0(2)) * u0(1)
+                    - dx0(1) * u0(2)) / (dx0(1) + dx0(2))
+        return xl + xr
+
+    def edge_extrap_e():
+        xl = 0.5 * ((2.0 * dx0(npx - 1) + dx0(npx - 2)) * u0(npx - 1)
+                    - dx0(npx - 1) * u0(npx - 2)) / (dx0(npx - 1) + dx0(npx - 2))
+        xr = 0.5 * ((2.0 * dx0(npx) + dx0(npx + 1)) * u0(npx)
+                    - dx0(npx) * u0(npx + 1)) / (dx0(npx) + dx0(npx + 1))
+        return xl + xr
 
     if iord < 8:
-        # al over walls [3, npx-2]
-        s = f(1)                     # cell i-2 for wall 3
-        La = npx - 4
-        al_m = (P1 * (u[..., :, s + 1:s + 1 + La] + u[..., :, s + 2:s + 2 + La])
-                + P2 * (u[..., :, s:s + La] + u[..., :, s + 3:s + 3 + La]))
-        # bl/br over cells [3, npx-3]
-        Lb = npx - 5
-        q = u[..., :, f(3):f(npx - 3) + 1]
-        bl = jnp.zeros_like(u)
-        br = jnp.zeros_like(u)
-        bl = bl.at[..., :, f(3):f(npx - 3) + 1].set(al_m[..., :, :Lb] - q)
-        br = br.at[..., :, f(3):f(npx - 3) + 1].set(al_m[..., :, 1:1 + Lb] - q)
+        # ---- linear PPM family (sw_core.F90:2177-2291) --------------------
+        al_m = (P1 * (col(u, 2, La) + col(u, 3, La))
+                + P2 * (col(u, 1, La) + col(u, 4, La)))
+        qq = col(u, 3, Lb)
+        blv = S(al_m, slice(0, Lb)) - qq
+        brv = S(al_m, slice(1, 1 + Lb)) - qq
         # west edge (sw_core.F90:2200-2219)
-        xt = C3 * ucol(1) + C2 * ucol(2) + C1 * ucol(3)
-        br = br.at[..., :, f(1)].set(xt - ucol(1))
-        bl = bl.at[..., :, f(2)].set(xt - ucol(2))
-        br = br.at[..., :, f(2)].set(al_m[..., :, 0] - ucol(2))
-        bl = bl.at[..., :, f(0)].set(
-            C1 * ucol(-2) + C2 * ucol(-1) + C3 * ucol(0) - ucol(0))
-        xt0 = 0.5 * (((2.0 * dxc_(0) + dxc_(-1)) * ucol(0) - dxc_(0) * ucol(-1))
-                     / (dxc_(0) + dxc_(-1))
-                     + ((2.0 * dxc_(1) + dxc_(2)) * ucol(1) - dxc_(1) * ucol(2))
-                     / (dxc_(1) + dxc_(2)))
-        br = br.at[..., :, f(0)].set(xt0 - ucol(0))
-        bl = bl.at[..., :, f(1)].set(xt0 - ucol(1))
+        xt = C3 * u0(1) + C2 * u0(2) + C1 * u0(3)
+        bl_0 = C1 * u0(-2) + C2 * u0(-1) + C3 * u0(0) - u0(0)
+        xt0 = edge_extrap_w()
+        br_0 = xt0 - u0(0)
+        bl_1 = xt0 - u0(1)
+        br_1 = xt - u0(1)
+        bl_2 = xt - u0(2)
+        br_2 = S(al_m, slice(0, 1)) - u0(2)
         # east edge
-        bl = bl.at[..., :, f(npx - 2)].set(al_m[..., :, -1] - ucol(npx - 2))
-        xte = C1 * ucol(npx - 3) + C2 * ucol(npx - 2) + C3 * ucol(npx - 1)
-        br = br.at[..., :, f(npx - 2)].set(xte - ucol(npx - 2))
-        bl = bl.at[..., :, f(npx - 1)].set(xte - ucol(npx - 1))
-        br = br.at[..., :, f(npx)].set(
-            C3 * ucol(npx) + C2 * ucol(npx + 1) + C1 * ucol(npx + 2) - ucol(npx))
-        xtn = 0.5 * (((2.0 * dxc_(npx - 1) + dxc_(npx - 2)) * ucol(npx - 1)
-                      - dxc_(npx - 1) * ucol(npx - 2))
-                     / (dxc_(npx - 1) + dxc_(npx - 2))
-                     + ((2.0 * dxc_(npx) + dxc_(npx + 1)) * ucol(npx)
-                        - dxc_(npx) * ucol(npx + 1))
-                     / (dxc_(npx) + dxc_(npx + 1)))
-        br = br.at[..., :, f(npx - 1)].set(xtn - ucol(npx - 1))
-        bl = bl.at[..., :, f(npx)].set(xtn - ucol(npx))
-        # zero at tile-edge rows (corner rows 1 and npy): cells -? the four
-        # cells adjacent to the edge in the stencil
-        for jr in (f(1), f(npx)):
-            for ic in (f(0), f(1), f(npx - 1), f(npx)):
-                bl = bl.at[..., jr, ic].set(0.0)
-                br = br.at[..., jr, ic].set(0.0)
+        bl_n2 = S(al_m, slice(La - 1, La)) - u0(npx - 2)
+        xte = C1 * u0(npx - 3) + C2 * u0(npx - 2) + C3 * u0(npx - 1)
+        br_n2 = xte - u0(npx - 2)
+        bl_n1 = xte - u0(npx - 1)
+        xtn = edge_extrap_e()
+        br_n1 = xtn - u0(npx - 1)
+        bl_n = xtn - u0(npx)
+        br_n = C3 * u0(npx) + C2 * u0(npx + 1) + C1 * u0(npx + 2) - u0(npx)
+        # zero the four corner cells on the tile-edge wall rows
+        bl_0, br_0, bl_1, br_1 = (t * zmask for t in (bl_0, br_0, bl_1, br_1))
+        bl_n1, br_n1, bl_n, br_n = (t * zmask
+                                    for t in (bl_n1, br_n1, bl_n, br_n))
+        bl = cat([zero2, bl_0, bl_1, bl_2, blv, bl_n2, bl_n1, bl_n, zero2])
+        br = cat([zero2, br_0, br_1, br_2, brv, br_n2, br_n1, br_n, zero2])
         b0 = bl + br
-
         if iord == 5:
             smt5 = bl * br < 0.0
         else:  # 6, 7
-            smt5 = 3.0 * jnp.abs(b0) < jnp.abs(bl - br)
-            for ic in (f(0), f(1), f(npx - 1), f(npx)):
-                smt5 = smt5.at[..., :, ic].set(
-                    bl[..., :, ic] * br[..., :, ic] < 0.0)
+            gen = 3.0 * jnp.abs(b0) < jnp.abs(bl - br)
+            em = np.zeros((u.shape[ax],), bool)
+            em[[f(0), f(1), f(npx - 1), f(npx)]] = True
+            emj = jnp.asarray(em)
+            emj = emj if ax == -1 else emj[:, None]
+            smt5 = jnp.where(emj, bl * br < 0.0, gen)
         cpos = c > 0.0
-        cfl = c * jnp.where(cpos, _cl(rdx), _cr(rdx))
-        fx0 = jnp.where(cpos, (1.0 - cfl) * (_cl(br) - cfl * _cl(b0)),
-                        (1.0 + cfl) * (_cr(bl) + cfl * _cr(b0)))
-        low = jnp.where(cpos, _cl(u), _cr(u))
-        add = _cl(smt5) | _cr(smt5)
+        cfl = c * jnp.where(cpos, cl(rdx), cr(rdx))
+        fx0 = jnp.where(cpos, (1.0 - cfl) * (cl(br) - cfl * cl(b0)),
+                        (1.0 + cfl) * (cr(bl) + cfl * cr(b0)))
+        low = jnp.where(cpos, cl(u), cr(u))
+        add = cl(smt5) | cr(smt5)
         return low + jnp.where(add, fx0, 0.0)
 
-    # ---- iord >= 8 -------------------------------------------------------
-    up = u[..., :, 2:]
-    um = u[..., :, :-2]
-    uc_ = u[..., :, 1:-1]
-    xt = 0.25 * (up - um)
+    # ---- iord >= 8 (sw_core.F90:2293-2523) --------------------------------
+    up = S(u, slice(2, None))
+    um = S(u, slice(0, -2))
+    uc_ = S(u, slice(1, -1))
+    xt_i = 0.25 * (up - um)
     dmax = jnp.maximum(jnp.maximum(um, uc_), up) - uc_
     dmin = uc_ - jnp.minimum(jnp.minimum(um, uc_), up)
-    dm_i = jnp.sign(xt) * jnp.minimum(jnp.minimum(jnp.abs(xt), dmax), dmin)
-    dm = jnp.pad(dm_i, [(0, 0)] * (u.ndim - 1) + [(1, 1)])     # cells, full NC
-    dq = jnp.pad(u[..., :, 1:] - u[..., :, :-1],
-                 [(0, 0)] * (u.ndim - 1) + [(0, 1)])           # dq(i)=u(i+1)-u(i)
+    dm = padq(jnp.sign(xt_i)
+              * jnp.minimum(jnp.minimum(jnp.abs(xt_i), dmax), dmin), 1, 1)
+    dq = padq(S(u, slice(1, None)) - S(u, slice(0, -1)), 0, 1)
 
-    def dmc(i):
-        return dm[..., :, f(i)]
+    def dmc(i, w=1):
+        return col(dm, i, w)
 
-    def dqc(i):
-        return dq[..., :, f(i)]
+    def dqc(i, w=1):
+        return col(dq, i, w)
 
-    # al over walls [3, npx-2]
-    s = f(2)
-    La = npx - 4
-    al_m = (0.5 * (u[..., :, s:s + La] + u[..., :, s + 1:s + 1 + La])
-            + R3 * (dm[..., :, s:s + La] - dm[..., :, s + 1:s + 1 + La]))
-    al = jnp.zeros(u.shape[:-1] + (n + 1 + 2 * H,), u.dtype)
-    al = al.at[..., :, f(3):f(npx - 2) + 1].set(al_m)
+    al_m = (0.5 * (col(u, 2, La) + col(u, 3, La))
+            + R3 * (col(dm, 2, La) - col(dm, 3, La)))
 
-    bl = jnp.zeros_like(u)
-    br = jnp.zeros_like(u)
-    cs = slice(f(3), f(npx - 3) + 1)        # cells [3, npx-3]
-    alL = al[..., :, f(3):f(npx - 3) + 1]
-    alR = al[..., :, f(4):f(npx - 2) + 1]
-    qq = u[..., :, cs]
+    alL = S(al_m, slice(0, Lb))
+    alR = S(al_m, slice(1, 1 + Lb))
+    qq = col(u, 3, Lb)
     if iord == 8:
-        x2 = 2.0 * dm[..., :, cs]
-        bl = bl.at[..., :, cs].set(
-            -jnp.sign(x2) * jnp.minimum(jnp.abs(x2), jnp.abs(alL - qq)))
-        br = br.at[..., :, cs].set(
-            jnp.sign(x2) * jnp.minimum(jnp.abs(x2), jnp.abs(alR - qq)))
+        x2 = 2.0 * col(dm, 3, Lb)
+        blv = -jnp.sign(x2) * jnp.minimum(jnp.abs(x2), jnp.abs(alL - qq))
+        brv = jnp.sign(x2) * jnp.minimum(jnp.abs(x2), jnp.abs(alR - qq))
     elif iord in (9, 10):
-        dq0 = dq[..., :, cs]
-        dqp = dq[..., :, f(4):f(npx - 2) + 1]
-        dqm = dq[..., :, f(2):f(npx - 4) + 1]
-        dqmm = dq[..., :, f(1):f(npx - 5) + 1]
+        dq0 = col(dq, 3, Lb)
+        dqp = col(dq, 4, Lb)
+        dqm = col(dq, 2, Lb)
+        dqmm = col(dq, 1, Lb)
         pmp_1 = -2.0 * dq0
         lac_1 = pmp_1 + 1.5 * dqp
         blv = jnp.minimum(jnp.maximum(0.0, jnp.maximum(pmp_1, lac_1)),
-                          jnp.maximum(alL - qq, jnp.minimum(0.0, jnp.minimum(pmp_1, lac_1))))
+                          jnp.maximum(alL - qq,
+                                      jnp.minimum(0.0, jnp.minimum(pmp_1, lac_1))))
         pmp_2 = 2.0 * dqm
         lac_2 = pmp_2 - 1.5 * dqmm
         brv = jnp.minimum(jnp.maximum(0.0, jnp.maximum(pmp_2, lac_2)),
-                          jnp.maximum(alR - qq, jnp.minimum(0.0, jnp.minimum(pmp_2, lac_2))))
+                          jnp.maximum(alR - qq,
+                                      jnp.minimum(0.0, jnp.minimum(pmp_2, lac_2))))
         if iord == 10:
             bl0 = alL - qq
             br0 = alR - qq
-            dmm = dm[..., :, f(2):f(npx - 4) + 1]
-            dm0 = dm[..., :, cs]
-            dmp = dm[..., :, f(4):f(npx - 2) + 1]
-            flat = (jnp.abs(dm0) < NEAR_ZERO) & (jnp.abs(dmm) + jnp.abs(dmp) < NEAR_ZERO)
+            dmm = col(dm, 2, Lb)
+            dm0 = col(dm, 3, Lb)
+            dmp = col(dm, 4, Lb)
+            flat = ((jnp.abs(dm0) < NEAR_ZERO)
+                    & (jnp.abs(dmm) + jnp.abs(dmp) < NEAR_ZERO))
             big = jnp.abs(3.0 * (bl0 + br0)) > jnp.abs(bl0 - br0)
             blc = jnp.minimum(jnp.maximum(0.0, jnp.maximum(pmp_1, lac_1)),
-                              jnp.maximum(bl0, jnp.minimum(0.0, jnp.minimum(pmp_1, lac_1))))
+                              jnp.maximum(bl0,
+                                          jnp.minimum(0.0, jnp.minimum(pmp_1, lac_1))))
             brc = jnp.minimum(jnp.maximum(0.0, jnp.maximum(pmp_2, lac_2)),
-                              jnp.maximum(br0, jnp.minimum(0.0, jnp.minimum(pmp_2, lac_2))))
+                              jnp.maximum(br0,
+                                          jnp.minimum(0.0, jnp.minimum(pmp_2, lac_2))))
             blv = jnp.where(flat, 0.0, jnp.where(big, blc, bl0))
             brv = jnp.where(flat, 0.0, jnp.where(big, brc, br0))
-        bl = bl.at[..., :, cs].set(blv)
-        br = br.at[..., :, cs].set(brv)
     else:  # 11: unlimited
-        bl = bl.at[..., :, cs].set(alL - qq)
-        br = br.at[..., :, cs].set(alR - qq)
+        blv = alL - qq
+        brv = alR - qq
 
     # west edge (sw_core.F90:2462-2495)
-    br = br.at[..., :, f(2)].set(al[..., :, f(3)] - ucol(2))
-    xt = S15 * ucol(1) + S11 * ucol(2) - S14 * dmc(2)
-    bl = bl.at[..., :, f(2)].set(xt - ucol(2))
-    br = br.at[..., :, f(1)].set(xt - ucol(1))
-    bl = bl.at[..., :, f(0)].set(S14 * dmc(-1) - S11 * dqc(-1))
-    x0L = 0.5 * ((2.0 * dxc_(0) + dxc_(-1)) * ucol(0)
-                 - dxc_(0) * ucol(-1)) / (dxc_(0) + dxc_(-1))
-    x0R = 0.5 * ((2.0 * dxc_(1) + dxc_(2)) * ucol(1)
-                 - dxc_(1) * ucol(2)) / (dxc_(1) + dxc_(2))
-    xt = x0L + x0R
-    br = br.at[..., :, f(0)].set(xt - ucol(0))
-    bl = bl.at[..., :, f(1)].set(xt - ucol(1))
+    xt = S15 * u0(1) + S11 * u0(2) - S14 * dmc(2)
+    bl_0 = S14 * dmc(-1) - S11 * dqc(-1)
+    xt0 = edge_extrap_w()
+    br_0 = xt0 - u0(0)
+    bl_1 = xt0 - u0(1)
+    br_1 = xt - u0(1)
+    bl_2 = xt - u0(2)
+    br_2 = S(al_m, slice(0, 1)) - u0(2)
     # east edge
-    bl = bl.at[..., :, f(npx - 2)].set(al[..., :, f(npx - 2)] - ucol(npx - 2))
-    xt = S15 * ucol(npx - 1) + S11 * ucol(npx - 2) + S14 * dmc(npx - 2)
-    br = br.at[..., :, f(npx - 2)].set(xt - ucol(npx - 2))
-    bl = bl.at[..., :, f(npx - 1)].set(xt - ucol(npx - 1))
-    br = br.at[..., :, f(npx)].set(S11 * dqc(npx) - S14 * dmc(npx + 1))
-    x0L = 0.5 * ((2.0 * dxc_(npx - 1) + dxc_(npx - 2)) * ucol(npx - 1)
-                 - dxc_(npx - 1) * ucol(npx - 2)) / (dxc_(npx - 1) + dxc_(npx - 2))
-    x0R = 0.5 * ((2.0 * dxc_(npx) + dxc_(npx + 1)) * ucol(npx)
-                 - dxc_(npx) * ucol(npx + 1)) / (dxc_(npx) + dxc_(npx + 1))
-    xt = x0L + x0R
-    br = br.at[..., :, f(npx - 1)].set(xt - ucol(npx - 1))
-    bl = bl.at[..., :, f(npx)].set(xt - ucol(npx))
-    # zero the edge rows
-    for jr in (f(1), f(npx)):
-        for ic in (f(0), f(1), f(npx - 1), f(npx)):
-            bl = bl.at[..., jr, ic].set(0.0)
-            br = br.at[..., jr, ic].set(0.0)
-    # pert_ppm on cells 2 and npx-2
-    for ic in (f(2), f(npx - 2)):
-        b, r = _pert_ppm_iv1(u[..., :, ic], bl[..., :, ic], br[..., :, ic])
-        bl = bl.at[..., :, ic].set(b)
-        br = br.at[..., :, ic].set(r)
+    bl_n2 = S(al_m, slice(La - 1, La)) - u0(npx - 2)
+    xte = S15 * u0(npx - 1) + S11 * u0(npx - 2) + S14 * dmc(npx - 2)
+    br_n2 = xte - u0(npx - 2)
+    bl_n1 = xte - u0(npx - 1)
+    xtn = edge_extrap_e()
+    br_n1 = xtn - u0(npx - 1)
+    bl_n = xtn - u0(npx)
+    br_n = S11 * dqc(npx) - S14 * dmc(npx + 1)
+    # zero the corner cells on tile-edge wall rows, then the pert_ppm
+    # constraint on cells 2 and npx-2 (order matches the reference loop)
+    bl_0, br_0, bl_1, br_1 = (t * zmask for t in (bl_0, br_0, bl_1, br_1))
+    bl_n1, br_n1, bl_n, br_n = (t * zmask for t in (bl_n1, br_n1, bl_n, br_n))
+    bl_2, br_2 = _pert_ppm_iv1(u0(2), bl_2, br_2)
+    bl_n2, br_n2 = _pert_ppm_iv1(u0(npx - 2), bl_n2, br_n2)
 
+    bl = cat([zero2, bl_0, bl_1, bl_2, blv, bl_n2, bl_n1, bl_n, zero2])
+    br = cat([zero2, br_0, br_1, br_2, brv, br_n2, br_n1, br_n, zero2])
     b0 = bl + br
     cpos = c > 0.0
-    cfl = c * jnp.where(cpos, _cl(rdx), _cr(rdx))
+    cfl = c * jnp.where(cpos, cl(rdx), cr(rdx))
     return jnp.where(cpos,
-                     _cl(u) + (1.0 - cfl) * (_cl(br) - cfl * _cl(b0)),
-                     _cr(u) + (1.0 + cfl) * (_cr(bl) + cfl * _cr(b0)))
+                     cl(u) + (1.0 - cfl) * (cl(br) - cfl * cl(b0)),
+                     cr(u) + (1.0 + cfl) * (cr(bl) + cfl * cr(b0)))
 
 
 def ytp_v(c, v, dy, rdy, jord, lim_fac=1.0, edges=True):
-    """Flux of D-grid v to corners; v, dy, rdy: [..., NC, NW] x-wall arrays."""
-    ct = jnp.swapaxes(c, -1, -2)
-    vt_ = jnp.swapaxes(v, -1, -2)
-    dyt = jnp.swapaxes(dy, -1, -2)
-    rdyt = jnp.swapaxes(rdy, -1, -2)
-    return jnp.swapaxes(xtp_u(ct, vt_, dyt, rdyt, jord, lim_fac,
-                                 edges=edges), -1, -2)
+    """Flux of D-grid v to corners; v, dy, rdy: [..., NC, NW] x-wall arrays.
+    Same operator as xtp_u along rows (axis=-2) — no transposes."""
+    return xtp_u(c, v, dy, rdy, jord, lim_fac, edges=edges, axis=-2)
 
 
 # ===========================================================================
@@ -689,40 +705,71 @@ def d_sw(delp, pt, w, u, v, uc, vc, ua, va, divg_d, g, *,
         vt = (vc - 0.25 * g.cosa_v * usum) * g.rsin_v
 
         if edges:
-            # --- west/east edges (sw_core.F90:700-760) ---
-            ut = ut.at[..., :, f(1)].set(jnp.where(
-                uc[..., :, f(1)] * dt > 0.0,
-                uc[..., :, f(1)] / g.sin_sg3[..., :, f(0)],
-                uc[..., :, f(1)] / g.sin_sg1[..., :, f(1)]))
-            ut = ut.at[..., :, f(npx)].set(jnp.where(
-                uc[..., :, f(npx)] * dt > 0.0,
-                uc[..., :, f(npx)] / g.sin_sg3[..., :, f(npx - 1)],
-                uc[..., :, f(npx)] / g.sin_sg1[..., :, f(npx)]))
+            # --- west/east edges (sw_core.F90:700-760), strip-assembled: ---
+            # each static .at[].set on the full [.., K, P, P] arrays is a
+            # full-array pass on TPU; the edits below touch only 2 columns
+            # (ut), a 4-column x 2-row frame (vt) and 4 rows (ut), so each
+            # array is rebuilt with ONE concatenate pass instead of ~14.
+            E = f(npx)                      # = NW - 4 (wall npx)
+            catx = lambda ps: jnp.concatenate(ps, -1)
+            caty = lambda ps: jnp.concatenate(ps, -2)
+
+            def ut_edge_col(iw):
+                cw = uc[..., :, f(iw):f(iw) + 1]
+                return jnp.where(
+                    cw * dt > 0.0,
+                    cw / g.sin_sg3[..., :, f(iw - 1):f(iw - 1) + 1],
+                    cw / g.sin_sg1[..., :, f(iw):f(iw) + 1])
+
+            ut = catx([ut[..., :, :f(1)], ut_edge_col(1),
+                       ut[..., :, f(1) + 1:E], ut_edge_col(npx),
+                       ut[..., :, E + 1:]])
+
             jmid = slice(f(3), f(npx - 2) + 1)      # wall rows [3, npy-2]
-            for ic in (0, 1, npx - 1, npx):
-                vt = vt.at[..., jmid, f(ic)].set(
-                    vc[..., jmid, f(ic)] - 0.25 * g.cosa_v[..., jmid, f(ic)]
-                    * (ut[..., f(2):f(npx - 3) + 1, f(ic)]
-                       + ut[..., f(2):f(npx - 3) + 1, f(ic + 1)]
-                       + ut[..., f(3):f(npx - 2) + 1, f(ic)]
-                       + ut[..., f(3):f(npx - 2) + 1, f(ic + 1)]))
-            # --- south/north edges ---
-            vt = vt.at[..., f(1), :].set(jnp.where(
-                vc[..., f(1), :] * dt > 0.0,
-                vc[..., f(1), :] / g.sin_sg4[..., f(0), :],
-                vc[..., f(1), :] / g.sin_sg2[..., f(1), :]))
-            vt = vt.at[..., f(npx), :].set(jnp.where(
-                vc[..., f(npx), :] * dt > 0.0,
-                vc[..., f(npx), :] / g.sin_sg4[..., f(npx - 1), :],
-                vc[..., f(npx), :] / g.sin_sg2[..., f(npx), :]))
+            rA = slice(f(2), f(npx - 3) + 1)        # ut row windows
+            rB = slice(f(3), f(npx - 2) + 1)
+
+            def vt_edge_cols(c0):
+                # edited vt columns f(c0), f(c0+1) on the jmid rows
+                cc = slice(f(c0), f(c0) + 2)
+                return (vc[..., jmid, cc] - 0.25 * g.cosa_v[..., jmid, cc]
+                        * (ut[..., rA, cc] + ut[..., rA, f(c0) + 1:f(c0) + 3]
+                           + ut[..., rB, cc]
+                           + ut[..., rB, f(c0) + 1:f(c0) + 3]))
+
+            def vt_edge_row(jw):
+                rw = vc[..., f(jw):f(jw) + 1, :]
+                return jnp.where(
+                    rw * dt > 0.0,
+                    rw / g.sin_sg4[..., f(jw - 1):f(jw - 1) + 1, :],
+                    rw / g.sin_sg2[..., f(jw):f(jw) + 1, :])
+
+            Ew = f(npx - 1)                 # vt col f(npx-1) (cells)
+            vt_mid = catx([vt[..., jmid, :f(0)], vt_edge_cols(0),
+                           vt[..., jmid, f(1) + 1:Ew], vt_edge_cols(npx - 1),
+                           vt[..., jmid, Ew + 2:]])
+            vt = caty([vt[..., :f(1), :], vt_edge_row(1),
+                       vt[..., f(1) + 1:f(3), :], vt_mid,
+                       vt[..., f(npx - 2) + 1:E, :], vt_edge_row(npx),
+                       vt[..., E + 1:, :]])
+
             imid = slice(f(3), f(npx - 2) + 1)
-            for jc in (0, 1, npx - 1, npx):
-                ut = ut.at[..., f(jc), imid].set(
-                    uc[..., f(jc), imid] - 0.25 * g.cosa_u[..., f(jc), imid]
-                    * (vt[..., f(jc), f(2):f(npx - 3) + 1]
-                       + vt[..., f(jc), f(3):f(npx - 2) + 1]
-                       + vt[..., f(jc + 1), f(2):f(npx - 3) + 1]
-                       + vt[..., f(jc + 1), f(3):f(npx - 2) + 1]))
+            cA = slice(f(2), f(npx - 3) + 1)        # vt col windows
+            cB = slice(f(3), f(npx - 2) + 1)
+
+            def ut_edge_row(jc):
+                r = slice(f(jc), f(jc) + 1)
+                rp = slice(f(jc + 1), f(jc + 1) + 1)
+                mid = (uc[..., r, imid] - 0.25 * g.cosa_u[..., r, imid]
+                       * (vt[..., r, cA] + vt[..., r, cB]
+                          + vt[..., rp, cA] + vt[..., rp, cB]))
+                return catx([ut[..., r, :f(3)], mid,
+                             ut[..., r, f(npx - 2) + 1:]])
+
+            Er = f(npx - 1)                 # ut row f(npx-1) (cells)
+            ut = caty([ut[..., :f(0), :], ut_edge_row(0), ut_edge_row(1),
+                       ut[..., f(1) + 1:Er, :], ut_edge_row(npx - 1),
+                       ut_edge_row(npx), ut[..., f(npx) + 1:, :]])
 
             ut, vt = _dsw_corner_solve(ut, vt, uc, vc, g, npx)
 
@@ -997,14 +1044,43 @@ def d_sw(delp, pt, w, u, v, uc, vc, ua, va, divg_d, g, *,
 
 
 def _dsw_corner_solve(ut, vt, uc, vc, g, npx):
-    """2x2 corner systems for parallel-to-edge uc/vc (sw_core.F90:763-860)."""
+    """2x2 corner systems for parallel-to-edge uc/vc (sw_core.F90:763-860).
+
+    The 16 point updates live within 6 rows of the top/bottom edges, so they
+    are applied to thin row strips (cheap point sets on [.., 6, P] arrays)
+    and stitched back with one concatenate per array, instead of 16
+    full-array dynamic-update-slice passes."""
     f = fi
+    npy = npx
+    S = 6
+    NCr = ut.shape[-2]
+    NWr = vt.shape[-2]
+    strips = {
+        "ut_t": ut[..., :S, :], "ut_b": ut[..., NCr - S:, :],
+        "vt_t": vt[..., :S, :], "vt_b": vt[..., NWr - S:, :],
+    }
+
+    def _row(name, j, off):
+        r = f(j)
+        if r < S:
+            return name + "_t", r
+        return name + "_b", r - off
 
     def U(i, j):
-        return ut[..., f(j), f(i)]
+        nm, r = _row("ut", j, NCr - S)
+        return strips[nm][..., r, f(i)]
 
     def V(i, j):
-        return vt[..., f(j), f(i)]
+        nm, r = _row("vt", j, NWr - S)
+        return strips[nm][..., r, f(i)]
+
+    def setU(i, j, val):
+        nm, r = _row("ut", j, NCr - S)
+        strips[nm] = strips[nm].at[..., r, f(i)].set(val)
+
+    def setV(i, j, val):
+        nm, r = _row("vt", j, NWr - S)
+        strips[nm] = strips[nm].at[..., r, f(i)].set(val)
 
     def UC(i, j):
         return uc[..., f(j), f(i)]
@@ -1018,66 +1094,64 @@ def _dsw_corner_solve(ut, vt, uc, vc, g, npx):
     def CV(i, j):
         return g.cosa_v[..., f(j), f(i)]
 
-    npy = npx
-
     # SW corner
     damp = 1.0 / (1.0 - 0.0625 * CU(2, 0) * CV(1, 0))
-    ut = ut.at[..., f(0), f(2)].set(
+    setU(2, 0,
         (UC(2, 0) - 0.25 * CU(2, 0) * (V(1, 1) + V(2, 1) + V(2, 0) + VC(1, 0)
          - 0.25 * CV(1, 0) * (U(1, 0) + U(1, -1) + U(2, -1)))) * damp)
     damp = 1.0 / (1.0 - 0.0625 * CU(0, 1) * CV(0, 2))
-    vt = vt.at[..., f(2), f(0)].set(
+    setV(0, 2,
         (VC(0, 2) - 0.25 * CV(0, 2) * (U(1, 1) + U(1, 2) + U(0, 2) + UC(0, 1)
          - 0.25 * CU(0, 1) * (V(0, 1) + V(-1, 1) + V(-1, 2)))) * damp)
     damp = 1.0 / (1.0 - 0.0625 * CU(2, 1) * CV(1, 2))
-    ut = ut.at[..., f(1), f(2)].set(
+    setU(2, 1,
         (UC(2, 1) - 0.25 * CU(2, 1) * (V(1, 1) + V(2, 1) + V(2, 2) + VC(1, 2)
          - 0.25 * CV(1, 2) * (U(1, 1) + U(1, 2) + U(2, 2)))) * damp)
-    vt = vt.at[..., f(2), f(1)].set(
+    setV(1, 2,
         (VC(1, 2) - 0.25 * CV(1, 2) * (U(1, 1) + U(1, 2) + U(2, 2) + UC(2, 1)
          - 0.25 * CU(2, 1) * (V(1, 1) + V(2, 1) + V(2, 2)))) * damp)
 
     # SE corner
     damp = 1.0 / (1.0 - 0.0625 * CU(npx - 1, 0) * CV(npx - 1, 0))
-    ut = ut.at[..., f(0), f(npx - 1)].set(
+    setU(npx - 1, 0,
         (UC(npx - 1, 0) - 0.25 * CU(npx - 1, 0) * (
             V(npx - 1, 1) + V(npx - 2, 1) + V(npx - 2, 0) + VC(npx - 1, 0)
             - 0.25 * CV(npx - 1, 0) * (U(npx, 0) + U(npx, -1) + U(npx - 1, -1)))) * damp)
     damp = 1.0 / (1.0 - 0.0625 * CU(npx + 1, 1) * CV(npx, 2))
-    vt = vt.at[..., f(2), f(npx)].set(
+    setV(npx, 2,
         (VC(npx, 2) - 0.25 * CV(npx, 2) * (
             U(npx, 1) + U(npx, 2) + U(npx + 1, 2) + UC(npx + 1, 1)
             - 0.25 * CU(npx + 1, 1) * (V(npx, 1) + V(npx + 1, 1) + V(npx + 1, 2)))) * damp)
     damp = 1.0 / (1.0 - 0.0625 * CU(npx - 1, 1) * CV(npx - 1, 2))
-    ut = ut.at[..., f(1), f(npx - 1)].set(
+    setU(npx - 1, 1,
         (UC(npx - 1, 1) - 0.25 * CU(npx - 1, 1) * (
             V(npx - 1, 1) + V(npx - 2, 1) + V(npx - 2, 2) + VC(npx - 1, 2)
             - 0.25 * CV(npx - 1, 2) * (U(npx, 1) + U(npx, 2) + U(npx - 1, 2)))) * damp)
-    vt = vt.at[..., f(2), f(npx - 1)].set(
+    setV(npx - 1, 2,
         (VC(npx - 1, 2) - 0.25 * CV(npx - 1, 2) * (
             U(npx, 1) + U(npx, 2) + U(npx - 1, 2) + UC(npx - 1, 1)
             - 0.25 * CU(npx - 1, 1) * (V(npx - 1, 1) + V(npx - 2, 1) + V(npx - 2, 2)))) * damp)
 
     # NE corner
     damp = 1.0 / (1.0 - 0.0625 * CU(npx - 1, npy) * CV(npx - 1, npy + 1))
-    ut = ut.at[..., f(npy), f(npx - 1)].set(
+    setU(npx - 1, npy,
         (UC(npx - 1, npy) - 0.25 * CU(npx - 1, npy) * (
             V(npx - 1, npy) + V(npx - 2, npy) + V(npx - 2, npy + 1) + VC(npx - 1, npy + 1)
             - 0.25 * CV(npx - 1, npy + 1) * (
                 U(npx, npy) + U(npx, npy + 1) + U(npx - 1, npy + 1)))) * damp)
     damp = 1.0 / (1.0 - 0.0625 * CU(npx + 1, npy - 1) * CV(npx, npy - 1))
-    vt = vt.at[..., f(npy - 1), f(npx)].set(
+    setV(npx, npy - 1,
         (VC(npx, npy - 1) - 0.25 * CV(npx, npy - 1) * (
             U(npx, npy - 1) + U(npx, npy - 2) + U(npx + 1, npy - 2) + UC(npx + 1, npy - 1)
             - 0.25 * CU(npx + 1, npy - 1) * (
                 V(npx, npy) + V(npx + 1, npy) + V(npx + 1, npy - 1)))) * damp)
     damp = 1.0 / (1.0 - 0.0625 * CU(npx - 1, npy - 1) * CV(npx - 1, npy - 1))
-    ut = ut.at[..., f(npy - 1), f(npx - 1)].set(
+    setU(npx - 1, npy - 1,
         (UC(npx - 1, npy - 1) - 0.25 * CU(npx - 1, npy - 1) * (
             V(npx - 1, npy) + V(npx - 2, npy) + V(npx - 2, npy - 1) + VC(npx - 1, npy - 1)
             - 0.25 * CV(npx - 1, npy - 1) * (
                 U(npx, npy - 1) + U(npx, npy - 2) + U(npx - 1, npy - 2)))) * damp)
-    vt = vt.at[..., f(npy - 1), f(npx - 1)].set(
+    setV(npx - 1, npy - 1,
         (VC(npx - 1, npy - 1) - 0.25 * CV(npx - 1, npy - 1) * (
             U(npx, npy - 1) + U(npx, npy - 2) + U(npx - 1, npy - 2) + UC(npx - 1, npy - 1)
             - 0.25 * CU(npx - 1, npy - 1) * (
@@ -1085,25 +1159,29 @@ def _dsw_corner_solve(ut, vt, uc, vc, g, npx):
 
     # NW corner
     damp = 1.0 / (1.0 - 0.0625 * CU(2, npy) * CV(1, npy + 1))
-    ut = ut.at[..., f(npy), f(2)].set(
+    setU(2, npy,
         (UC(2, npy) - 0.25 * CU(2, npy) * (
             V(1, npy) + V(2, npy) + V(2, npy + 1) + VC(1, npy + 1)
             - 0.25 * CV(1, npy + 1) * (U(1, npy) + U(1, npy + 1) + U(2, npy + 1)))) * damp)
     damp = 1.0 / (1.0 - 0.0625 * CU(0, npy - 1) * CV(0, npy - 1))
-    vt = vt.at[..., f(npy - 1), f(0)].set(
+    setV(0, npy - 1,
         (VC(0, npy - 1) - 0.25 * CV(0, npy - 1) * (
             U(1, npy - 1) + U(1, npy - 2) + U(0, npy - 2) + UC(0, npy - 1)
             - 0.25 * CU(0, npy - 1) * (V(0, npy) + V(-1, npy) + V(-1, npy - 1)))) * damp)
     damp = 1.0 / (1.0 - 0.0625 * CU(2, npy - 1) * CV(1, npy - 1))
-    ut = ut.at[..., f(npy - 1), f(2)].set(
+    setU(2, npy - 1,
         (UC(2, npy - 1) - 0.25 * CU(2, npy - 1) * (
             V(1, npy) + V(2, npy) + V(2, npy - 1) + VC(1, npy - 1)
             - 0.25 * CV(1, npy - 1) * (U(1, npy - 1) + U(1, npy - 2) + U(2, npy - 2)))) * damp)
-    vt = vt.at[..., f(npy - 1), f(1)].set(
+    setV(1, npy - 1,
         (VC(1, npy - 1) - 0.25 * CV(1, npy - 1) * (
             U(1, npy - 1) + U(1, npy - 2) + U(2, npy - 2) + UC(2, npy - 1)
             - 0.25 * CU(2, npy - 1) * (V(1, npy) + V(2, npy) + V(2, npy - 1)))) * damp)
 
+    ut = jnp.concatenate([strips["ut_t"], ut[..., S:NCr - S, :],
+                          strips["ut_b"]], -2)
+    vt = jnp.concatenate([strips["vt_t"], vt[..., S:NWr - S, :],
+                          strips["vt_b"]], -2)
     return ut, vt
 
 

@@ -39,16 +39,18 @@ def _edge_extrap(qm2, qm1, q0, q1, dm2, dm1, d0, d1):
 
 
 
-def _setcols(a, idx_vals):
-    """Override fixed last-axis columns via fusable masked selects.
+def _setcols(a, idx_vals, axis=-1):
+    """Override fixed columns along `axis` via fusable masked selects.
 
     Each ``.at[..., i].set(v)`` lowers to a separate dynamic-update-slice
     kernel on TPU; a where(iota == i, ...) chain stays inside the enclosing
     elementwise fusion (measured ~4500 kernels/acoustic iteration before).
+    Values are width-1 keepdim slices along `axis`.
     """
-    ii = jnp.arange(a.shape[-1])
+    ii = jnp.arange(a.shape[axis])
+    mask = ii if axis == -1 else ii[:, None]
     for i, v in idx_vals:
-        a = jnp.where(ii == i, v[..., None], a)
+        a = jnp.where(mask == i, v, a)
     return a
 
 def _pert_ppm_iv1(q, bl, br):
@@ -78,33 +80,54 @@ def _pert_ppm_iv0(q, bl, br):
     return bl, br
 
 
-def xppm(q, c, dxa, iord, lim_fac=1.0, edges=True):
-    """1-D PPM flux operator along the last axis (tp_core.F90 xppm:324).
+def xppm(q, c, dxa, iord, lim_fac=1.0, edges=True, axis=-1):
+    """1-D PPM flux operator (tp_core.F90 xppm:324) along `axis`.
 
-    q:   [..., n+2h] padded cells
+    q:   [..., n+2h] padded cells (along `axis`)
     c:   [..., n+1]  Courant numbers at walls 0..n (positive = flow +x)
     dxa: [..., n+2h] padded A-grid cell widths (for edge extrapolations)
     Returns flux [..., n+1]: the upwind cell-interface value q_f such that
     mass flux = q_f * (wall mass flux).
     `edges=False` disables cube-edge one-sided stencils (doubly-periodic
-    grid_type>=3 behavior).
+    grid_type>=3 behavior). axis=-2 is the native yppm orientation — the
+    same code with axis-generic slicing, no physical transposes.
     """
     h = 3
-    n = q.shape[-1] - 2 * h
+    ax = axis
+    n = q.shape[ax] - 2 * h
     mord = abs(iord)
 
-    def cell(cc, size=None):
-        """slice cells starting at local cell cc, length size."""
-        return q[..., h + cc: h + cc + (size or 1)]
-
-    qm = q    # alias
+    def S(a, sl):
+        return a[..., sl] if ax == -1 else a[..., sl, :]
 
     def Q(c0, c1):
         """cells c0..c1 inclusive."""
-        return q[..., h + c0: h + c1 + 1]
+        return S(q, slice(h + c0, h + c1 + 1))
 
     def DXA(c0, c1):
-        return dxa[..., h + c0: h + c1 + 1]
+        return S(dxa, slice(h + c0, h + c1 + 1))
+
+    def q0(cc):
+        """single cell, keepdim."""
+        return S(q, slice(h + cc, h + cc + 1))
+
+    def dx0(cc):
+        return S(dxa, slice(h + cc, h + cc + 1))
+
+    def L(a):
+        return S(a, slice(None, -1))
+
+    def R(a):
+        return S(a, slice(1, None))
+
+    def setcols(a, iv):
+        return _setcols(a, iv, axis=ax)
+
+    def iota_mask(pred_cols, length):
+        em = _np.zeros((length,), bool)
+        em[pred_cols] = True
+        m = jnp.asarray(em)
+        return m if ax == -1 else m[:, None]
 
     if mord < 7:
         # ---- linear PPM family -------------------------------------------
@@ -112,31 +135,23 @@ def xppm(q, c, dxa, iord, lim_fac=1.0, edges=True):
         al = (P1 * (Q(-2, n) + Q(-1, n + 1))
               + P2 * (Q(-3, n - 1) + Q(0, n + 2)))      # [..., n+3], w at w+1
         if edges:
-            xt_w = _edge_extrap(Q(-2, -2)[..., 0], Q(-1, -1)[..., 0],
-                                Q(0, 0)[..., 0], Q(1, 1)[..., 0],
-                                DXA(-2, -2)[..., 0], DXA(-1, -1)[..., 0],
-                                DXA(0, 0)[..., 0], DXA(1, 1)[..., 0])
-            xt_e = _edge_extrap(Q(n - 2, n - 2)[..., 0], Q(n - 1, n - 1)[..., 0],
-                                Q(n, n)[..., 0], Q(n + 1, n + 1)[..., 0],
-                                DXA(n - 2, n - 2)[..., 0], DXA(n - 1, n - 1)[..., 0],
-                                DXA(n, n)[..., 0], DXA(n + 1, n + 1)[..., 0])
-            al = _setcols(al, [
-                (0, C1 * Q(-3, -3)[..., 0] + C2 * Q(-2, -2)[..., 0]
-                 + C3 * Q(-1, -1)[..., 0]),
+            xt_w = _edge_extrap(q0(-2), q0(-1), q0(0), q0(1),
+                                dx0(-2), dx0(-1), dx0(0), dx0(1))
+            xt_e = _edge_extrap(q0(n - 2), q0(n - 1), q0(n), q0(n + 1),
+                                dx0(n - 2), dx0(n - 1), dx0(n), dx0(n + 1))
+            al = setcols(al, [
+                (0, C1 * q0(-3) + C2 * q0(-2) + C3 * q0(-1)),
                 (1, xt_w),
-                (2, C3 * Q(0, 0)[..., 0] + C2 * Q(1, 1)[..., 0]
-                 + C1 * Q(2, 2)[..., 0]),
-                (n, C1 * Q(n - 3, n - 3)[..., 0] + C2 * Q(n - 2, n - 2)[..., 0]
-                 + C3 * Q(n - 1, n - 1)[..., 0]),
+                (2, C3 * q0(0) + C2 * q0(1) + C1 * q0(2)),
+                (n, C1 * q0(n - 3) + C2 * q0(n - 2) + C3 * q0(n - 1)),
                 (n + 1, xt_e),
-                (n + 2, C3 * Q(n, n)[..., 0] + C2 * Q(n + 1, n + 1)[..., 0]
-                 + C1 * Q(n + 2, n + 2)[..., 0])])
+                (n + 2, C3 * q0(n) + C2 * q0(n + 1) + C1 * q0(n + 2))])
         if iord < 0:
             al = jnp.maximum(0.0, al)
 
         qc = Q(-1, n)                      # cells -1..n, [..., n+2]
-        bl = al[..., :-1] - qc             # bl(c), c in [-1, n]
-        br = al[..., 1:] - qc
+        bl = L(al) - qc                    # bl(c), c in [-1, n]
+        br = R(al) - qc
         b0 = bl + br
 
         if mord == 1:
@@ -168,32 +183,30 @@ def xppm(q, c, dxa, iord, lim_fac=1.0, edges=True):
             if edges:
                 # edge smt5 fix (tp_core.F90:536-546): cells -1,0 and n-1,n
                 crossed = bl * br < 0.0
-                ii = jnp.arange(smt5.shape[-1])
-                edgem = (ii == 0) | (ii == 1) | (ii == n) | (ii == n + 1)
+                edgem = iota_mask([0, 1, n, n + 1], smt5.shape[ax])
                 smt5 = jnp.where(edgem, crossed, smt5)
 
         cpos = c > 0.0
         # upwind cells: left cell (w-1) for c>0 -> index w in bl/br arrays
-        # (bl/br index c+1; left cell w-1 -> w; right cell w -> w+1)
-        blL, brL, b0L = bl[..., :-1], br[..., :-1], b0[..., :-1]
-        blR, brR, b0R = bl[..., 1:], br[..., 1:], b0[..., 1:]
-        qL, qR = qc[..., :-1], qc[..., 1:]
+        blL, brL, b0L = L(bl), L(br), L(b0)
+        blR, brR, b0R = R(bl), R(br), R(b0)
+        qL, qR = L(qc), R(qc)
         fx1 = jnp.where(cpos, (1.0 - c) * (brL - c * b0L),
                         (1.0 + c) * (blR + c * b0R))
         low = jnp.where(cpos, qL, qR)
         if mord == 2:
             flux = low + fx1
         elif mord == 3:
-            s5L, s5R = smt5[..., :-1], smt5[..., 1:]
-            s6L, s6R = smt6[..., :-1], smt6[..., 1:]
+            s5L, s5R = L(smt5), R(smt5)
+            s6L, s6R = L(smt6), R(smt6)
             add = jnp.where(cpos, s5L | s6R, s6L | s5R)
             flux = low + jnp.where(add, fx1, 0.0)
         elif mord == 4:
-            s5 = smt5[..., :-1] & smt5[..., 1:]
-            s6 = smt6[..., :-1] | smt6[..., 1:]
+            s5 = L(smt5) & R(smt5)
+            s6 = L(smt6) | R(smt6)
             flux = low + jnp.where(s5 | s6, fx1, 0.0)
         else:  # 1, 5, 6
-            add = smt5[..., :-1] | smt5[..., 1:]
+            add = L(smt5) | R(smt5)
             flux = low + jnp.where(add, fx1, 0.0)
         return flux
 
@@ -210,31 +223,31 @@ def xppm(q, c, dxa, iord, lim_fac=1.0, edges=True):
 
     # al over walls [-1, n+1] (index w+1): 0.5*(q(w-1)+q(w)) + (dm(w-1)-dm(w))/3
     al = (0.5 * (Q(-2, n) + Q(-1, n + 1))
-          + R3 * (dm[..., :-1] - dm[..., 1:]))
+          + R3 * (L(dm) - R(dm)))
 
     qc = Q(-1, n)
-    dmc = dm[..., 1:-1]        # dm at cells [-1, n]
+    dmc = S(dm, slice(1, -1))  # dm at cells [-1, n]
 
     if iord == 8:
         xt2 = 2.0 * dmc
-        bl = -jnp.sign(xt2) * jnp.minimum(jnp.abs(xt2), jnp.abs(al[..., :-1] - qc))
-        br = jnp.sign(xt2) * jnp.minimum(jnp.abs(xt2), jnp.abs(al[..., 1:] - qc))
+        bl = -jnp.sign(xt2) * jnp.minimum(jnp.abs(xt2), jnp.abs(L(al) - qc))
+        br = jnp.sign(xt2) * jnp.minimum(jnp.abs(xt2), jnp.abs(R(al) - qc))
     elif iord == 11:
         xt2 = PPM_FAC * dmc
-        bl = -jnp.sign(xt2) * jnp.minimum(jnp.abs(xt2), jnp.abs(al[..., :-1] - qc))
-        br = jnp.sign(xt2) * jnp.minimum(jnp.abs(xt2), jnp.abs(al[..., 1:] - qc))
+        bl = -jnp.sign(xt2) * jnp.minimum(jnp.abs(xt2), jnp.abs(L(al) - qc))
+        br = jnp.sign(xt2) * jnp.minimum(jnp.abs(xt2), jnp.abs(R(al) - qc))
     elif iord == 10:
-        bl = al[..., :-1] - qc
-        br = al[..., 1:] - qc
+        bl = L(al) - qc
+        br = R(al) - qc
         # dq(c) = 2*(q(c+1)-q(c)) over cells [-3, n+1], stored at index c+3
         dqf = 2.0 * (Q(-2, n + 2) - Q(-3, n + 1))
 
         def dqat(off):
             # dq at cell c+off for c in [-1, n] -> index (c+off)+3
-            return dqf[..., 2 + off: 2 + off + n + 2]
+            return S(dqf, slice(2 + off, 2 + off + n + 2))
 
-        flat = (jnp.abs(dm[..., :-2]) + jnp.abs(dmc)
-                + jnp.abs(dm[..., 2:])) < NEAR_ZERO
+        flat = (jnp.abs(S(dm, slice(None, -2))) + jnp.abs(dmc)
+                + jnp.abs(S(dm, slice(2, None)))) < NEAR_ZERO
         # ^ |dm(c-1)|+|dm(c)|+|dm(c+1)| for c in [-1, n]
         big = jnp.abs(3.0 * (bl + br)) > jnp.abs(bl - br)
         pmp_2 = dqat(-1)
@@ -248,8 +261,8 @@ def xppm(q, c, dxa, iord, lim_fac=1.0, edges=True):
         bl = jnp.where(flat, 0.0, jnp.where(big, bl_c, bl))
         br = jnp.where(flat, 0.0, jnp.where(big, br_c, br))
     elif iord == 7 or iord == 12:
-        bl = al[..., :-1] - qc
-        br = al[..., 1:] - qc
+        bl = L(al) - qc
+        br = R(al) - qc
         a4 = -3.0 * (bl + br)
         da1 = br - bl
         ext5 = br * bl > 0.0
@@ -261,22 +274,16 @@ def xppm(q, c, dxa, iord, lim_fac=1.0, edges=True):
         bl = jnp.where(fix, bl_n, bl)
         br = jnp.where(fix, br_n, br)
     else:   # 9, 13 and others: plain al then pert_ppm PD constraint
-        bl = al[..., :-1] - qc
-        br = al[..., 1:] - qc
+        bl = L(al) - qc
+        br = R(al) - qc
 
     if iord in (9, 13):
         bl, br = _pert_ppm_iv0(qc, bl, br)
 
     if edges:
         # ---- tile-edge overrides (tp_core.F90:634-676) as masked selects -
-        def q0(cc):
-            return q[..., h + cc]
-
-        def dx0(cc):
-            return dxa[..., h + cc]
-
         def dm0(cc):
-            return dm[..., cc + 2]
+            return S(dm, slice(cc + 2, cc + 3))
         # west: cells -1, 0, 1 (bl/br index c+1 -> 0,1,2)
         bl_m1 = S14 * dm0(-2) + S11 * (q0(-2) - q0(-1))
         xt_w = _edge_extrap(q0(-2), q0(-1), q0(0), q0(1),
@@ -289,9 +296,9 @@ def xppm(q, c, dxa, iord, lim_fac=1.0, edges=True):
         xt2 = S15 * q0(0) + S11 * q0(1) - S14 * dm0(1)
         br_0 = xt2 - q0(0)
         bl_1 = xt2 - q0(1)
-        br_1 = al[..., 3] - q0(1)        # al at wall 2
+        br_1 = S(al, slice(3, 4)) - q0(1)        # al at wall 2
         # east: cells n-2, n-1, n (index c+1 -> n-1, n, n+1)
-        bl_n2 = al[..., n - 1] - q0(n - 2)   # al at wall n-2
+        bl_n2 = S(al, slice(n - 1, n)) - q0(n - 2)   # al at wall n-2
         xt3 = S15 * q0(n - 1) + S11 * q0(n - 2) + S14 * dm0(n - 2)
         br_n2 = xt3 - q0(n - 2)
         bl_n1 = xt3 - q0(n - 1)
@@ -305,28 +312,26 @@ def xppm(q, c, dxa, iord, lim_fac=1.0, edges=True):
         br_n1 = xt_e - q0(n - 1)
         bl_n = xt_e - q0(n)
         br_n = S11 * (q0(n + 1) - q0(n)) - S14 * dm0(n + 1)
-        bl_c = _setcols(bl, [(0, bl_m1), (1, bl_0), (2, bl_1),
-                             (n - 1, bl_n2), (n, bl_n1), (n + 1, bl_n)])
-        br_c = _setcols(br, [(0, br_m1), (1, br_0), (2, br_1),
-                             (n - 1, br_n2), (n, br_n1), (n + 1, br_n)])
+        bl_c = setcols(bl, [(0, bl_m1), (1, bl_0), (2, bl_1),
+                            (n - 1, bl_n2), (n, bl_n1), (n + 1, bl_n)])
+        br_c = setcols(br, [(0, br_m1), (1, br_0), (2, br_1),
+                            (n - 1, br_n2), (n, br_n1), (n + 1, br_n)])
         # apply the standard constraint only on the 6 edge cells
         blp, brp = _pert_ppm_iv1(qc, bl_c, br_c)
-        ii = jnp.arange(bl.shape[-1])
-        edgem = ((ii == 0) | (ii == 1) | (ii == 2)
-                 | (ii == n - 1) | (ii == n) | (ii == n + 1))
+        edgem = iota_mask([0, 1, 2, n - 1, n, n + 1], bl.shape[ax])
         bl = jnp.where(edgem, blp, bl)
         br = jnp.where(edgem, brp, br)
 
     b0 = bl + br
     cpos = c > 0.0
-    qL, qR = qc[..., :-1], qc[..., 1:]
-    blL, brL, b0L = bl[..., :-1], br[..., :-1], b0[..., :-1]
-    blR, brR, b0R = bl[..., 1:], br[..., 1:], b0[..., 1:]
+    qL, qR = L(qc), R(qc)
+    blL, brL, b0L = L(bl), L(br), L(b0)
+    blR, brR, b0R = R(bl), R(br), R(b0)
     if iord == 7:
         smt5 = bl * br < 0.0
         fx1 = jnp.where(cpos, (1.0 - c) * (brL - c * b0L),
                         (1.0 + c) * (blR + c * b0R))
-        add = smt5[..., :-1] | smt5[..., 1:]
+        add = L(smt5) | R(smt5)
         return jnp.where(cpos, qL, qR) + jnp.where(add, fx1, 0.0)
     return jnp.where(cpos,
                      qL + (1.0 - c) * (brL - c * b0L),
@@ -334,11 +339,9 @@ def xppm(q, c, dxa, iord, lim_fac=1.0, edges=True):
 
 
 def yppm(q, c, dya, jord, lim_fac=1.0, edges=True):
-    """1-D PPM flux along the second-to-last axis (tp_core.F90 yppm:715)."""
-    qt = jnp.swapaxes(q, -1, -2)
-    ct = jnp.swapaxes(c, -1, -2)
-    dt = jnp.swapaxes(dya, -1, -2)
-    return jnp.swapaxes(xppm(qt, ct, dt, jord, lim_fac, edges), -1, -2)
+    """1-D PPM flux along the second-to-last axis (tp_core.F90 yppm:715).
+    Same operator as xppm with axis=-2 — no physical transposes."""
+    return xppm(q, c, dya, jord, lim_fac, edges, axis=-2)
 
 
 def deln_damp_fluxes(q, nord, g, prefac=None, edges=True):

@@ -194,12 +194,68 @@ def _corner_fill_idx(n, h, direction):
     return out
 
 
+@lru_cache(maxsize=32)
+def _corner_block_plan(n, h, direction):
+    """Decompose each corner-block source map into (source slice, transpose,
+    flip-rows, flip-cols) so copy_corners needs no gathers. The index maps
+    from _corner_fill_idx are affine dihedral transforms of contiguous
+    blocks; detect which of the 8 orientations each one is."""
+    plans = []
+    for jsl, isl, sj, si in _corner_fill_idx(n, h, direction):
+        j0, i0 = int(sj.min()), int(si.min())
+        want = sj * 1000 + si            # unique tag per source cell
+        blk0 = (np.arange(j0, j0 + h)[:, None] * 1000
+                + np.arange(i0, i0 + h)[None, :])
+        found = None
+        for trans in (False, True):
+            for fj in (False, True):
+                for fi in (False, True):
+                    t = blk0.T if trans else blk0
+                    if fj:
+                        t = t[::-1, :]
+                    if fi:
+                        t = t[:, ::-1]
+                    if np.array_equal(t, want):
+                        found = (trans, fj, fi)
+                        break
+                if found:
+                    break
+            if found:
+                break
+        assert found is not None, "corner map is not a dihedral transform"
+        plans.append((jsl, isl, slice(j0, j0 + h), slice(i0, i0 + h), found))
+    return plans
+
+
+def _corner_block(q, jsrc, isrc, orient):
+    trans, fj, fi = orient
+    blk = q[..., jsrc, isrc]
+    if trans:
+        blk = jnp.swapaxes(blk, -1, -2)
+    if fj:
+        blk = blk[..., ::-1, :]
+    if fi:
+        blk = blk[..., :, ::-1]
+    return blk
+
+
 def copy_corners(q, h, direction):
     """Fill the 4 corner halo blocks of a padded cell array for a directional
     sweep (tp_core.F90:245-320). q: [..., P, P] padded with halo h,
-    direction: 1 = x-sweep, 2 = y-sweep. Returns updated array."""
+    direction: 1 = x-sweep, 2 = y-sweep. Returns updated array.
+
+    Implemented as strip reconstruction: the 4 corner blocks are oriented
+    copies of tiny interior slices, stitched into the top/bottom h-row strips
+    and concatenated with the untouched middle rows — one full-array pass
+    instead of four full-array dynamic-update-slices with gathers."""
     P = q.shape[-1]
     n = P - 2 * h
-    for jsl, isl, sj, si in _corner_fill_idx(n, h, direction):
-        q = q.at[..., jsl, isl].set(q[..., sj, si])
-    return q
+    blocks = {}
+    for jsl, isl, jsrc, isrc, orient in _corner_block_plan(n, h, direction):
+        blocks[(jsl.start, isl.start)] = _corner_block(q, jsrc, isrc, orient)
+    top = jnp.concatenate(
+        [blocks[(0, 0)], q[..., :h, h:P - h], blocks[(0, P - h)]], axis=-1)
+    bot = jnp.concatenate(
+        [blocks[(P - h, 0)], q[..., P - h:, h:P - h],
+         blocks[(P - h, P - h)]], axis=-1)
+    return jnp.concatenate([top, q[..., h:P - h, :], bot], axis=-2)

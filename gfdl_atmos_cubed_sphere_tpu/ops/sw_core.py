@@ -847,36 +847,54 @@ def d_sw(delp, pt, w, u, v, uc, vc, ua, va, divg_d, g, *,
     dt4 = 0.25 * dt
     vb = dt5 * (_cl(vc) + _cr(vc) - (_rl(uc) + _rr(uc)) * g.cosa) * g.rsina
     mid = slice(f(2), f(npx - 1) + 1)
+    catx = lambda ps: jnp.concatenate(ps, -1)
+    caty = lambda ps: jnp.concatenate(ps, -2)
     if edges:
-        vb = vb.at[..., mid, f(1)].set(
-            dt4 * (-vt[..., mid, f(-1)]
-                   + 3.0 * (vt[..., mid, f(0)] + vt[..., mid, f(1)])
-                   - vt[..., mid, f(2)]))
-        vb = vb.at[..., mid, f(npx)].set(
-            dt4 * (-vt[..., mid, f(npx - 2)]
-                   + 3.0 * (vt[..., mid, f(npx - 1)] + vt[..., mid, f(npx)])
-                   - vt[..., mid, f(npx + 1)]))
-        vb = vb.at[..., f(1), :].set(
-            dt5 * (_cl(vt)[..., f(1), :] + _cr(vt)[..., f(1), :]))
-        vb = vb.at[..., f(npx), :].set(
-            dt5 * (_cl(vt)[..., f(npx), :] + _cr(vt)[..., f(npx), :]))
+        # edge frame assembled with one concatenate pass per array (each
+        # static .at[].set on the full array is a full-array pass on TPU)
+        def c1(a, i):
+            return a[..., mid, f(i):f(i) + 1]
+
+        col_w = dt4 * (-c1(vt, -1) + 3.0 * (c1(vt, 0) + c1(vt, 1))
+                       - c1(vt, 2))
+        col_e = dt4 * (-c1(vt, npx - 2)
+                       + 3.0 * (c1(vt, npx - 1) + c1(vt, npx))
+                       - c1(vt, npx + 1))
+        row_s = dt5 * (_cl(vt) + _cr(vt))[..., f(1):f(1) + 1, :]
+        row_n = dt5 * (_cl(vt) + _cr(vt))[..., f(npx):f(npx) + 1, :]
+        vb_mid = catx([vb[..., mid, :f(1)], col_w,
+                       vb[..., mid, f(1) + 1:f(npx)], col_e,
+                       vb[..., mid, f(npx) + 1:]])
+        vb = caty([vb[..., :f(1), :], row_s, vb_mid, row_n,
+                   vb[..., f(npx) + 1:, :]])
 
     ke = vb * ytp_v(vb, v, g.dy, g.rdy, hord_mt, lim_fac, edges=edges)
 
     ub = dt5 * (_rl(uc) + _rr(uc) - (_cl(vc) + _cr(vc)) * g.cosa) * g.rsina
     if edges:
-        ub = ub.at[..., f(1), mid].set(
-            dt4 * (-ut[..., f(-1), mid]
-                   + 3.0 * (ut[..., f(0), mid] + ut[..., f(1), mid])
-                   - ut[..., f(2), mid]))
-        ub = ub.at[..., f(npx), mid].set(
-            dt4 * (-ut[..., f(npx - 2), mid]
-                   + 3.0 * (ut[..., f(npx - 1), mid] + ut[..., f(npx), mid])
-                   - ut[..., f(npx + 1), mid]))
-        ub = ub.at[..., :, f(1)].set(
-            dt5 * (_rl(ut)[..., :, f(1)] + _rr(ut)[..., :, f(1)]))
-        ub = ub.at[..., :, f(npx)].set(
-            dt5 * (_rl(ut)[..., :, f(npx)] + _rr(ut)[..., :, f(npx)]))
+        def r1(a, j):
+            return a[..., f(j):f(j) + 1, mid]
+
+        row_s = dt4 * (-r1(ut, -1) + 3.0 * (r1(ut, 0) + r1(ut, 1))
+                       - r1(ut, 2))
+        row_n = dt4 * (-r1(ut, npx - 2)
+                       + 3.0 * (r1(ut, npx - 1) + r1(ut, npx))
+                       - r1(ut, npx + 1))
+        col_w = dt5 * (_rl(ut) + _rr(ut))[..., :, f(1):f(1) + 1]
+        col_e = dt5 * (_rl(ut) + _rr(ut))[..., :, f(npx):f(npx) + 1]
+        # rows f(1), f(npx) are edited on the mid columns (f(2)..f(npx-1));
+        # columns f(1), f(npx) are then replaced over their full height
+        # (disjoint from the mid columns, same as the reference order)
+        row_s = catx([ub[..., f(1):f(1) + 1, :f(2)], row_s,
+                      ub[..., f(1):f(1) + 1, f(npx - 1) + 1:]])
+        row_n = catx([ub[..., f(npx):f(npx) + 1, :f(2)], row_n,
+                      ub[..., f(npx):f(npx) + 1, f(npx - 1) + 1:]])
+        ub_r = caty([ub[..., :f(1), :], row_s,
+                     ub[..., f(1) + 1:f(npx), :], row_n,
+                     ub[..., f(npx) + 1:, :]])
+        ub = catx([ub_r[..., :, :f(1)], col_w,
+                   ub_r[..., :, f(1) + 1:f(npx)], col_e,
+                   ub_r[..., :, f(npx) + 1:]])
 
     ke = 0.5 * (ke + ub * xtp_u(ub, u, g.dx, g.rdx, hord_mt, lim_fac,
                                 edges=edges))
@@ -884,22 +902,33 @@ def d_sw(delp, pt, w, u, v, uc, vc, ua, va, divg_d, g, *,
     # corner KE fixes (sw_core.F90:1203-1228)
     dt6 = dt / 6.0
     if edges:
-        ke = ke.at[..., f(1), f(1)].set(dt6 * (
-            (ut[..., f(1), f(1)] + ut[..., f(0), f(1)]) * u[..., f(1), f(1)]
-            + (vt[..., f(1), f(1)] + vt[..., f(1), f(0)]) * v[..., f(1), f(1)]
-            + (ut[..., f(1), f(1)] + vt[..., f(1), f(1)]) * u[..., f(1), f(0)]))
-        ke = ke.at[..., f(1), f(npx)].set(dt6 * (
-            (ut[..., f(1), f(npx)] + ut[..., f(0), f(npx)]) * u[..., f(1), f(npx - 1)]
-            + (vt[..., f(1), f(npx)] + vt[..., f(1), f(npx - 1)]) * v[..., f(1), f(npx)]
-            + (ut[..., f(1), f(npx)] - vt[..., f(1), f(npx - 1)]) * u[..., f(1), f(npx)]))
-        ke = ke.at[..., f(npx), f(npx)].set(dt6 * (
-            (ut[..., f(npx), f(npx)] + ut[..., f(npx - 1), f(npx)]) * u[..., f(npx), f(npx - 1)]
-            + (vt[..., f(npx), f(npx)] + vt[..., f(npx), f(npx - 1)]) * v[..., f(npx - 1), f(npx)]
-            + (ut[..., f(npx - 1), f(npx)] + vt[..., f(npx), f(npx - 1)]) * u[..., f(npx), f(npx)]))
-        ke = ke.at[..., f(npx), f(1)].set(dt6 * (
-            (ut[..., f(npx), f(1)] + ut[..., f(npx - 1), f(1)]) * u[..., f(npx), f(1)]
-            + (vt[..., f(npx), f(1)] + vt[..., f(npx), f(0)]) * v[..., f(npx - 1), f(1)]
-            + (ut[..., f(npx - 1), f(1)] - vt[..., f(npx), f(1)]) * u[..., f(npx), f(0)]))
+        def p(a, j, i):
+            return a[..., f(j):f(j) + 1, f(i):f(i) + 1]
+
+        k11 = dt6 * (
+            (p(ut, 1, 1) + p(ut, 0, 1)) * p(u, 1, 1)
+            + (p(vt, 1, 1) + p(vt, 1, 0)) * p(v, 1, 1)
+            + (p(ut, 1, 1) + p(vt, 1, 1)) * p(u, 1, 0))
+        k1n = dt6 * (
+            (p(ut, 1, npx) + p(ut, 0, npx)) * p(u, 1, npx - 1)
+            + (p(vt, 1, npx) + p(vt, 1, npx - 1)) * p(v, 1, npx)
+            + (p(ut, 1, npx) - p(vt, 1, npx - 1)) * p(u, 1, npx))
+        knn = dt6 * (
+            (p(ut, npx, npx) + p(ut, npx - 1, npx)) * p(u, npx, npx - 1)
+            + (p(vt, npx, npx) + p(vt, npx, npx - 1)) * p(v, npx - 1, npx)
+            + (p(ut, npx - 1, npx) + p(vt, npx, npx - 1)) * p(u, npx, npx))
+        kn1 = dt6 * (
+            (p(ut, npx, 1) + p(ut, npx - 1, 1)) * p(u, npx, 1)
+            + (p(vt, npx, 1) + p(vt, npx, 0)) * p(v, npx - 1, 1)
+            + (p(ut, npx - 1, 1) - p(vt, npx, 1)) * p(u, npx, 0))
+        row1 = catx([ke[..., f(1):f(1) + 1, :f(1)], k11,
+                     ke[..., f(1):f(1) + 1, f(1) + 1:f(npx)], k1n,
+                     ke[..., f(1):f(1) + 1, f(npx) + 1:]])
+        rown = catx([ke[..., f(npx):f(npx) + 1, :f(1)], kn1,
+                     ke[..., f(npx):f(npx) + 1, f(1) + 1:f(npx)], knn,
+                     ke[..., f(npx):f(npx) + 1, f(npx) + 1:]])
+        ke = caty([ke[..., :f(1), :], row1, ke[..., f(1) + 1:f(npx), :],
+                   rown, ke[..., f(npx) + 1:, :]])
 
     # ---- relative vorticity (cell mean) -----------------------------------
     vt_w = u * g.dx                       # circulation along y-walls
@@ -915,23 +944,51 @@ def d_sw(delp, pt, w, u, v, uc, vc, ua, va, divg_d, g, *,
     vortB0 = vortBN = None
     if need0:
         ptc_d = (u - 0.5 * (_rl(va) + _rr(va)) * g.cosa_v) * g.dyc * g.sina_v
-        for jw in (1, npx) if edges else ():
-            ptc_d = ptc_d.at[..., f(jw), :].set(jnp.where(
-                vc[..., f(jw), :] > 0.0,
-                u[..., f(jw), :] * g.dyc[..., f(jw), :] * g.sin_sg4[..., f(jw - 1), :],
-                u[..., f(jw), :] * g.dyc[..., f(jw), :] * g.sin_sg2[..., f(jw), :]))
+        if edges:
+            def ptc_row(jw):
+                r = slice(f(jw), f(jw) + 1)
+                return jnp.where(
+                    vc[..., r, :] > 0.0,
+                    u[..., r, :] * g.dyc[..., r, :]
+                    * g.sin_sg4[..., f(jw - 1):f(jw - 1) + 1, :],
+                    u[..., r, :] * g.dyc[..., r, :]
+                    * g.sin_sg2[..., r, :])
+
+            ptc_d = caty([ptc_d[..., :f(1), :], ptc_row(1),
+                          ptc_d[..., f(1) + 1:f(npx), :], ptc_row(npx),
+                          ptc_d[..., f(npx) + 1:, :]])
         vort_d = (v - 0.5 * (_cl(ua) + _cr(ua)) * g.cosa_u) * g.dxc * g.sina_u
-        for iw in (1, npx) if edges else ():
-            vort_d = vort_d.at[..., :, f(iw)].set(jnp.where(
-                uc[..., :, f(iw)] > 0.0,
-                v[..., :, f(iw)] * g.dxc[..., :, f(iw)] * g.sin_sg3[..., :, f(iw - 1)],
-                v[..., :, f(iw)] * g.dxc[..., :, f(iw)] * g.sin_sg1[..., :, f(iw)]))
+        if edges:
+            def vort_col(iw):
+                cI = slice(f(iw), f(iw) + 1)
+                return jnp.where(
+                    uc[..., :, cI] > 0.0,
+                    v[..., :, cI] * g.dxc[..., :, cI]
+                    * g.sin_sg3[..., :, f(iw - 1):f(iw - 1) + 1],
+                    v[..., :, cI] * g.dxc[..., :, cI]
+                    * g.sin_sg1[..., :, cI])
+
+            vort_d = catx([vort_d[..., :, :f(1)], vort_col(1),
+                           vort_d[..., :, f(1) + 1:f(npx)], vort_col(npx),
+                           vort_d[..., :, f(npx) + 1:]])
         delpc_d = _rl(vort_d) - _rr(vort_d) + _cl(ptc_d) - _cr(ptc_d)
         if edges:
-            delpc_d = delpc_d.at[..., f(1), f(1)].add(-vort_d[..., f(0), f(1)])
-            delpc_d = delpc_d.at[..., f(1), f(npx)].add(-vort_d[..., f(0), f(npx)])
-            delpc_d = delpc_d.at[..., f(npx), f(npx)].add(vort_d[..., f(npx), f(npx)])
-            delpc_d = delpc_d.at[..., f(npx), f(1)].add(vort_d[..., f(npx), f(1)])
+            def pp(a, j, i):
+                return a[..., f(j):f(j) + 1, f(i):f(i) + 1]
+
+            row1 = catx([delpc_d[..., f(1):f(1) + 1, :f(1)],
+                         pp(delpc_d, 1, 1) - pp(vort_d, 0, 1),
+                         delpc_d[..., f(1):f(1) + 1, f(1) + 1:f(npx)],
+                         pp(delpc_d, 1, npx) - pp(vort_d, 0, npx),
+                         delpc_d[..., f(1):f(1) + 1, f(npx) + 1:]])
+            rown = catx([delpc_d[..., f(npx):f(npx) + 1, :f(1)],
+                         pp(delpc_d, npx, 1) + pp(vort_d, npx, 1),
+                         delpc_d[..., f(npx):f(npx) + 1, f(1) + 1:f(npx)],
+                         pp(delpc_d, npx, npx) + pp(vort_d, npx, npx),
+                         delpc_d[..., f(npx):f(npx) + 1, f(npx) + 1:]])
+            delpc_d = caty([delpc_d[..., :f(1), :], row1,
+                            delpc_d[..., f(1) + 1:f(npx), :], rown,
+                            delpc_d[..., f(npx) + 1:, :]])
         delpc_d = delpc_d * g.rarea_c
         damp = g.da_min_c * jnp.maximum(
             d2_bg_b, jnp.minimum(0.20, dddmp * jnp.abs(delpc_d * dt)))
@@ -951,10 +1008,22 @@ def d_sw(delp, pt, w, u, v, uc, vc, ua, va, divg_d, g, *,
                 vc_g, uc_g = fill_corners_dgrid_vector(vc_g, uc_g, npx, sign=-1.0)
             dd = _rl(uc_g) - _rr(uc_g) + _cl(vc_g) - _cr(vc_g)
             if edges:
-                dd = dd.at[..., f(1), f(1)].add(-uc_g[..., f(0), f(1)])
-                dd = dd.at[..., f(1), f(npx)].add(-uc_g[..., f(0), f(npx)])
-                dd = dd.at[..., f(npx), f(npx)].add(uc_g[..., f(npx), f(npx)])
-                dd = dd.at[..., f(npx), f(1)].add(uc_g[..., f(npx), f(1)])
+                def pp(a, j, i):
+                    return a[..., f(j):f(j) + 1, f(i):f(i) + 1]
+
+                row1 = catx([dd[..., f(1):f(1) + 1, :f(1)],
+                             pp(dd, 1, 1) - pp(uc_g, 0, 1),
+                             dd[..., f(1):f(1) + 1, f(1) + 1:f(npx)],
+                             pp(dd, 1, npx) - pp(uc_g, 0, npx),
+                             dd[..., f(1):f(1) + 1, f(npx) + 1:]])
+                rown = catx([dd[..., f(npx):f(npx) + 1, :f(1)],
+                             pp(dd, npx, 1) + pp(uc_g, npx, 1),
+                             dd[..., f(npx):f(npx) + 1, f(1) + 1:f(npx)],
+                             pp(dd, npx, npx) + pp(uc_g, npx, npx),
+                             dd[..., f(npx):f(npx) + 1, f(npx) + 1:]])
+                dd = caty([dd[..., :f(1), :], row1,
+                           dd[..., f(1) + 1:f(npx), :], rown,
+                           dd[..., f(npx) + 1:, :]])
             dd = dd * g.rarea_c
         if dddmp < 1.0e-5:
             vortS = jnp.zeros_like(dd)

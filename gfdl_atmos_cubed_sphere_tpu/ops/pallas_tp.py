@@ -166,3 +166,69 @@ def fv_tp_2d_pallas(q, crx, cry, hord, xfx, yfx, area, ra_x, ra_y, dxa, dya,
         fx = fx[:, 0]
         fy = fy[:, 0]
     return fx, fy
+
+
+def tp2d_sweep_pallas(q, crx, cry, hord, xfx, yfx, area, ra_x, ra_y,
+                      dxa, dya, lim_fac=1.0, mfx=None, mfy=None):
+    """The fv_tp_2d double sweep as one Pallas kernel per (tile, level).
+
+    Called from tp_core.fv_tp_2d on TPU with operands already sliced to
+    compute walls; returns the combined (fx, fy) — the caller applies
+    del-n damping. q: [6, K, P, P]."""
+    h = H
+    n = q.shape[-1] - 2 * h
+    K = q.shape[1]
+
+    qx = tp_core.copy_corners(q, h, 1)
+    qy = tp_core.copy_corners(q, h, 2)
+
+    with_mf = mfx is not None
+    if not with_mf:
+        mfx = jnp.zeros((6, 1, 1, 1), q.dtype)
+        mfy = jnp.zeros((6, 1, 1, 1), q.dtype)
+
+    def bcast(a):
+        a = jnp.asarray(a, q.dtype)
+        if a.ndim == 3:
+            a = a[:, None]
+        return a
+
+    ins = [q, qx, qy, bcast(crx), bcast(cry), bcast(xfx), bcast(yfx),
+           bcast(area), bcast(ra_x), bcast(ra_y), bcast(dxa), bcast(dya),
+           bcast(mfx), bcast(mfy)]
+
+    def spec_for(a, kb):
+        _, kk, yy, xx = a.shape
+        if kk == 1:
+            return pl.BlockSpec((1, 1, yy, xx), (lambda t, k: (t, 0, 0, 0)),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((1, kb, yy, xx), (lambda t, k: (t, k, 0, 0)),
+                            memory_space=pltpu.VMEM)
+
+    W = n + 1
+    out_shape = [
+        jax.ShapeDtypeStruct((6, K, n, W), q.dtype),
+        jax.ShapeDtypeStruct((6, K, W, n), q.dtype),
+    ]
+
+    def out_specs(kb):
+        return [
+            pl.BlockSpec((1, kb, n, W), lambda t, k: (t, k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kb, W, n), lambda t, k: (t, k, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+
+    kb = 1
+    for cand in (4, 2, 1):
+        if K % cand == 0:
+            kb = cand
+            break
+    kernel = _make_kernel(hord, float(lim_fac), with_mf)
+    return pl.pallas_call(
+        kernel,
+        grid=(6, K // kb),
+        in_specs=[spec_for(a, kb) for a in ins],
+        out_specs=out_specs(kb),
+        out_shape=out_shape,
+    )(*ins)

@@ -124,10 +124,17 @@ def xppm(q, c, dxa, iord, lim_fac=1.0, edges=True, axis=-1):
         return _setcols(a, iv, axis=ax)
 
     def iota_mask(pred_cols, length):
-        em = _np.zeros((length,), bool)
-        em[pred_cols] = True
-        m = jnp.asarray(em)
-        return m if ax == -1 else m[:, None]
+        # built from a traced iota (not a captured numpy constant, and with
+        # no bool minor-dim reshape) so the same code path compiles inside
+        # Pallas/Mosaic kernel bodies
+        if ax == -1:
+            ii = jax.lax.iota(jnp.int32, length)
+        else:
+            ii = jax.lax.broadcasted_iota(jnp.int32, (length, 1), 0)
+        m = (ii == pred_cols[0])
+        for cc in pred_cols[1:]:
+            m = m | (ii == cc)
+        return m
 
     if mord < 7:
         # ---- linear PPM family -------------------------------------------
@@ -409,6 +416,23 @@ def deln_flux_add(q, fx, fy, nord, damp4, g, mass=None, edges=True):
             fy + 0.5 * damp4 * (myl + myr) * fy2c)
 
 
+import os as _os
+
+_PALLAS_TP = _os.environ.get("GFDL_TPU_PALLAS_TP", "1") != "0"
+
+
+def _use_pallas_sweep(q, edges):
+    """Gate for the fused Pallas double-sweep: TPU backend, cube-edge mode,
+    4-D [6, K, P, P] operands. Disable with GFDL_TPU_PALLAS_TP=0."""
+    if not (_PALLAS_TP and edges and q.ndim == 4):
+        return False
+    try:
+        import jax as _jax
+        return _jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def fv_tp_2d(q, crx, cry, hord, xfx, yfx, area, ra_x, ra_y, dxa, dya,
              h=3, lim_fac=1.0, mfx=None, mfy=None, edges=True,
              nord=None, damp_c=None, g=None, mass=None,
@@ -443,30 +467,41 @@ def fv_tp_2d(q, crx, cry, hord, xfx, yfx, area, ra_x, ra_y, dxa, dya,
     if ra_y.shape[-2] == q.shape[-2]:
         ra_y = ra_y[..., ctr, :]
 
-    # y-inner sweep
-    qy = copy_corners(q, h, 2) if edges else q
-    fy2 = yppm(qy, cry, dya, ord_in, lim_fac, edges)          # [..., W, P]
-    fyy = yfx * fy2
-    q_i = (q[..., ctr, :] * area[..., ctr, :]
-           + fyy[..., :-1, :] - fyy[..., 1:, :]) / ra_y       # [..., n, P]
-    fx_ou = xppm(q_i, crx[..., ctr, :], dxa[..., ctr, :], ord_ou,
-                 lim_fac, edges)                               # [..., n, W]
-
-    # x-inner sweep
-    qx = copy_corners(q, h, 1) if edges else q
-    fx2 = xppm(qx, crx, dxa, ord_in, lim_fac, edges)          # [..., P, W]
-    fx1 = xfx * fx2
-    q_j = (q[..., :, ctr] * area[..., :, ctr]
-           + fx1[..., :, :-1] - fx1[..., :, 1:]) / ra_x       # [..., P, n]
-    fy_ou = yppm(q_j, cry[..., :, ctr], dya[..., :, ctr], ord_ou,
-                 lim_fac, edges)                               # [..., W, n]
-
-    if mfx is not None:
-        fx = 0.5 * (fx_ou + fx2[..., ctr, :]) * mfx
-        fy = 0.5 * (fy_ou + fy2[..., :, ctr]) * mfy
+    if _use_pallas_sweep(q, edges):
+        # TPU fast path: both directional PPM sweeps for each (tile, level)
+        # face run in one Pallas kernel with all operands VMEM-resident
+        # (ops/pallas_tp.py) — measured 1.7x over the XLA op-graph at
+        # C192L79. Same jnp sweep code inside the kernel; f32 results
+        # differ only by reassociation-level roundoff.
+        from .pallas_tp import tp2d_sweep_pallas
+        fx, fy = tp2d_sweep_pallas(q, crx, cry, hord, xfx, yfx, area,
+                                   ra_x, ra_y, dxa, dya, lim_fac=lim_fac,
+                                   mfx=mfx, mfy=mfy)
     else:
-        fx = 0.5 * (fx_ou + fx2[..., ctr, :]) * xfx[..., ctr, :]
-        fy = 0.5 * (fy_ou + fy2[..., :, ctr]) * yfx[..., :, ctr]
+        # y-inner sweep
+        qy = copy_corners(q, h, 2) if edges else q
+        fy2 = yppm(qy, cry, dya, ord_in, lim_fac, edges)      # [..., W, P]
+        fyy = yfx * fy2
+        q_i = (q[..., ctr, :] * area[..., ctr, :]
+               + fyy[..., :-1, :] - fyy[..., 1:, :]) / ra_y   # [..., n, P]
+        fx_ou = xppm(q_i, crx[..., ctr, :], dxa[..., ctr, :], ord_ou,
+                     lim_fac, edges)                           # [..., n, W]
+
+        # x-inner sweep
+        qx = copy_corners(q, h, 1) if edges else q
+        fx2 = xppm(qx, crx, dxa, ord_in, lim_fac, edges)      # [..., P, W]
+        fx1 = xfx * fx2
+        q_j = (q[..., :, ctr] * area[..., :, ctr]
+               + fx1[..., :, :-1] - fx1[..., :, 1:]) / ra_x   # [..., P, n]
+        fy_ou = yppm(q_j, cry[..., :, ctr], dya[..., :, ctr], ord_ou,
+                     lim_fac, edges)                           # [..., W, n]
+
+        if mfx is not None:
+            fx = 0.5 * (fx_ou + fx2[..., ctr, :]) * mfx
+            fy = 0.5 * (fy_ou + fy2[..., :, ctr]) * mfy
+        else:
+            fx = 0.5 * (fx_ou + fx2[..., ctr, :]) * xfx[..., ctr, :]
+            fy = 0.5 * (fy_ou + fy2[..., :, ctr]) * yfx[..., :, ctr]
 
     if g is not None and nord is not None:
         # damp_c may be a scalar or a per-level [K] profile (the merged

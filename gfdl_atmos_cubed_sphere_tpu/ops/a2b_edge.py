@@ -65,12 +65,32 @@ def _a2b_ord4_dp(qin):
     return 0.5 * (qxx + qyy)
 
 
+def _bgrid_frame(NW, npx, sw, se, ne, nw, wcol, ecol, srow, nrow, inter):
+    """Assemble the [.., NW, NW] corner-point output from its frame pieces
+    with one concatenate pass (each static .at[].set on the full array costs
+    a full-array HBM pass on TPU): zero halo rim, 4 corner points, west/east
+    columns (rows f(2)..f(npy-1)), south/north rows (cols f(2)..f(npx-1)),
+    and the interior block."""
+    batch = inter.shape[:-2]
+    dt_ = inter.dtype
+    zrow3 = jnp.zeros(batch + (H, NW), dt_)
+    zc = jnp.zeros(batch + (1, H), dt_)
+    zi = jnp.zeros(batch + (inter.shape[-2], H), dt_)
+    row_s = jnp.concatenate([zc, sw, srow, se, zc], -1)
+    row_n = jnp.concatenate([zc, nw, nrow, ne, zc], -1)
+    mid = jnp.concatenate([zi, wcol, inter, ecol, zi], -1)
+    return jnp.concatenate([zrow3, row_s, mid, row_n, zrow3], -2)
+
+
 def a2b_ord4(qin, g):
     """qin: [..., P, P] padded cells -> [..., NW, NW] corner values.
 
     g must provide (padded, broadcastable to qin's batch): dxa, dya,
     edge_w/e/s/n ([6,1,n+1]), and corner extrapolation weights
     corner_w [6,1,4,3] with index pairs fixed (see grid_ops).
+
+    Internal arrays (qx/qy/qxx/qyy) and the output are assembled by strip
+    concatenation instead of .at[].set chains — one HBM pass per array.
     """
     if getattr(g, "grid_type", 0) >= 3:
         return _a2b_ord4_dp(qin)
@@ -78,139 +98,133 @@ def a2b_ord4(qin, g):
     n = qin.shape[-1] - 2 * H
     npx = npy = n + 1
     NW = n + 1 + 2 * H
-    batch = qin.shape[:-2]
-    qout = jnp.zeros(batch + (NW, NW), qin.dtype)
 
     dxa, dya = g.dxa, g.dya
 
-    # ---- cube-corner 3-way extrapolation (a2b_edge.F90:105-133) ----------
-    # corner order: sw, se, ne, nw; legs: (diag-in, x-halo, y-halo)
-    def q_at(jf, if_):
-        return qin[..., f(jf), f(if_)]
+    def qc(jf, if_):
+        """single cell, keepdim [.., 1, 1]."""
+        return qin[..., f(jf):f(jf) + 1, f(if_):f(if_) + 1]
 
+    # ---- cube-corner 3-way extrapolation (a2b_edge.F90:105-133) ----------
     cw = g.a2b_corner_w  # [6, 1, 4, 3]
     legs = corner_legs(npx)
-    targets = {"sw": (1, 1), "se": (1, npx), "ne": (npy, npx), "nw": (npy, 1)}
+    cvals = {}
     for ci, name in enumerate(("sw", "se", "ne", "nw")):
         acc = 0.0
         for li, (j1, i1, j2, i2) in enumerate(legs[name]):
-            q1, q2 = q_at(j1, i1), q_at(j2, i2)
-            w = cw[..., ci, li]
+            q1, q2 = qc(j1, i1), qc(j2, i2)
+            w = cw[..., ci:ci + 1, li:li + 1]
             acc = acc + q1 + w * (q1 - q2)
-        tj, ti = targets[name]
-        qout = qout.at[..., f(tj), f(ti)].set(R3 * acc)
+        cvals[name] = R3 * acc
 
-    # ---- qx: 4th-order interp at x-walls (rows = cells) ------------------
-    qx = jnp.zeros(batch + (qin.shape[-2], NW), qin.dtype)
-    # interior walls i in [3, npx-2], cell rows j in [1, npy-1]
-    rj = slice(f(1), f(npy - 1) + 1)
-    s = f(1)                                   # cell i-2 for wall i=3
+    # ---- qx: 4th-order interp at x-walls, all cell rows -------------------
+    # (rows outside [1, npy-1] are never read downstream)
+    def cx(i, w=1):
+        return qin[..., :, f(i):f(i) + w]
+
+    def dx_(i):
+        return dxa[..., :, f(i):f(i) + 1]
+
+    s = f(1)
     Lx = npx - 4
-    qx = qx.at[..., rj, f(3):f(npx - 2) + 1].set(
-        B2 * (qin[..., rj, s:s + Lx] + qin[..., rj, s + 3:s + 3 + Lx])
-        + B1 * (qin[..., rj, s + 1:s + 1 + Lx] + qin[..., rj, s + 2:s + 2 + Lx]))
-    # west edge walls 1, 2
-    g_in = dxa[..., rj, f(2)] / dxa[..., rj, f(1)]
-    g_ou = dxa[..., rj, f(-1)] / dxa[..., rj, f(0)]
-    qx1 = 0.5 * (((2.0 + g_in) * qin[..., rj, f(1)] - qin[..., rj, f(2)]) / (1.0 + g_in)
-                 + ((2.0 + g_ou) * qin[..., rj, f(0)] - qin[..., rj, f(-1)]) / (1.0 + g_ou))
-    qx = qx.at[..., rj, f(1)].set(qx1)
-    qx = qx.at[..., rj, f(2)].set(
-        (3.0 * (g_in * qin[..., rj, f(1)] + qin[..., rj, f(2)])
-         - (g_in * qx1 + qx[..., rj, f(3)])) / (2.0 + 2.0 * g_in))
-    # east edge walls npx-1, npx
-    g_in = dxa[..., rj, f(npx - 2)] / dxa[..., rj, f(npx - 1)]
-    g_ou = dxa[..., rj, f(npx + 1)] / dxa[..., rj, f(npx)]
-    qxn = 0.5 * (((2.0 + g_in) * qin[..., rj, f(npx - 1)] - qin[..., rj, f(npx - 2)]) / (1.0 + g_in)
-                 + ((2.0 + g_ou) * qin[..., rj, f(npx)] - qin[..., rj, f(npx + 1)]) / (1.0 + g_ou))
-    qx = qx.at[..., rj, f(npx)].set(qxn)
-    qx = qx.at[..., rj, f(npx - 1)].set(
-        (3.0 * (qin[..., rj, f(npx - 2)] + g_in * qin[..., rj, f(npx - 1)])
-         - (g_in * qxn + qx[..., rj, f(npx - 2)])) / (2.0 + 2.0 * g_in))
+    qx_i = (B2 * (qin[..., :, s:s + Lx] + qin[..., :, s + 3:s + 3 + Lx])
+            + B1 * (qin[..., :, s + 1:s + 1 + Lx]
+                    + qin[..., :, s + 2:s + 2 + Lx]))
+    g_in = dx_(2) / dx_(1)
+    g_ou = dx_(-1) / dx_(0)
+    qx1 = 0.5 * (((2.0 + g_in) * cx(1) - cx(2)) / (1.0 + g_in)
+                 + ((2.0 + g_ou) * cx(0) - cx(-1)) / (1.0 + g_ou))
+    qx2 = ((3.0 * (g_in * cx(1) + cx(2))
+            - (g_in * qx1 + qx_i[..., :, :1])) / (2.0 + 2.0 * g_in))
+    g_in = dx_(npx - 2) / dx_(npx - 1)
+    g_ou = dx_(npx + 1) / dx_(npx)
+    qxn = 0.5 * (((2.0 + g_in) * cx(npx - 1) - cx(npx - 2)) / (1.0 + g_in)
+                 + ((2.0 + g_ou) * cx(npx) - cx(npx + 1)) / (1.0 + g_ou))
+    qxm = ((3.0 * (cx(npx - 2) + g_in * cx(npx - 1))
+            - (g_in * qxn + qx_i[..., :, -1:])) / (2.0 + 2.0 * g_in))
+    zx = jnp.zeros_like(qin[..., :, :H])
+    qx = jnp.concatenate([zx, qx1, qx2, qx_i, qxm, qxn, zx], -1)
 
-    # ---- qout west/east edge rows (edge_w/edge_e factors) ----------------
-    # q2(j) = (qin(0,j)*dxa(1,j)+qin(1,j)*dxa(0,j))/(dxa(0,j)+dxa(1,j)), j in [1, npy-1]
-    q2w = ((qin[..., rj, f(0)] * dxa[..., rj, f(1)]
-            + qin[..., rj, f(1)] * dxa[..., rj, f(0)])
-           / (dxa[..., rj, f(0)] + dxa[..., rj, f(1)]))
-    ew = g.edge_w[..., 1:npy - 1]                 # factors at corners j=2..npy-1
-    qout = qout.at[..., f(2):f(npy - 1) + 1, f(1)].set(
-        ew * q2w[..., :-1] + (1.0 - ew) * q2w[..., 1:])
-    q2e = ((qin[..., rj, f(npx - 1)] * dxa[..., rj, f(npx)]
-            + qin[..., rj, f(npx)] * dxa[..., rj, f(npx - 1)])
-           / (dxa[..., rj, f(npx - 1)] + dxa[..., rj, f(npx)]))
-    ee = g.edge_e[..., 1:npy - 1]
-    qout = qout.at[..., f(2):f(npy - 1) + 1, f(npx)].set(
-        ee * q2e[..., :-1] + (1.0 - ee) * q2e[..., 1:])
+    # ---- qy: 4th-order interp at y-walls, all cell cols --------------------
+    def cy(jf, w=1):
+        return qin[..., f(jf):f(jf) + w, :]
 
-    # ---- qy: 4th-order interp at y-walls ---------------------------------
-    qy = jnp.zeros(batch + (NW, qin.shape[-1]), qin.dtype)
+    def dy_(jf):
+        return dya[..., f(jf):f(jf) + 1, :]
+
+    qy_i = (B2 * (qin[..., s:s + Lx, :] + qin[..., s + 3:s + 3 + Lx, :])
+            + B1 * (qin[..., s + 1:s + 1 + Lx, :]
+                    + qin[..., s + 2:s + 2 + Lx, :]))
+    g_in = dy_(2) / dy_(1)
+    g_ou = dy_(-1) / dy_(0)
+    qy1 = 0.5 * (((2.0 + g_in) * cy(1) - cy(2)) / (1.0 + g_in)
+                 + ((2.0 + g_ou) * cy(0) - cy(-1)) / (1.0 + g_ou))
+    qy2 = ((3.0 * (g_in * cy(1) + cy(2))
+            - (g_in * qy1 + qy_i[..., :1, :])) / (2.0 + 2.0 * g_in))
+    g_in = dy_(npy - 2) / dy_(npy - 1)
+    g_ou = dy_(npy + 1) / dy_(npy)
+    qyn = 0.5 * (((2.0 + g_in) * cy(npy - 1) - cy(npy - 2)) / (1.0 + g_in)
+                 + ((2.0 + g_ou) * cy(npy) - cy(npy + 1)) / (1.0 + g_ou))
+    qym = ((3.0 * (cy(npy - 2) + g_in * cy(npy - 1))
+            - (g_in * qyn + qy_i[..., -1:, :])) / (2.0 + 2.0 * g_in))
+    zy = jnp.zeros_like(qin[..., :H, :])
+    qy = jnp.concatenate([zy, qy1, qy2, qy_i, qym, qyn, zy], -2)
+
+    # ---- edge rows/columns of the output (edge_w/e/s/n factors) -----------
+    rj = slice(f(1), f(npy - 1) + 1)
     ri = slice(f(1), f(npx - 1) + 1)
-    qy = qy.at[..., f(3):f(npy - 2) + 1, ri].set(
-        B2 * (qin[..., s:s + Lx, ri] + qin[..., s + 3:s + 3 + Lx, ri])
-        + B1 * (qin[..., s + 1:s + 1 + Lx, ri] + qin[..., s + 2:s + 2 + Lx, ri]))
-    g_in = dya[..., f(2), ri] / dya[..., f(1), ri]
-    g_ou = dya[..., f(-1), ri] / dya[..., f(0), ri]
-    qy1 = 0.5 * (((2.0 + g_in) * qin[..., f(1), ri] - qin[..., f(2), ri]) / (1.0 + g_in)
-                 + ((2.0 + g_ou) * qin[..., f(0), ri] - qin[..., f(-1), ri]) / (1.0 + g_ou))
-    qy = qy.at[..., f(1), ri].set(qy1)
-    qy = qy.at[..., f(2), ri].set(
-        (3.0 * (g_in * qin[..., f(1), ri] + qin[..., f(2), ri])
-         - (g_in * qy1 + qy[..., f(3), ri])) / (2.0 + 2.0 * g_in))
-    g_in = dya[..., f(npy - 2), ri] / dya[..., f(npy - 1), ri]
-    g_ou = dya[..., f(npy + 1), ri] / dya[..., f(npy), ri]
-    qyn = 0.5 * (((2.0 + g_in) * qin[..., f(npy - 1), ri] - qin[..., f(npy - 2), ri]) / (1.0 + g_in)
-                 + ((2.0 + g_ou) * qin[..., f(npy), ri] - qin[..., f(npy + 1), ri]) / (1.0 + g_ou))
-    qy = qy.at[..., f(npy), ri].set(qyn)
-    qy = qy.at[..., f(npy - 1), ri].set(
-        (3.0 * (qin[..., f(npy - 2), ri] + g_in * qin[..., f(npy - 1), ri])
-         - (g_in * qyn + qy[..., f(npy - 2), ri])) / (2.0 + 2.0 * g_in))
+    q2w = ((qin[..., rj, f(0):f(0) + 1] * dxa[..., rj, f(1):f(1) + 1]
+            + qin[..., rj, f(1):f(1) + 1] * dxa[..., rj, f(0):f(0) + 1])
+           / (dxa[..., rj, f(0):f(0) + 1] + dxa[..., rj, f(1):f(1) + 1]))
+    ew = g.edge_w[..., 1:npy - 1][..., None]
+    wcol = ew * q2w[..., :-1, :] + (1.0 - ew) * q2w[..., 1:, :]
+    q2e = ((qin[..., rj, f(npx - 1):f(npx - 1) + 1] * dxa[..., rj, f(npx):f(npx) + 1]
+            + qin[..., rj, f(npx):f(npx) + 1] * dxa[..., rj, f(npx - 1):f(npx - 1) + 1])
+           / (dxa[..., rj, f(npx - 1):f(npx - 1) + 1]
+              + dxa[..., rj, f(npx):f(npx) + 1]))
+    ee = g.edge_e[..., 1:npy - 1][..., None]
+    ecol = ee * q2e[..., :-1, :] + (1.0 - ee) * q2e[..., 1:, :]
+    q1s = ((qin[..., f(0):f(0) + 1, ri] * dya[..., f(1):f(1) + 1, ri]
+            + qin[..., f(1):f(1) + 1, ri] * dya[..., f(0):f(0) + 1, ri])
+           / (dya[..., f(0):f(0) + 1, ri] + dya[..., f(1):f(1) + 1, ri]))
+    es = g.edge_s[..., 1:npx - 1][..., None, :]
+    srow = es * q1s[..., :, :-1] + (1.0 - es) * q1s[..., :, 1:]
+    q1n = ((qin[..., f(npy - 1):f(npy - 1) + 1, ri] * dya[..., f(npy):f(npy) + 1, ri]
+            + qin[..., f(npy):f(npy) + 1, ri] * dya[..., f(npy - 1):f(npy - 1) + 1, ri])
+           / (dya[..., f(npy - 1):f(npy - 1) + 1, ri]
+              + dya[..., f(npy):f(npy) + 1, ri]))
+    en = g.edge_n[..., 1:npx - 1][..., None, :]
+    nrow = en * q1n[..., :, :-1] + (1.0 - en) * q1n[..., :, 1:]
 
-    # ---- qout south/north edge rows --------------------------------------
-    q1s = ((qin[..., f(0), ri] * dya[..., f(1), ri]
-            + qin[..., f(1), ri] * dya[..., f(0), ri])
-           / (dya[..., f(0), ri] + dya[..., f(1), ri]))
-    es = g.edge_s[..., 1:npx - 1]
-    qout = qout.at[..., f(1), f(2):f(npx - 1) + 1].set(
-        es * q1s[..., :-1] + (1.0 - es) * q1s[..., 1:])
-    q1n = ((qin[..., f(npy - 1), ri] * dya[..., f(npy), ri]
-            + qin[..., f(npy), ri] * dya[..., f(npy - 1), ri])
-           / (dya[..., f(npy - 1), ri] + dya[..., f(npy), ri]))
-    en = g.edge_n[..., 1:npx - 1]
-    qout = qout.at[..., f(npy), f(2):f(npx - 1) + 1].set(
-        en * q1n[..., :-1] + (1.0 - en) * q1n[..., 1:])
-
-    # ---- qxx: y-interp of qx to corners ----------------------------------
+    # ---- qxx: y-interp of qx to corners (block form, no zero frame) -------
     cwls = slice(f(2), f(npx - 1) + 1)        # corner cols 2..npx-1
-    qxx = jnp.zeros(batch + (NW, NW), qin.dtype)
-    r0 = f(1)                                  # cell j-2 for corner j=3
+    r0 = f(1)
     Ly = npy - 4
-    qxx = qxx.at[..., f(3):f(npy - 2) + 1, cwls].set(
-        A2 * (qx[..., r0:r0 + Ly, cwls] + qx[..., r0 + 3:r0 + 3 + Ly, cwls])
-        + A1 * (qx[..., r0 + 1:r0 + 1 + Ly, cwls] + qx[..., r0 + 2:r0 + 2 + Ly, cwls]))
-    qxx = qxx.at[..., f(2), cwls].set(
-        C1 * (qx[..., f(1), cwls] + qx[..., f(2), cwls])
-        + C2 * (qout[..., f(1), cwls] + qxx[..., f(3), cwls]))
-    qxx = qxx.at[..., f(npy - 1), cwls].set(
-        C1 * (qx[..., f(npy - 2), cwls] + qx[..., f(npy - 1), cwls])
-        + C2 * (qout[..., f(npy), cwls] + qxx[..., f(npy - 2), cwls]))
+    qxx_i = (A2 * (qx[..., r0:r0 + Ly, cwls] + qx[..., r0 + 3:r0 + 3 + Ly, cwls])
+             + A1 * (qx[..., r0 + 1:r0 + 1 + Ly, cwls]
+                     + qx[..., r0 + 2:r0 + 2 + Ly, cwls]))
+    qxx_s = (C1 * (qx[..., f(1):f(1) + 1, cwls] + qx[..., f(2):f(2) + 1, cwls])
+             + C2 * (srow + qxx_i[..., :1, :]))
+    qxx_n = (C1 * (qx[..., f(npy - 2):f(npy - 2) + 1, cwls]
+                   + qx[..., f(npy - 1):f(npy - 1) + 1, cwls])
+             + C2 * (nrow + qxx_i[..., -1:, :]))
+    qxx = jnp.concatenate([qxx_s, qxx_i, qxx_n], -2)     # [.., npy-2, npx-2]
 
-    # ---- qyy: x-interp of qy to corners ----------------------------------
+    # ---- qyy: x-interp of qy to corners ------------------------------------
     rwls = slice(f(2), f(npy - 1) + 1)
-    qyy = jnp.zeros(batch + (NW, NW), qin.dtype)
-    qyy = qyy.at[..., rwls, f(3):f(npx - 2) + 1].set(
-        A2 * (qy[..., rwls, r0:r0 + Ly] + qy[..., rwls, r0 + 3:r0 + 3 + Ly])
-        + A1 * (qy[..., rwls, r0 + 1:r0 + 1 + Ly] + qy[..., rwls, r0 + 2:r0 + 2 + Ly]))
-    qyy = qyy.at[..., rwls, f(2)].set(
-        C1 * (qy[..., rwls, f(1)] + qy[..., rwls, f(2)])
-        + C2 * (qout[..., rwls, f(1)] + qyy[..., rwls, f(3)]))
-    qyy = qyy.at[..., rwls, f(npx - 1)].set(
-        C1 * (qy[..., rwls, f(npx - 2)] + qy[..., rwls, f(npx - 1)])
-        + C2 * (qout[..., rwls, f(npx)] + qyy[..., rwls, f(npx - 2)]))
+    qyy_i = (A2 * (qy[..., rwls, r0:r0 + Ly] + qy[..., rwls, r0 + 3:r0 + 3 + Ly])
+             + A1 * (qy[..., rwls, r0 + 1:r0 + 1 + Ly]
+                     + qy[..., rwls, r0 + 2:r0 + 2 + Ly]))
+    qyy_w = (C1 * (qy[..., rwls, f(1):f(1) + 1] + qy[..., rwls, f(2):f(2) + 1])
+             + C2 * (wcol + qyy_i[..., :, :1]))
+    qyy_e = (C1 * (qy[..., rwls, f(npx - 2):f(npx - 2) + 1]
+                   + qy[..., rwls, f(npx - 1):f(npx - 1) + 1])
+             + C2 * (ecol + qyy_i[..., :, -1:]))
+    qyy = jnp.concatenate([qyy_w, qyy_i, qyy_e], -1)     # [.., npy-2, npx-2]
 
-    qout = qout.at[..., rwls, cwls].set(
-        0.5 * (qxx[..., rwls, cwls] + qyy[..., rwls, cwls]))
-    return qout
+    inter = 0.5 * (qxx + qyy)
+    return _bgrid_frame(NW, npx, cvals["sw"], cvals["se"], cvals["ne"],
+                        cvals["nw"], wcol, ecol, srow, nrow, inter)
 
 
 def a2b_ord2(qin, g):

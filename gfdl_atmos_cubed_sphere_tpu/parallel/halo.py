@@ -44,6 +44,71 @@ class HaloExchanger:
         self._dgrid = self._vector_spec(h, "D")
         # C-grid vector (uc on x-walls, vc on y-walls)
         self._cgrid = self._vector_spec(h, "C")
+        # Strip-only gather maps: the padded interior is an identity copy of
+        # the input, so only the 4 halo strips (P*P - n*n elements, ~17x
+        # fewer) need the topology gather; the output is assembled with two
+        # concatenates around the untouched input array.
+        self._cell_strips = self._strip_maps(self._cell_flat, None,
+                                             self._ident_cell(n))
+        self._corner_strips = self._strip_maps(self._corner_flat, None,
+                                               self._ident_corner(n))
+        self._vec_strips = {}
+        for gname, spec in (("D", self._dgrid), ("C", self._cgrid)):
+            for comp in ("u", "v"):
+                idx, sign = spec[comp]
+                self._vec_strips[(gname, comp)] = self._strip_maps(
+                    idx, sign, None)
+
+    @staticmethod
+    def _ident_cell(n):
+        jj, ii = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+        return (np.arange(6)[:, None, None] * (n * n) + jj * n + ii)
+
+    @staticmethod
+    def _ident_corner(n):
+        m = n + 1
+        jj, ii = np.meshgrid(np.arange(m), np.arange(m), indexing="ij")
+        return (np.arange(6)[:, None, None] * (m * m) + jj * m + ii)
+
+    def _strip_maps(self, flat, sign, ident):
+        # Slice the full [6, Py, Qx] gather map into 4 halo-strip maps,
+        # verifying the padded interior is an identity copy of the input
+        # (for vectors: identity into one component with +1 signs). Returns
+        # None when it is not -- callers then fall back to the full gather.
+        h = self.h
+        f = np.asarray(flat)
+        sg = None if sign is None else np.asarray(sign)
+        Py, Qx = f.shape[1], f.shape[2]
+        inter = f[:, h:Py - h, h:Qx - h]
+        if ident is None:
+            # vector interior: exact identity into one source component.
+            # interior block is (Py-2h) x (Qx-2h); its source must be a
+            # row-major contiguous block with unit strides, +1 signs, and a
+            # per-tile start offset matching a whole component layout.
+            A, B = Py - 2 * h, Qx - 2 * h
+            jj, ii = np.meshgrid(np.arange(A), np.arange(B), indexing="ij")
+            base = inter[:, :1, :1]
+            ok = (np.array_equal(inter, base + jj * B + ii)
+                  and (sg is None
+                       or np.all(sg[:, h:Py - h, h:Qx - h] == 1.0)))
+            if not ok:
+                return None
+        else:
+            if not np.array_equal(inter, ident):
+                return None
+        out = []
+        for sl in ((slice(0, h), slice(None)),
+                   (slice(Py - h, Py), slice(None)),
+                   (slice(h, Py - h), slice(0, h)),
+                   (slice(h, Py - h), slice(Qx - h, Qx))):
+            idx = jnp.asarray(f[(slice(None),) + sl])
+            ss = None
+            if sg is not None:
+                sgp = sg[(slice(None),) + sl]
+                if not np.all(sgp == 1.0):
+                    ss = jnp.asarray(sgp.astype(np.float32))
+            out.append((idx, ss))
+        return out
 
     def _vector_spec(self, h, grid):
         n = self.n
@@ -64,11 +129,40 @@ class HaloExchanger:
 
     def pad_cell(self, q):
         """[6, ..., n, n] -> [6, ..., n+2h, n+2h] (corner blocks garbage)."""
+        if self._cell_strips is not None:
+            return self._gather_strips(q, self._cell_strips,
+                                       self.n * self.n, q)
         return self._gather(q, self._cell_flat, self.n * self.n)
 
     def pad_corner(self, q):
         m = self.n + 1
+        if self._corner_strips is not None:
+            return self._gather_strips(q, self._corner_strips, m * m, q)
         return self._gather(q, self._corner_flat, m * m)
+
+    def _gather_strips(self, src, strips, L, interior, src2=None, L2=0):
+        """Halo pad via strip-only gathers plus concatenate assembly; the
+        interior of the padded output is the untouched `interior` array."""
+        batch = src.shape[1:-2]
+
+        def flatten(a, La):
+            return jnp.moveaxis(a.reshape(a.shape[0], *batch, La), 0, -2)
+
+        qf = flatten(src, L)
+        if src2 is not None:
+            qf = jnp.concatenate([qf, flatten(src2, L2)], -1)
+        qf = qf.reshape(*batch, -1)
+
+        def g_(part):
+            idx, sign = part
+            o = qf[..., idx]
+            if sign is not None:
+                o = o * sign
+            return jnp.moveaxis(o, -3, 0)
+
+        top, bot, left, right = (g_(p) for p in strips)
+        mid = jnp.concatenate([left, interior, right], -1)
+        return jnp.concatenate([top, mid, bot], -2)
 
     def _gather(self, q, flat_idx, L):
         batch = q.shape[1:-2]
@@ -79,13 +173,20 @@ class HaloExchanger:
 
     # -- vector pads -----------------------------------------------------
 
-    def _pad_vector(self, u, v, spec):
+    def _pad_vector(self, u, v, spec, gname=None):
         """u: y-wall [6, ..., n+1, n]; v: x-wall [6, ..., n, n+1] (or the
         C-grid equivalents with u<->x-wall). Returns padded (u, v) with
         cross-edge component rotation and sign flips."""
         n = self.n
         batch = u.shape[1:-2]
         ly = (n + 1) * n
+        if gname is not None:
+            su = self._vec_strips.get((gname, "u"))
+            sv = self._vec_strips.get((gname, "v"))
+            if su is not None and sv is not None:
+                up = self._gather_strips(u, su, ly, u, src2=v, L2=ly)
+                vp = self._gather_strips(u, sv, ly, v, src2=v, L2=ly)
+                return up, vp
         src = jnp.concatenate(
             [u.reshape(u.shape[0], *batch, ly), v.reshape(v.shape[0], *batch, ly)],
             axis=-1)
@@ -137,7 +238,7 @@ class HaloExchanger:
     def pad_dgrid(self, u, v):
         """D-grid winds: u [6,...,n+1,n], v [6,...,n,n+1] ->
         padded [6,...,n+1+2h,n+2h], [6,...,n+2h,n+1+2h]."""
-        return self._pad_vector(u, v, self._dgrid)
+        return self._pad_vector(u, v, self._dgrid, gname="D")
 
     def pad_cgrid(self, uc, vc):
         """C-grid winds: uc x-wall [6,...,n,n+1], vc y-wall [6,...,n+1,n]."""
@@ -147,6 +248,12 @@ class HaloExchanger:
         n = self.n
         batch = uc.shape[1:-2]
         ly = (n + 1) * n
+        su = self._vec_strips.get(("C", "u"))
+        sv = self._vec_strips.get(("C", "v"))
+        if su is not None and sv is not None:
+            uc_p = self._gather_strips(vc, su, ly, uc, src2=uc, L2=ly)
+            vc_p = self._gather_strips(vc, sv, ly, vc, src2=uc, L2=ly)
+            return uc_p, vc_p
         src = jnp.concatenate(
             [vc.reshape(vc.shape[0], *batch, ly),
              uc.reshape(uc.shape[0], *batch, ly)], axis=-1)

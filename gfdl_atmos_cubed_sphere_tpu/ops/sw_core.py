@@ -16,6 +16,7 @@ the reference's per-rank `is==1`-style conditionals become static index ops.
 
 from types import SimpleNamespace
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -459,13 +460,17 @@ def xtp_u(c, u, dx, rdx, iord, lim_fac=1.0, edges=True, axis=-1):
     cl = lambda q: padq(q, 1, 0)     # cell i-1 viewed at wall i
     cr = lambda q: padq(q, 0, 1)     # cell i viewed at wall i
 
-    # corner-row zero mask along the orthogonal (wall) axis: rows f(1), f(npx)
+    # corner-row zero mask along the orthogonal (wall) axis: rows f(1),
+    # f(npx). Built from a traced iota (not a captured numpy constant) so
+    # this code path also compiles inside Pallas kernel bodies.
     NWlen = c.shape[-1]
-    zr = np.ones((NWlen,), np.float64)
-    zr[f(1)] = 0.0
-    zr[f(npx)] = 0.0
-    zmask = jnp.asarray(zr, u.dtype)
-    zmask = zmask[:, None] if ax == -1 else zmask[None, :]
+    import jax as _jax
+    if ax == -1:
+        zi = _jax.lax.broadcasted_iota(jnp.int32, (NWlen, 1), 0)
+    else:
+        zi = _jax.lax.broadcasted_iota(jnp.int32, (1, NWlen), 1)
+    zmask = jnp.where((zi == f(1)) | (zi == f(npx)),
+                      jnp.zeros((), u.dtype), jnp.ones((), u.dtype))
     zero2 = jnp.zeros_like(S(u, slice(0, 2)))
 
     u0 = lambda i: col(u, i)
@@ -519,21 +524,31 @@ def xtp_u(c, u, dx, rdx, iord, lim_fac=1.0, edges=True, axis=-1):
         bl = cat([zero2, bl_0, bl_1, bl_2, blv, bl_n2, bl_n1, bl_n, zero2])
         br = cat([zero2, br_0, br_1, br_2, brv, br_n2, br_n1, br_n, zero2])
         b0 = bl + br
+        one = jnp.ones((), u.dtype)
+        zero = jnp.zeros((), u.dtype)
+        # smt5 carried as a 0/1 float mask end-to-end: Mosaic cannot
+        # pad/select/truncate i1 vectors
         if iord == 5:
-            smt5 = bl * br < 0.0
+            smt5f = jnp.where(bl * br < 0.0, one, zero)
         else:  # 6, 7
-            gen = 3.0 * jnp.abs(b0) < jnp.abs(bl - br)
-            em = np.zeros((u.shape[ax],), bool)
-            em[[f(0), f(1), f(npx - 1), f(npx)]] = True
-            emj = jnp.asarray(em)
-            emj = emj if ax == -1 else emj[:, None]
-            smt5 = jnp.where(emj, bl * br < 0.0, gen)
+            genf = jnp.where(3.0 * jnp.abs(b0) < jnp.abs(bl - br),
+                             one, zero)
+            edgef = jnp.where(bl * br < 0.0, one, zero)
+            # traced iota (not captured numpy) so this compiles in Pallas
+            Nax = u.shape[ax]
+            if ax == -1:
+                ei = jax.lax.broadcasted_iota(jnp.int32, (1, Nax), 1)
+            else:
+                ei = jax.lax.broadcasted_iota(jnp.int32, (Nax, 1), 0)
+            emj = ((ei == f(0)) | (ei == f(1))
+                   | (ei == f(npx - 1)) | (ei == f(npx)))
+            smt5f = jnp.where(emj, edgef, genf)
         cpos = c > 0.0
         cfl = c * jnp.where(cpos, cl(rdx), cr(rdx))
         fx0 = jnp.where(cpos, (1.0 - cfl) * (cl(br) - cfl * cl(b0)),
                         (1.0 + cfl) * (cr(bl) + cfl * cr(b0)))
         low = jnp.where(cpos, cl(u), cr(u))
-        add = cl(smt5) | cr(smt5)
+        add = (cl(smt5f) + cr(smt5f)) > 0.5
         return low + jnp.where(add, fx0, 0.0)
 
     # ---- iord >= 8 (sw_core.F90:2293-2523) --------------------------------
@@ -657,6 +672,172 @@ def _pl(x, dtype):
 def _on(x):
     """Static is-this-damping-active test for scalar or [K] profile."""
     return x is not None and float(np.max(np.asarray(x))) > 1.0e-5
+
+
+def ke_section(u, v, uc, vc, ut, vt, cosa, rsina, dx, rdx, dy, rdy,
+               dt, hord_mt, lim_fac, npx, edges, use_select=False):
+    """d_sw kinetic-energy stage (sw_core.F90:1063-1228): vb/ub advective
+    corner winds, their PPM self-advection (ytp_v/xtp_u), and the corner KE
+    fixes. Factored out so the TPU path can run it as one Pallas kernel per
+    (tile, level-block) face with all operands VMEM-resident."""
+    f = fi
+    dt5 = 0.5 * dt
+    dt4 = 0.25 * dt
+    mid = slice(f(2), f(npx - 1) + 1)
+    catx = lambda ps: jnp.concatenate(ps, -1)
+    caty = lambda ps: jnp.concatenate(ps, -2)
+
+    def _cl(q):
+        pad = [(0, 0)] * (q.ndim - 1) + [(1, 0)]
+        return jnp.pad(q, pad)
+
+    def _cr(q):
+        pad = [(0, 0)] * (q.ndim - 1) + [(0, 1)]
+        return jnp.pad(q, pad)
+
+    def _rl(q):
+        pad = [(0, 0)] * (q.ndim - 2) + [(1, 0), (0, 0)]
+        return jnp.pad(q, pad)
+
+    def _rr(q):
+        pad = [(0, 0)] * (q.ndim - 2) + [(0, 1), (0, 0)]
+        return jnp.pad(q, pad)
+
+    vb = dt5 * (_cl(vc) + _cr(vc) - (_rl(uc) + _rr(uc)) * cosa) * rsina
+    if edges:
+        # edge frame assembled with one concatenate pass per array (each
+        # static .at[].set on the full array is a full-array pass on TPU)
+        def c1(a, i):
+            return a[..., mid, f(i):f(i) + 1]
+
+        if use_select:
+            # Pallas path: every operand is VMEM-resident, so iota-masked
+            # selects are free and avoid Mosaic's offset-slice concat limits
+            def cfull(a, i):
+                return a[..., :, f(i):f(i) + 1]
+
+            colv_w = dt4 * (-cfull(vt, -1) + 3.0 * (cfull(vt, 0)
+                            + cfull(vt, 1)) - cfull(vt, 2))
+            colv_e = dt4 * (-cfull(vt, npx - 2)
+                            + 3.0 * (cfull(vt, npx - 1) + cfull(vt, npx))
+                            - cfull(vt, npx + 1))
+            rowv = dt5 * (_cl(vt) + _cr(vt))
+            NWl = vb.shape[-1]
+            ix = jax.lax.broadcasted_iota(jnp.int32, (1, NWl), 1)
+            iy = jax.lax.broadcasted_iota(jnp.int32, (NWl, 1), 0)
+            in_mid = (iy >= f(2)) & (iy <= f(npx - 1))
+            vb = jnp.where((ix == f(1)) & in_mid, colv_w, vb)
+            vb = jnp.where((ix == f(npx)) & in_mid, colv_e, vb)
+            vb = jnp.where((iy == f(1)) | (iy == f(npx)), rowv, vb)
+        else:
+            col_w = dt4 * (-c1(vt, -1) + 3.0 * (c1(vt, 0) + c1(vt, 1))
+                           - c1(vt, 2))
+            col_e = dt4 * (-c1(vt, npx - 2)
+                           + 3.0 * (c1(vt, npx - 1) + c1(vt, npx))
+                           - c1(vt, npx + 1))
+            row_s = dt5 * (_cl(vt) + _cr(vt))[..., f(1):f(1) + 1, :]
+            row_n = dt5 * (_cl(vt) + _cr(vt))[..., f(npx):f(npx) + 1, :]
+            vb_mid = catx([vb[..., mid, :f(1)], col_w,
+                           vb[..., mid, f(1) + 1:f(npx)], col_e,
+                           vb[..., mid, f(npx) + 1:]])
+            vb = caty([vb[..., :f(1), :], row_s, vb_mid, row_n,
+                       vb[..., f(npx) + 1:, :]])
+
+    ke = vb * ytp_v(vb, v, dy, rdy, hord_mt, lim_fac, edges=edges)
+
+    ub = dt5 * (_rl(uc) + _rr(uc) - (_cl(vc) + _cr(vc)) * cosa) * rsina
+    if edges:
+        def r1(a, j):
+            return a[..., f(j):f(j) + 1, mid]
+
+        if use_select:
+            def rfull(a, j):
+                return a[..., f(j):f(j) + 1, :]
+
+            rowv_s = dt4 * (-rfull(ut, -1) + 3.0 * (rfull(ut, 0)
+                            + rfull(ut, 1)) - rfull(ut, 2))
+            rowv_n = dt4 * (-rfull(ut, npx - 2)
+                            + 3.0 * (rfull(ut, npx - 1) + rfull(ut, npx))
+                            - rfull(ut, npx + 1))
+            colv = dt5 * (_rl(ut) + _rr(ut))
+            NWl = ub.shape[-1]
+            ix = jax.lax.broadcasted_iota(jnp.int32, (1, NWl), 1)
+            iy = jax.lax.broadcasted_iota(jnp.int32, (NWl, 1), 0)
+            in_mid = (ix >= f(2)) & (ix <= f(npx - 1))
+            ub = jnp.where((iy == f(1)) & in_mid, rowv_s, ub)
+            ub = jnp.where((iy == f(npx)) & in_mid, rowv_n, ub)
+            ub = jnp.where((ix == f(1)) | (ix == f(npx)), colv, ub)
+        else:
+            row_s = dt4 * (-r1(ut, -1) + 3.0 * (r1(ut, 0) + r1(ut, 1))
+                           - r1(ut, 2))
+            row_n = dt4 * (-r1(ut, npx - 2)
+                           + 3.0 * (r1(ut, npx - 1) + r1(ut, npx))
+                           - r1(ut, npx + 1))
+            col_w = dt5 * (_rl(ut) + _rr(ut))[..., :, f(1):f(1) + 1]
+            col_e = dt5 * (_rl(ut) + _rr(ut))[..., :, f(npx):f(npx) + 1]
+            # rows f(1), f(npx) are edited on the mid columns
+            # (f(2)..f(npx-1)); columns f(1), f(npx) are then replaced over
+            # their full height (disjoint, same as the reference order)
+            row_s = catx([ub[..., f(1):f(1) + 1, :f(2)], row_s,
+                          ub[..., f(1):f(1) + 1, f(npx - 1) + 1:]])
+            row_n = catx([ub[..., f(npx):f(npx) + 1, :f(2)], row_n,
+                          ub[..., f(npx):f(npx) + 1, f(npx - 1) + 1:]])
+            ub_r = caty([ub[..., :f(1), :], row_s,
+                         ub[..., f(1) + 1:f(npx), :], row_n,
+                         ub[..., f(npx) + 1:, :]])
+            ub = catx([ub_r[..., :, :f(1)], col_w,
+                       ub_r[..., :, f(1) + 1:f(npx)], col_e,
+                       ub_r[..., :, f(npx) + 1:]])
+
+    ke = 0.5 * (ke + ub * xtp_u(ub, u, dx, rdx, hord_mt, lim_fac,
+                                edges=edges))
+
+    # corner KE fixes (sw_core.F90:1203-1228)
+    dt6 = dt / 6.0
+    if edges:
+        def p(a, j, i):
+            return a[..., f(j):f(j) + 1, f(i):f(i) + 1]
+
+        k11 = dt6 * (
+            (p(ut, 1, 1) + p(ut, 0, 1)) * p(u, 1, 1)
+            + (p(vt, 1, 1) + p(vt, 1, 0)) * p(v, 1, 1)
+            + (p(ut, 1, 1) + p(vt, 1, 1)) * p(u, 1, 0))
+        k1n = dt6 * (
+            (p(ut, 1, npx) + p(ut, 0, npx)) * p(u, 1, npx - 1)
+            + (p(vt, 1, npx) + p(vt, 1, npx - 1)) * p(v, 1, npx)
+            + (p(ut, 1, npx) - p(vt, 1, npx - 1)) * p(u, 1, npx))
+        knn = dt6 * (
+            (p(ut, npx, npx) + p(ut, npx - 1, npx)) * p(u, npx, npx - 1)
+            + (p(vt, npx, npx) + p(vt, npx, npx - 1)) * p(v, npx - 1, npx)
+            + (p(ut, npx - 1, npx) + p(vt, npx, npx - 1)) * p(u, npx, npx))
+        kn1 = dt6 * (
+            (p(ut, npx, 1) + p(ut, npx - 1, 1)) * p(u, npx, 1)
+            + (p(vt, npx, 1) + p(vt, npx, 0)) * p(v, npx - 1, 1)
+            + (p(ut, npx - 1, 1) - p(vt, npx, 1)) * p(u, npx, 0))
+        if use_select:
+            NWl = ke.shape[-1]
+            ix = jax.lax.broadcasted_iota(jnp.int32, (1, NWl), 1)
+            iy = jax.lax.broadcasted_iota(jnp.int32, (NWl, 1), 0)
+            zero = jnp.zeros((), ke.dtype)
+            for jj, ii, val in ((f(1), f(1), k11), (f(1), f(npx), k1n),
+                                (f(npx), f(npx), knn), (f(npx), f(1), kn1)):
+                # two-stage select: Mosaic cannot broadcast [1,1] into both
+                # sublanes and lanes in one op, and it constant-folds a
+                # `* ones` staging back into one broadcast — a lane-select
+                # against zero survives canonicalization
+                row_val = jnp.where(ix == ii, val, zero)
+                ke = jnp.where((iy == jj) & (ix == ii), row_val, ke)
+        else:
+            row1 = catx([ke[..., f(1):f(1) + 1, :f(1)], k11,
+                         ke[..., f(1):f(1) + 1, f(1) + 1:f(npx)], k1n,
+                         ke[..., f(1):f(1) + 1, f(npx) + 1:]])
+            rown = catx([ke[..., f(npx):f(npx) + 1, :f(1)], kn1,
+                         ke[..., f(npx):f(npx) + 1, f(1) + 1:f(npx)], knn,
+                         ke[..., f(npx):f(npx) + 1, f(npx) + 1:]])
+            ke = caty([ke[..., :f(1), :], row1, ke[..., f(1) + 1:f(npx), :],
+                       rown, ke[..., f(npx) + 1:, :]])
+
+    return ke
 
 
 def d_sw(delp, pt, w, u, v, uc, vc, ua, va, divg_d, g, *,
@@ -843,92 +1024,18 @@ def d_sw(delp, pt, w, u, v, uc, vc, ua, va, divg_d, g, *,
             ra_x=ra_x, ra_y=ra_y, divg_d=divg_d, heat_source=heat_source)
 
     # ---- kinetic energy (sw_core.F90:1063-1225) ---------------------------
-    dt5 = 0.5 * dt
-    dt4 = 0.25 * dt
-    vb = dt5 * (_cl(vc) + _cr(vc) - (_rl(uc) + _rr(uc)) * g.cosa) * g.rsina
-    mid = slice(f(2), f(npx - 1) + 1)
-    catx = lambda ps: jnp.concatenate(ps, -1)
-    caty = lambda ps: jnp.concatenate(ps, -2)
-    if edges:
-        # edge frame assembled with one concatenate pass per array (each
-        # static .at[].set on the full array is a full-array pass on TPU)
-        def c1(a, i):
-            return a[..., mid, f(i):f(i) + 1]
-
-        col_w = dt4 * (-c1(vt, -1) + 3.0 * (c1(vt, 0) + c1(vt, 1))
-                       - c1(vt, 2))
-        col_e = dt4 * (-c1(vt, npx - 2)
-                       + 3.0 * (c1(vt, npx - 1) + c1(vt, npx))
-                       - c1(vt, npx + 1))
-        row_s = dt5 * (_cl(vt) + _cr(vt))[..., f(1):f(1) + 1, :]
-        row_n = dt5 * (_cl(vt) + _cr(vt))[..., f(npx):f(npx) + 1, :]
-        vb_mid = catx([vb[..., mid, :f(1)], col_w,
-                       vb[..., mid, f(1) + 1:f(npx)], col_e,
-                       vb[..., mid, f(npx) + 1:]])
-        vb = caty([vb[..., :f(1), :], row_s, vb_mid, row_n,
-                   vb[..., f(npx) + 1:, :]])
-
-    ke = vb * ytp_v(vb, v, g.dy, g.rdy, hord_mt, lim_fac, edges=edges)
-
-    ub = dt5 * (_rl(uc) + _rr(uc) - (_cl(vc) + _cr(vc)) * g.cosa) * g.rsina
-    if edges:
-        def r1(a, j):
-            return a[..., f(j):f(j) + 1, mid]
-
-        row_s = dt4 * (-r1(ut, -1) + 3.0 * (r1(ut, 0) + r1(ut, 1))
-                       - r1(ut, 2))
-        row_n = dt4 * (-r1(ut, npx - 2)
-                       + 3.0 * (r1(ut, npx - 1) + r1(ut, npx))
-                       - r1(ut, npx + 1))
-        col_w = dt5 * (_rl(ut) + _rr(ut))[..., :, f(1):f(1) + 1]
-        col_e = dt5 * (_rl(ut) + _rr(ut))[..., :, f(npx):f(npx) + 1]
-        # rows f(1), f(npx) are edited on the mid columns (f(2)..f(npx-1));
-        # columns f(1), f(npx) are then replaced over their full height
-        # (disjoint from the mid columns, same as the reference order)
-        row_s = catx([ub[..., f(1):f(1) + 1, :f(2)], row_s,
-                      ub[..., f(1):f(1) + 1, f(npx - 1) + 1:]])
-        row_n = catx([ub[..., f(npx):f(npx) + 1, :f(2)], row_n,
-                      ub[..., f(npx):f(npx) + 1, f(npx - 1) + 1:]])
-        ub_r = caty([ub[..., :f(1), :], row_s,
-                     ub[..., f(1) + 1:f(npx), :], row_n,
-                     ub[..., f(npx) + 1:, :]])
-        ub = catx([ub_r[..., :, :f(1)], col_w,
-                   ub_r[..., :, f(1) + 1:f(npx)], col_e,
-                   ub_r[..., :, f(npx) + 1:]])
-
-    ke = 0.5 * (ke + ub * xtp_u(ub, u, g.dx, g.rdx, hord_mt, lim_fac,
-                                edges=edges))
-
-    # corner KE fixes (sw_core.F90:1203-1228)
+    import os
+    from .tp_core import _use_pallas_sweep
+    if (_use_pallas_sweep(delp, edges)
+            and os.environ.get("GFDL_TPU_PALLAS_KE", "1") != "0"):
+        from .pallas_sw import ke_section_pallas
+        ke = ke_section_pallas(u, v, uc, vc, ut, vt, g.cosa, g.rsina,
+                               g.dx, g.rdx, g.dy, g.rdy, dt, hord_mt,
+                               lim_fac, npx)
+    else:
+        ke = ke_section(u, v, uc, vc, ut, vt, g.cosa, g.rsina, g.dx, g.rdx,
+                        g.dy, g.rdy, dt, hord_mt, lim_fac, npx, edges)
     dt6 = dt / 6.0
-    if edges:
-        def p(a, j, i):
-            return a[..., f(j):f(j) + 1, f(i):f(i) + 1]
-
-        k11 = dt6 * (
-            (p(ut, 1, 1) + p(ut, 0, 1)) * p(u, 1, 1)
-            + (p(vt, 1, 1) + p(vt, 1, 0)) * p(v, 1, 1)
-            + (p(ut, 1, 1) + p(vt, 1, 1)) * p(u, 1, 0))
-        k1n = dt6 * (
-            (p(ut, 1, npx) + p(ut, 0, npx)) * p(u, 1, npx - 1)
-            + (p(vt, 1, npx) + p(vt, 1, npx - 1)) * p(v, 1, npx)
-            + (p(ut, 1, npx) - p(vt, 1, npx - 1)) * p(u, 1, npx))
-        knn = dt6 * (
-            (p(ut, npx, npx) + p(ut, npx - 1, npx)) * p(u, npx, npx - 1)
-            + (p(vt, npx, npx) + p(vt, npx, npx - 1)) * p(v, npx - 1, npx)
-            + (p(ut, npx - 1, npx) + p(vt, npx, npx - 1)) * p(u, npx, npx))
-        kn1 = dt6 * (
-            (p(ut, npx, 1) + p(ut, npx - 1, 1)) * p(u, npx, 1)
-            + (p(vt, npx, 1) + p(vt, npx, 0)) * p(v, npx - 1, 1)
-            + (p(ut, npx - 1, 1) - p(vt, npx, 1)) * p(u, npx, 0))
-        row1 = catx([ke[..., f(1):f(1) + 1, :f(1)], k11,
-                     ke[..., f(1):f(1) + 1, f(1) + 1:f(npx)], k1n,
-                     ke[..., f(1):f(1) + 1, f(npx) + 1:]])
-        rown = catx([ke[..., f(npx):f(npx) + 1, :f(1)], kn1,
-                     ke[..., f(npx):f(npx) + 1, f(1) + 1:f(npx)], knn,
-                     ke[..., f(npx):f(npx) + 1, f(npx) + 1:]])
-        ke = caty([ke[..., :f(1), :], row1, ke[..., f(1) + 1:f(npx), :],
-                   rown, ke[..., f(npx) + 1:, :]])
 
     # ---- relative vorticity (cell mean) -----------------------------------
     vt_w = u * g.dx                       # circulation along y-walls

@@ -61,6 +61,10 @@ class DynConfig:
     rf_cutoff: float = 3000.0
     p_fac: float = 0.05
     a_imp: float = 1.0
+    # Riemann substeps for the explicit RIM_2D path (|a_imp| <= 0.5);
+    # 0 = auto: 1 + |dt_acoustic| (fv_control.F90:1037-1038 sets
+    # m_split = 1 + dt_atmos/(k_split*n_split*|p_split|), i.e. ~1 s each)
+    m_split: int = 0
     scale_m: float = 0.0
     d2bg_zq: float = 0.0
     hydrostatic: bool = True
@@ -537,6 +541,7 @@ def dyn_core_nh(delp, pt, u, v, w, delz, phis, g, cfg: DynConfig, akap, ptop,
                         + np.diff(np.asarray(bk, np.float64)) * 1.e5)
     if ak is not None and cfg.rf_fast and cfg.tau > 0.0:
         rfp = ray_fast_profile(ak, bk, abs(dt), cfg.tau, cfg.rf_cutoff, ptop)
+    ms = cfg.m_split if cfg.m_split > 0 else 1 + int(abs(dt))
 
     # initial height interfaces from delz (dyn_core.F90: zh saved from gz)
     def zh_from_delz(dz_int):
@@ -560,7 +565,8 @@ def dyn_core_nh(delp, pt, u, v, w, delz, phis, g, cfg: DynConfig, akap, ptop,
         gz_c, ws3 = nh_core.update_dz_c(g, cs.ut, cs.vt, zh_p, zs_p, dp0,
                                         dt2, npx)
         pkc, gzc = nh_core.riem_solver_c(dt2, cs.delpc, cs.ptc, cs.wc, gz_c,
-                                         phis2, ws3, akap, ptop, cfg.p_fac)
+                                         phis2, ws3, akap, ptop, cfg.p_fac,
+                                         a_imp=cfg.a_imp, ms=ms)
         uc, vc = p_grad_c(cs.uc, cs.vc, cs.delpc, pkc, gzc, g, dt2, npx,
                           hydrostatic=False)
         uc_p, vc_p = halo.pad_cgrid(uc[..., ctr, wsl], vc[..., wsl, ctr])
@@ -604,7 +610,7 @@ def dyn_core_nh(delp, pt, u, v, w, delz, phis, g, cfg: DynConfig, akap, ptop,
         rs = nh_core.riem_solver3(dt, delp_p2, pt_p2, w_p2, zh_p2, zs_p,
                                   ws_full, akap, ptop, cfg.p_fac,
                                   a_imp=cfg.a_imp, scale_m=cfg.scale_m,
-                                  d2bg_zq=cfg.d2bg_zq)
+                                  d2bg_zq=cfg.d2bg_zq, ms=ms)
         w = rs.w[..., ctr, ctr]
         zh = rs.zh[..., ctr, ctr][:, :, :, :]
         gz_geo = rs.zh * con.GRAV

@@ -196,6 +196,205 @@ def sim1_solver(dt, dm2, pm2, pem, w2, dz2, pt2, ws, gama, akap, p_fac,
     return _kmid(pe_new), _kmid(w_new), _kmid(dz_new)
 
 
+def rim_2d_solver(ms, bdt, dm2, pm2, w2, dz2, pt2, ws, gama, akap,
+                  c_core=False):
+    """Explicit Riemann-invariant solver (nh_utils.F90 RIM_2D:751),
+    dispatched for |a_imp| <= 0.5 (nh_core.F90:175-177). `ms` acoustic
+    substeps of dt = bdt/ms; per substep, up/down characteristics are
+    traced through the column and the invariants r_lo/r_hi accumulated
+    over the levels each wave crosses within dt (with surface reflection
+    and the moving-surface 2*ws source).
+
+    TPU-native formulation: the reference's per-interface characteristic
+    walks (variable trip counts, goto-terminated) become clipped-fraction
+    weight matrices W[e, j] = clip((budget(e) - transit_before(e, j)) /
+    dts(j), 0, 1) built from prefix sums of the per-level acoustic transit
+    times dts, contracted against dm / r_lo / r_hi in one einsum — O(K^2)
+    but fully vectorized over (tile, y, x) columns. The `1 < ms < 8`
+    semi-implicit pre-pass for acoustically thick top levels (bdt <= dts)
+    is reproduced with per-column ks0 masks, including the whole-column
+    (ks0 == km) shortcut.
+
+    Deviation: the characteristic walks stop at kt1 = max(ks1, ktop)
+    rather than max(1, ktop) — the reference can read one stale level
+    below the pre-pass boundary in the exotic ktop == ks1-1 > 0 case.
+
+    Memory: materializes [.., K+1, K] weight tensors per substep — fine
+    for this non-default solver family (operational default is SIM1).
+
+    Shapes as sim1_solver; pm2 is the layer-mean pressure. c_core=True
+    (Riem_Solver_C call, nh_utils.F90:454) leaves w untouched.
+    Returns (pe2 interface pressure increment [.., K+1, y, x], w2, dz2).
+    """
+    rgas = con.RDGAS
+    grg = gama * rgas
+    rdt = 1.0 / bdt
+    ms = int(ms)
+    dt = bdt / ms
+    pre_active = 1 < ms < 8
+    K = dm2.shape[-3]
+
+    kl = lambda x: jnp.moveaxis(x, -3, -1)        # [.., K, y, x] -> [.., y, x, K]
+    dm = kl(dm2)
+    pm = kl(pm2)
+    wm0 = kl(w2) * dm                              # momentum
+    dz0 = kl(dz2)
+    pt1 = kl(pt2)
+    ws2 = 2.0 * ws
+    j_lev = jnp.arange(K)                          # 0-based level (Fortran k-1)
+    e_int = jnp.arange(K + 1)                      # 0-based interface (ke-1)
+
+    def acoustic(dz, wm):
+        rden = -rgas * dm / dz
+        pf = jnp.exp(gama * jnp.log(rden * pt1))
+        dts = -dz / jnp.sqrt(grg * pf / rden)
+        return pf, dts
+
+    def safediv(a, b):
+        return a / jnp.where(b != 0.0, b, 1.0)
+
+    # ---- pre-pass: semi-implicit thick top levels (RIM_2D:797-856) -------
+    pf0, dts0 = acoustic(dz0, wm0)
+    if pre_active:
+        thick0 = bdt > dts0
+        ks0 = jnp.where(jnp.any(thick0, -1), jnp.argmax(thick0, -1), K)
+        ks0 = jnp.maximum(ks0, 1)                  # ks0 = 0 is out of the
+        ks1 = ks0                                  # reference's index range
+    else:
+        ks0 = ks1 = jnp.zeros(dm.shape[:-1], jnp.int32) + 1
+
+    cm = dm / dts0
+    wc = wm0 / dts0
+    ppp = pf0 - pm
+    wbar_mid_pre = safediv(wc[..., :-1] + wc[..., 1:] + ppp[..., 1:]
+                           - ppp[..., :-1], cm[..., :-1] + cm[..., 1:])
+    wbar_pre = jnp.concatenate(
+        [safediv(wc[..., :1] + ppp[..., :1], cm[..., :1]),
+         wbar_mid_pre, ws[..., None]], axis=-1)            # [.., K+1]
+    pbar_pre = jnp.concatenate(
+        [jnp.zeros_like(wbar_pre[..., :1]),
+         bdt * (cm * wbar_pre[..., 1:] - wc + ppp)], axis=-1)
+
+    ks1e = ks1[..., None]
+    if pre_active:
+        # partial pre-pass state: levels k <= ks0-1 advanced over bdt
+        pre_j = j_lev <= ks1e - 2
+        dwb = bdt * (wbar_pre[..., 1:] - wbar_pre[..., :-1])
+        dz_pre = jnp.where(pre_j, dz0 + dwb, dz0)
+        dpb = pbar_pre[..., 1:] - pbar_pre[..., :-1]
+        w_pre = jnp.where(pre_j, (wm0 + dpb) / dm, wm0 / dm)
+        pbar_b = jnp.where(
+            ks1 > 1,
+            jnp.take_along_axis(pbar_pre, ks1[..., None] - 1,
+                                -1)[..., 0] / ms,
+            0.0)
+        pe1_0 = jnp.where((e_int >= 1) & (e_int <= ks1e - 1), pbar_pre, 0.0)
+    else:
+        dz_pre, w_pre = dz0, wm0 / dm
+        pbar_b = jnp.zeros(dm.shape[:-1], dm.dtype)
+        pe1_0 = jnp.zeros_like(wbar_pre)
+
+    # ---- ms explicit substeps (RIM_2D:858-975) ---------------------------
+    def substep(carry, _):
+        dz, wm, pe1 = carry
+        pf, dts = acoustic(dz, wm)
+        ptmp1 = dts * (pf - pm)
+        r_lo = wm + ptmp1
+        r_hi = wm - ptmp1
+
+        thick = (dt > dts) & (j_lev >= ks1e - 1)
+        ktop = jnp.where(jnp.any(thick, -1), jnp.argmax(thick, -1), K)
+        kt1 = jnp.maximum(ks1, ktop)
+        ktop_e = ktop[..., None]
+        kt1_e = kt1[..., None]
+
+        P = jnp.concatenate([jnp.zeros_like(dts[..., :1]),
+                             jnp.cumsum(dts, axis=-1)], axis=-1)  # [.., K+1]
+        PK = P[..., -1:]
+
+        # direct treatment of thick levels (RIM_2D:878-886)
+        zf = dt / dts
+        dmask = (j_lev >= ks1e - 1) & (j_lev <= ktop_e - 1)
+        mb_d = jnp.where(dmask, zf * dm, 0.0)
+        rb_d = jnp.where(dmask, zf * r_lo, 0.0)
+        rt_d = jnp.where(dmask, zf * r_hi, 0.0)
+        zcol = jnp.zeros_like(mb_d[..., :1])
+        m_bot = jnp.concatenate([mb_d, zcol], -1)
+        r_bot = jnp.concatenate([rb_d, zcol], -1)
+        m_top = jnp.concatenate([zcol, mb_d], -1)
+        r_top = jnp.concatenate([zcol, rt_d], -1)
+
+        dts_j = dts[..., None, :]
+        P_e = P[..., :, None]
+        j_b = j_lev
+        e_b = e_int[..., :, None]
+
+        # upward characteristics into interface e (RIM_2D:896-911)
+        wt = jnp.clip((dt - (P_e - P[..., None, 1:])) / dts_j, 0.0, 1.0)
+        wt = jnp.where((j_b >= kt1_e[..., None] - 1) & (j_b <= e_b - 1)
+                       & (e_b >= ktop_e[..., None] + 1), wt, 0.0)
+        m_top = m_top + jnp.einsum("...ej,...j->...e", wt, dm)
+        r_top = r_top + jnp.einsum("...ej,...j->...e", wt, r_hi)
+
+        # downward + surface-reflected characteristics (RIM_2D:913-945)
+        w1 = jnp.clip((dt - (P[..., None, :-1] - P_e)) / dts_j, 0.0, 1.0)
+        bot_e = (e_b >= ktop_e[..., None]) & (e_b <= K - 1)
+        w1 = jnp.where((j_b >= e_b) & bot_e, w1, 0.0)
+        b = dt - (PK - P)                               # [.., K+1]
+        wr = jnp.clip((b[..., :, None] - (PK[..., None, :] - P[..., None, 1:]))
+                      / dts_j, 0.0, 1.0)
+        wr = jnp.where((j_b >= kt1_e[..., None] - 1) & bot_e, wr, 0.0)
+        seg2_m = jnp.einsum("...ej,...j->...e", wr, dm)
+        m_bot = (m_bot + jnp.einsum("...ej,...j->...e", w1, dm) + seg2_m)
+        s2max = PK - jnp.take_along_axis(P, kt1_e - 1, -1)
+        refl = jnp.where((b > 0.0) & (b <= s2max), seg2_m * ws2[..., None],
+                         0.0)
+        r_bot = (r_bot + jnp.einsum("...ej,...j->...e", w1, r_lo)
+                 - jnp.einsum("...ej,...j->...e", wr, r_hi) + refl)
+
+        # interface velocities and pressure impulses (RIM_2D:947-958)
+        wbar_mid = safediv(r_bot + r_top, m_top + m_bot)
+        wbar = jnp.where((e_int >= ks1e) & (e_int <= K - 1), wbar_mid,
+                         wbar_pre if pre_active else
+                         jnp.concatenate([safediv(r_bot[..., :1],
+                                                  m_bot[..., :1]),
+                                          wbar_pre[..., 1:]], -1))
+        if pre_active:
+            wbar = jnp.where((e_int == 0) & (ks1e == 1),
+                             safediv(r_bot[..., :1], m_bot[..., :1]), wbar)
+        wbar = wbar.at[..., -1].set(ws)
+        pbar = jnp.where(e_int >= ks1e, m_top * wbar - r_top,
+                         jnp.where(e_int == ks1e - 1, pbar_b[..., None],
+                                   0.0))
+        pe1 = pe1 + jnp.where(e_int >= ks1e, pbar, 0.0)
+
+        upd = j_lev >= ks1e - 1
+        dz = jnp.where(upd, dz + dt * (wbar[..., 1:] - wbar[..., :-1]), dz)
+        wm = jnp.where(upd, wm + pbar[..., 1:] - pbar[..., :-1], wm)
+        return (dz, wm, pe1), None
+
+    (dz_f, wm_f, pe1), _ = jax.lax.scan(
+        substep, (dz_pre, wm0, pe1_0), None, length=ms)
+
+    low = j_lev >= ks1e - 1
+    dz_out = jnp.where(low, dz_f, dz_pre)
+    w_out = jnp.where(low, wm_f / dm, w_pre)
+    pe2 = jnp.where(e_int >= 1, pe1 * rdt, 0.0)
+
+    if pre_active:
+        # whole-column-thick shortcut (RIM_2D:826-843)
+        full = (ks0 == K)[..., None]
+        dwb = bdt * (wbar_pre[..., 1:] - wbar_pre[..., :-1])
+        dpb = pbar_pre[..., 1:] - pbar_pre[..., :-1]
+        dz_out = jnp.where(full, dz0 + dwb, dz_out)
+        w_out = jnp.where(full, (wm0 + dpb) / dm, w_out)
+        pe2 = jnp.where(full & (e_int >= 1), pbar_pre * rdt, pe2)
+
+    km = lambda x: jnp.moveaxis(x, -1, -3)
+    w_ret = w2 if c_core else km(w_out)
+    return km(pe2), w_ret, km(dz_out)
+
+
 def sim3_solver(dt, dm2, pem, w2, dz2, pt2, ws, gama, akap, p_fac,
                 scale_m=0.0, alpha=1.0):
     """SIM3-family semi-implicit solver (nh_utils.F90 SIM3_solver:984,
@@ -406,7 +605,8 @@ def imp_diff_w(cd, delz, ws, w):
     return _kmid(w_new)
 
 
-def riem_solver_c(dt2, delpc, ptc, w3, gz, phis_p, ws, akap, ptop, p_fac):
+def riem_solver_c(dt2, delpc, ptc, w3, gz, phis_p, ws, akap, ptop, p_fac,
+                  a_imp=1.0, ms=1):
     """C-stage semi-implicit solver (nh_utils.F90 Riem_Solver_C:323).
 
     delpc/ptc/w3 [6,K,Y,X] padded rim; gz height*grav interfaces (in m*g? --
@@ -423,8 +623,19 @@ def riem_solver_c(dt2, delpc, ptc, w3, gz, phis_p, ws, akap, ptop, p_fac):
     pm2 = delpc / (jnp.log(pem[:, 1:]) - jnp.log(pem[:, :-1]))
     dm = delpc * rgrav
 
-    pe2, w2, dz2n = sim1_solver(dt2, dm, pm2, pem, w3, dz2, ptc, ws,
-                                gama, akap, p_fac)
+    # C-stage dispatch (nh_utils.F90:450-460): a_imp < -0.01 -> SIM3p0;
+    # -0.01 <= a_imp <= 0.5 -> explicit RIM_2D (c_core=.true., w frozen);
+    # else SIM1
+    if a_imp < -0.01:
+        pe2, w2, dz2n = sim3_solver(dt2, dm, pem, w3, dz2, ptc, ws,
+                                    gama, akap, p_fac)
+    elif a_imp <= 0.5:
+        pe2, _, dz2n = rim_2d_solver(ms, dt2, dm, pm2, w3, dz2, ptc, ws,
+                                     gama, akap, c_core=True)
+        w2 = w3
+    else:
+        pe2, w2, dz2n = sim1_solver(dt2, dm, pm2, pem, w3, dz2, ptc, ws,
+                                    gama, akap, p_fac)
     pef = pe2 + pem
     pef = pef.at[:, 0].set(jnp.full_like(pef[:, 0], ptop))
 
@@ -437,10 +648,12 @@ def riem_solver_c(dt2, delpc, ptc, w3, gz, phis_p, ws, akap, ptop, p_fac):
 
 
 def riem_solver3(dt, delp, pt, w, zh, zs, ws, akap, ptop, p_fac,
-                 use_logp=False, a_imp=1.0, scale_m=0.0, d2bg_zq=0.0):
+                 use_logp=False, a_imp=1.0, scale_m=0.0, d2bg_zq=0.0,
+                 ms=1):
     """D-stage implicit solver (nh_core.F90 Riem_Solver3:47, dispatch
     :169-185): a_imp > 0.999 -> fully-implicit SIM1; 0.5 < a_imp <= 0.999
-    -> off-centered SIM; a_imp < -0.999 -> SIM3p0; -0.999 <= a_imp < -0.5
+    -> off-centered SIM; |a_imp| <= 0.5 -> explicit RIM_2D with `ms`
+    (m_split) substeps; a_imp < -0.999 -> SIM3p0; -0.999 <= a_imp < -0.5
     -> SIM3 (alpha = |a_imp|). d2bg_zq > 0 adds the post-solve implicit
     w-diffusion (imp_diff_w, nh_core.F90:188-190).
 
@@ -468,9 +681,8 @@ def riem_solver3(dt, delp, pt, w, zh, zs, ws, akap, ptop, p_fac,
                                     gama, akap, p_fac, scale_m=scale_m,
                                     alpha=alpha)
     elif a_imp <= 0.5:
-        raise NotImplementedError(
-            "explicit RIM_2D (|a_imp| <= 0.5) not implemented; "
-            "use the implicit families (|a_imp| > 0.5)")
+        pe2, w2, dz2n = rim_2d_solver(ms, dt, dm, pm2, w, dz2, pt, ws,
+                                      gama, akap)
     else:
         alpha = 1.0 if a_imp > 0.999 else float(a_imp)
         pe2, w2, dz2n = sim1_solver(dt, dm, pm2, pem, w, dz2, pt, ws,

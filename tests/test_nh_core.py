@@ -199,3 +199,77 @@ def test_riem3_dispatch_sim3_runs_nh_core(nh_setup):
         du = float(jnp.abs(outs[a_imp][2] - outs[1.0][2]).max())
         assert dw < 1.0, f"a_imp={a_imp}: w drift {dw}"
         assert du < 1.0, f"a_imp={a_imp}: u drift {du}"
+
+
+def test_rim_2d_balanced_fixed_point():
+    """RIM_2D (nh_utils.F90:751): a balanced column (gas-law pressure ==
+    layer-mean pressure, w == 0) has zero Riemann invariants, so it is an
+    exact fixed point for any ms, including the 1<ms<8 thick-top pre-pass."""
+    akap = con.KAPPA
+    gama = 1.0 / (1.0 - akap)
+    dm, pm2, pem, w, dz, pt, ws = _balanced_column()
+    for ms in (1, 4, 8):
+        pe2, w2, dz2 = nh_core.rim_2d_solver(ms, 30.0, dm, pm2, w, dz, pt,
+                                             ws, gama, akap)
+        assert float(jnp.abs(pe2).max()) / float(pem.max()) < 1e-12, ms
+        assert float(jnp.abs(w2).max()) < 1e-10, ms
+        assert float(jnp.abs((dz2 - dz) / dz).max()) < 1e-12, ms
+
+
+def test_rim_2d_momentum_budget_and_sim1_agreement():
+    """Perturbed column: (a) ms=1 explicit update conserves the column
+    momentum budget exactly (sum dm*dw == bdt * bottom pressure increment,
+    telescoping of the interface impulses pbar with pbar(1)=0); (b) on a
+    vertically well-resolved perturbation the explicit increments agree
+    with SIM1 to a few percent (the schemes differ at leading order only
+    through their interface-pressure reconstructions, which converge for
+    smooth columns)."""
+    akap = con.KAPPA
+    gama = 1.0 / (1.0 - akap)
+    dm, pm2, pem, w, dz, pt, ws = _balanced_column()
+    kk = np.arange(dz.shape[1])
+    w = w + jnp.asarray(0.2 * np.sin(2 * np.pi * kk / 24.0)
+                        )[None, :, None, None] * jnp.ones_like(w)
+    dzp = dz * (1.0 + 0.002 * jnp.asarray(
+        np.cos(2 * np.pi * kk / 24.0))[None, :, None, None])
+
+    bdt = 20.0
+    pe2, w2, dz2 = nh_core.rim_2d_solver(1, bdt, dm, pm2, w, dzp, pt, ws,
+                                         gama, akap)
+    lhs = np.asarray(jnp.sum(dm * (w2 - w), axis=1))
+    rhs = np.asarray(bdt * pe2[:, -1])
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-10, atol=1e-8)
+
+    bdt = 0.5
+    pe2, w2, dz2 = nh_core.rim_2d_solver(1, bdt, dm, pm2, w, dzp, pt, ws,
+                                         gama, akap)
+    pe2s, w2s, dz2s = nh_core.sim1_solver(bdt, dm, pm2, pem, w, dzp, pt,
+                                          ws, gama, akap, 0.05)
+    dw_r = float(jnp.abs(w2 - w2s).max())
+    dw_s = float(jnp.abs(w2s - w).max())
+    assert dw_r < 0.05 * dw_s, (dw_r, dw_s)
+    np.testing.assert_allclose(np.asarray(dz2), np.asarray(dz2s),
+                               rtol=1e-2)
+
+
+def test_rim_2d_c_core_and_dispatch():
+    """c_core=True leaves w untouched (Riem_Solver_C usage,
+    nh_utils.F90:454); riem_solver3 dispatches |a_imp|<=0.5 to RIM_2D with
+    ms substeps and returns finite fields."""
+    akap = con.KAPPA
+    gama = 1.0 / (1.0 - akap)
+    dm, pm2, pem, w, dz, pt, ws = _balanced_column()
+    w = w + 0.1
+    pe2, w2, dz2 = nh_core.rim_2d_solver(3, 30.0, dm, pm2, w, dz, pt, ws,
+                                         gama, akap, c_core=True)
+    assert w2 is w
+
+    K = dz.shape[1]
+    delp = dm * con.GRAV
+    zs = jnp.zeros_like(w[:, 0])
+    incr = jnp.cumsum(dz[:, ::-1], axis=1)[:, ::-1]
+    zh = jnp.concatenate([zs[:, None] - incr, zs[:, None]], axis=1)
+    r = nh_core.riem_solver3(30.0, delp, pt, w, zh, zs, ws, akap,
+                             float(pem[0, 0, 0, 0]), 0.05, a_imp=0.4, ms=2)
+    for a in (r.w, r.delz, r.ppe, r.pk3):
+        assert not bool(jnp.isnan(a).any())

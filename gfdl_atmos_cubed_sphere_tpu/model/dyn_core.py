@@ -69,6 +69,9 @@ class DynConfig:
     d2bg_zq: float = 0.0
     hydrostatic: bool = True
     adiabatic: bool = True
+    # inline saturation adjustment each acoustic iteration
+    # (fv_arrays.F90:364 do_fast_phys; dyn_core.F90:1101)
+    do_fast_phys: bool = False
     consv_te: float = 0.0
     fill: bool = False
     fill_dp: bool = False     # mix_dp delp-floor fixer (dyn_core.F90:820)
@@ -511,15 +514,23 @@ def nh_p_grad(u_acc, v_acc, pp, pk3, gz, delp_p, g, dt, npx, ptk):
 
 
 def dyn_core_nh(delp, pt, u, v, w, delz, phis, g, cfg: DynConfig, akap, ptop,
-                n_split, dt_acoustic, dp0, ak=None, bk=None):
+                n_split, dt_acoustic, dp0, ak=None, bk=None,
+                q=None, fast_cfg=None, zvir=0.0):
     """Nonhydrostatic acoustic loop (dyn_core.F90, hydrostatic=.false.):
     per iteration c_sw -> update_dz_c -> Riem_Solver_C -> p_grad_c ->
-    d_sw -> update_dz_d -> Riem_Solver3 (SIM1) -> nh_p_grad.
+    d_sw -> update_dz_d -> Riem_Solver3 (SIM1) -> nh_p_grad
+    [-> fast_phys saturation adjustment when fast_cfg is given
+    (do_fast_phys hook, dyn_core.F90:1101-1109 / fast_phys.F90:58)].
 
-    w, delz: [6, K, n, n] interior. Returns updated fields + flux
-    capacitors + final pressures (pe/peln/pk/pkz on padded frame).
+    w, delz: [6, K, n, n] interior; q optional tracer dict carried through
+    the loop for fast_phys. Returns updated fields + flux capacitors +
+    final pressures (pe/peln/pk/pkz on padded frame) + q.
     """
     from ..ops import nh_core
+    if fast_cfg is not None and q:
+        from ..physics.gfdl_mp import fast_sat_adj
+    else:
+        fast_cfg = None
 
     halo = g.halo
     f = fi
@@ -551,8 +562,12 @@ def dyn_core_nh(delp, pt, u, v, w, delz, phis, g, cfg: DynConfig, akap, ptop,
 
     zh = zh_from_delz(delz)
 
+    qkeys = tuple(sorted(q)) if fast_cfg is not None else ()
+    rrg = -con.RDGAS / con.GRAV
+    akx = akap / (1.0 - akap)
+
     def body(carry, _):
-        delp, pt, u, v, w, zh, ws_c, mfx, mfy, cx, cy = carry
+        delp, pt, u, v, w, zh, ws_c, mfx, mfy, cx, cy, qv_t = carry
         u, v = halo.reconcile_dgrid(u, v)
         delp_p = halo.pad_cell(delp)
         pt_p = halo.pad_cell(pt)
@@ -618,8 +633,21 @@ def dyn_core_nh(delp, pt, u, v, w, delz, phis, g, cfg: DynConfig, akap, ptop,
                          delp_p2, g, dt, npx, ptk)
         if rfp is not None:
             u, v, w = ray_fast(u, v, w, *rfp, hydrostatic=False)
+        if fast_cfg is not None:
+            # inline saturation adjustment on theta_v (fast_phys hook):
+            # recover pkz from the gas law, adjust T/q, restore theta_v
+            delz_in = zh[:, 1:] - zh[:, :-1]
+            pkz = jnp.exp(akx * jnp.log(rrg * delp / delz_in * pt))
+            qd = dict(zip(qkeys, qv_t))
+            tvir = pt * pkz
+            t_abs = tvir / (1.0 + zvir * qd["sphum"]) if zvir else tvir
+            t_new, qd = fast_sat_adj(t_abs, delp, delz_in, qd, dt, ptop,
+                                     cfg=fast_cfg, hydrostatic=False)
+            tv_new = (t_new * (1.0 + zvir * qd["sphum"]) if zvir else t_new)
+            pt = tv_new / pkz
+            qv_t = tuple(qd[k] for k in qkeys)
         ws_c = ws_full[..., ctr, ctr]
-        return (delp, pt, u, v, w, zh, ws_c, mfx, mfy, cx, cy), rs.pem
+        return (delp, pt, u, v, w, zh, ws_c, mfx, mfy, cx, cy, qv_t), rs.pem
 
     T = delp.shape[0]
     K = delp.shape[1]
@@ -627,8 +655,9 @@ def dyn_core_nh(delp, pt, u, v, w, delz, phis, g, cfg: DynConfig, akap, ptop,
     # 0*delp term: ties the zero capacitors to the sharded state so their
     # shard_map "varying" type matches the scan body outputs (scan-vma rule)
     zsh = lambda *s: jnp.zeros((T, K) + s, delp.dtype) + 0.0 * delp[:, :, :1, :1]
+    qv0 = tuple(q[k] for k in qkeys)
     carry0 = (delp, pt, u, v, w, zh, jnp.zeros_like(delp[:, 0]),
-              zsh(n, n + 1), zsh(n + 1, n), zsh(NC, NW), zsh(NW, NC))
+              zsh(n, n + 1), zsh(n + 1, n), zsh(NC, NW), zsh(NW, NC), qv0)
     if cfg.use_scan:
         carry, pems = jax.lax.scan(body, carry0, None, length=n_split)
         pem_last = pems[-1]
@@ -636,7 +665,8 @@ def dyn_core_nh(delp, pt, u, v, w, delz, phis, g, cfg: DynConfig, akap, ptop,
         carry = carry0
         for _ in range(n_split):
             carry, pem_last = body(carry, None)
-    delp, pt, u, v, w, zh, ws, mfx, mfy, cx, cy = carry
+    delp, pt, u, v, w, zh, ws, mfx, mfy, cx, cy, qv_t = carry
+    q_out = dict(q, **dict(zip(qkeys, qv_t))) if fast_cfg is not None else q
     u, v = halo.reconcile_dgrid(u, v)
     delz = zh[:, 1:] - zh[:, :-1]
     # final pressures for the remap (pe from updated delp)
@@ -647,4 +677,4 @@ def dyn_core_nh(delp, pt, u, v, w, delz, phis, g, cfg: DynConfig, akap, ptop,
     pk = jnp.exp(akap * peln)
     return SimpleNamespace(delp=delp, pt=pt, u=u, v=v, w=w, delz=delz, zh=zh,
                            ws=ws, mfx=mfx, mfy=mfy, cx=cx, cy=cy,
-                           pe=pe, peln=peln, pk=pk)
+                           pe=pe, peln=peln, pk=pk, q=q_out)

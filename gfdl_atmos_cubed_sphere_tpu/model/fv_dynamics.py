@@ -335,7 +335,12 @@ def fv_dynamics_nh(delp, pt, u, v, w, delz, q, g, cfg: DynConfig, ak, bk,
         dp1 = delp
         res = dyn_core_nh(delp, ptv, u, v, w, delz, None, g, cfg, akap,
                           ptop, cfg.n_split, mdt / cfg.n_split, dp0,
-                          ak=ak, bk=bk)
+                          ak=ak, bk=bk,
+                          q=q if cfg.do_fast_phys else None,
+                          fast_cfg=mp_cfg if cfg.do_fast_phys else None,
+                          zvir=zvir)
+        if cfg.do_fast_phys and res.q is not None:
+            q = res.q
         conv = conv + _mass_convergence(res.mfx, res.mfy, g)
         if q:
             q, _ = tracer_2d(q, dp1, res.mfx, res.mfy, res.cx, res.cy, g,

@@ -111,10 +111,81 @@ def update_dwinds_phys(u, v, u_dt, v_dt, g, dt):
     return u + du, v + dv
 
 
-def fv_update_phys(dt, pt, delp, u, v, q, u_dt, v_dt, t_dt, q_dt, g):
+def del2_phys(qdt, delp, g, cd):
+    """Del-2 filter of a mass-weighted physics tendency with a damping mask
+    peaked at the cube panel edges/corners (fv_update_phys.F90
+    del2_phys:770; enabled by fv_core_nml del2_cofac through the
+    fv_update_phys n_dt hook at :323-333).
+
+    qdt/delp: [6, K, n, n] interior; cd: the del2_cofac coefficient
+    (0 < cd < 0.25 of da_min). Returns the filtered tendency.
+    """
+    geom = g.geom
+    halo = g.halo
+    n = g.n
+    npx = g.npx
+    dtype = qdt.dtype
+
+    damp = 0.25 * cd * float(np.asarray(g.da_min))
+    ii = np.arange(npx, dtype=np.float64)
+    f1 = (1.0 - np.sin(ii / (npx - 1) * np.pi)) ** 2
+    mask_c = damp * (f1[:, None] + f1[None, :])           # [npy, npx] corners
+    mask_x = jnp.asarray(mask_c[:-1, :] + mask_c[1:, :], dtype)   # [n, n+1]
+    mask_y = jnp.asarray(mask_c[:, :-1] + mask_c[:, 1:], dtype)   # [n+1, n]
+
+    dy = _interior(geom, "dy")[:, None]                   # x-walls [6,1,n,n+1]
+    sina_u = _interior(geom, "sina_u")[:, None]
+    rdxc = _interior(geom, "rdxc")[:, None]
+    dx = _interior(geom, "dx")[:, None]                   # y-walls [6,1,n+1,n]
+    sina_v = _interior(geom, "sina_v")[:, None]
+    rdyc = _interior(geom, "rdyc")[:, None]
+    rarea = _interior(geom, "rarea")[:, None]
+
+    qp = halo.pad_cell(qdt * delp)                        # mass-weighted
+    qW = qp[..., H:H + n, H - 1:H + n]
+    qE = qp[..., H:H + n, H:H + n + 1]
+    fx = mask_x * dy * sina_u * (qW - qE) * rdxc
+    qS = qp[..., H - 1:H + n, H:H + n]
+    qN = qp[..., H:H + n + 1, H:H + n]
+    fy = mask_y * dx * sina_v * (qS - qN) * rdyc
+
+    if getattr(g, "grid_type", 0) < 3:
+        # one-sided sin_sg factors at the cube panel edges (del2_phys
+        # :843-862); sin_sg components on the padded cell frame
+        sg1, sg2 = g.sin_sg1, g.sin_sg2          # [6, 1, NC, NC] padded
+        sg3, sg4 = g.sin_sg3, g.sin_sg4
+        west = 0.5 * (sg1[:, :, H:H + n, H] + sg3[:, :, H:H + n, H - 1])
+        east = 0.5 * (sg1[:, :, H:H + n, H + n]
+                      + sg3[:, :, H:H + n, H + n - 1])
+        fx = fx.at[..., 0].set(mask_x[:, 0] * dy[..., 0] * (qW - qE)[..., 0]
+                               * rdxc[..., 0] * west)
+        fx = fx.at[..., -1].set(mask_x[:, -1] * dy[..., -1]
+                                * (qW - qE)[..., -1] * rdxc[..., -1] * east)
+        south = 0.5 * (sg2[:, :, H, H:H + n] + sg4[:, :, H - 1, H:H + n])
+        north = 0.5 * (sg2[:, :, H + n, H:H + n]
+                       + sg4[:, :, H + n - 1, H:H + n])
+        fy = fy.at[..., 0, :].set(mask_y[0] * dx[..., 0, :]
+                                  * (qS - qN)[..., 0, :] * rdyc[..., 0, :]
+                                  * south)
+        fy = fy.at[..., -1, :].set(mask_y[-1] * dx[..., -1, :]
+                                   * (qS - qN)[..., -1, :] * rdyc[..., -1, :]
+                                   * north)
+
+    return qdt + rarea * (fx[..., :, :-1] - fx[..., :, 1:]
+                          + fy[..., :-1, :] - fy[..., 1:, :]) / delp
+
+
+def fv_update_phys(dt, pt, delp, u, v, q, u_dt, v_dt, t_dt, q_dt, g,
+                   del2_cofac=0.0):
     """Apply physics tendencies (fv_update_phys.F90:67, simplified moist
     handling): T and tracers updated directly, winds via
-    update_dwinds_phys. Tendencies are per-second on the A grid."""
+    update_dwinds_phys. Tendencies are per-second on the A grid.
+    del2_cofac > 0 filters the wind/temperature tendencies first
+    (fv_update_phys.F90:323-333)."""
+    if del2_cofac > 0.0:
+        u_dt = del2_phys(u_dt, delp, g, del2_cofac)
+        v_dt = del2_phys(v_dt, delp, g, del2_cofac)
+        t_dt = del2_phys(t_dt, delp, g, del2_cofac)
     pt = pt + dt * t_dt
     q_new = dict(q or {})
     for k, dq in (q_dt or {}).items():

@@ -116,3 +116,37 @@ def test_cloud_fraction_bounds():
                            jnp.zeros(shp), p, t)
     assert float(qa.min()) >= 0.0 and float(qa.max()) <= 1.0
     assert float(qa.max()) > 0.9   # saturated + condensate -> cloudy
+
+
+def test_fast_phys_hook_condenses_in_acoustic_loop():
+    """do_fast_phys=True (dyn_core.F90:1101 -> fast_phys.F90:58): inline
+    saturation adjustment inside the acoustic loop removes supersaturated
+    vapor into liquid and stays NaN-free."""
+    import numpy as np
+    from gfdl_atmos_cubed_sphere_tpu.model.grid_ops import build_grid_ops
+    from gfdl_atmos_cubed_sphere_tpu.model.sw_dynamics import prepare_phis
+    from gfdl_atmos_cubed_sphere_tpu.model.dyn_core import DynConfig
+    from gfdl_atmos_cubed_sphere_tpu.model.fv_dynamics import fv_dynamics_nh
+    from gfdl_atmos_cubed_sphere_tpu.grid.fv_eta import set_eta
+    from gfdl_atmos_cubed_sphere_tpu.init.baroclinic import jw_baroclinic
+
+    NPX, NPZ = 13, 10
+    g = build_grid_ops(NPX, dtype=jnp.float64)
+    ks, ptop, ak, bk = set_eta(NPZ)
+    ic = jw_baroclinic(g.geom, NPZ, ak, bk, ptop, perturb=True, moist=True)
+    prepare_phis(g, ic["phis"])
+    dp0 = np.diff(ak) + np.diff(bk) * 1e5
+    akj, bkj = jnp.asarray(ak), jnp.asarray(bk)
+    cfg = DynConfig(npx=NPX, npz=NPZ, dt=600.0, n_split=2,
+                    hydrostatic=False, adiabatic=False, do_fast_phys=True)
+    q = {"sphum": jnp.asarray(ic["sphum"])}
+    q["liq_wat"] = jnp.zeros_like(q["sphum"])
+    q["sphum"] = q["sphum"].at[:, -3:].set(0.03)    # supersaturated PBL
+    st = tuple(jnp.asarray(ic[k])
+               for k in ("delp", "pt", "u", "v", "w", "delz"))
+    r = fv_dynamics_nh(*st, q, g, cfg, akj, bkj, ptop, dp0,
+                       mp_cfg=mp.MPConfig())
+    for a in (r.delp, r.pt, r.w):
+        assert not bool(jnp.isnan(a).any())
+    assert float(r.q["liq_wat"].max()) > 1e-4       # condensate formed
+    assert float((q["sphum"][:, -3:] - r.q["sphum"][:, -3:]).mean()) > 1e-4

@@ -11,6 +11,7 @@ import numpy as np
 
 from gfdl_atmos_cubed_sphere_tpu.model.grid_ops import build_grid_ops
 from gfdl_atmos_cubed_sphere_tpu.model.fv_update_phys import (
+    del2_phys,
     cubed_to_latlon, update_dwinds_phys, fv_update_phys)
 
 NPX = 25
@@ -56,3 +57,25 @@ def test_fv_update_phys_applies_tendencies():
                                1800.0 / 86400.0, rtol=1e-10)
     np.testing.assert_allclose(float(q2["sphum"][0, 0, 0, 0]),
                                1e-3 - 1800.0 * 1e-9, rtol=1e-10)
+
+
+def test_del2_phys_filters_tendencies():
+    """del2_phys (fv_update_phys.F90:770): with uniform delp a constant
+    tendency is invariant (zero gradient fluxes), noise loses variance,
+    and the mass-weighted integral is conserved (flux form)."""
+    g = build_grid_ops(13, dtype=jnp.float64)
+    n = g.n
+    K = 3
+    delp = jnp.full((6, K, n, n), 500.0)
+    c = jnp.full((6, K, n, n), 2.5)
+    out = del2_phys(c, delp, g, 0.2)
+    np.testing.assert_allclose(np.asarray(out), 2.5, rtol=1e-12)
+
+    rng = np.random.default_rng(0)
+    noise = jnp.asarray(rng.normal(0.0, 1.0, (6, K, n, n)))
+    outn = del2_phys(noise, delp, g, 0.2)
+    assert float(jnp.var(outn)) < float(jnp.var(noise))
+    area = jnp.asarray(g.geom.interior("area"))[:, None]
+    tot0 = float(jnp.sum(noise * delp * area))
+    tot1 = float(jnp.sum(outn * delp * area))
+    np.testing.assert_allclose(tot1, tot0, rtol=1e-9, atol=1e-6)

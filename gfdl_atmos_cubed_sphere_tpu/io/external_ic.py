@@ -234,7 +234,48 @@ def get_nggps_ic(data, ak, bk, ptop, kord=8):
     return out
 
 
+def get_hrrr_ic(data, ak, bk, ptop, kord=8):
+    """Preprocessed HRRR regional input -> model state (external_ic.F90
+    get_hrrr_ic:816). Like get_nggps_ic the fields arrive cube-native
+    (chgres output: hrrr_ctrl.nc source ak/bk + hrrr_data.nc fields), but
+    with D-grid staggered winds (ud/vd) and nonhydrostatic w to remap.
+
+    data: ps [6,y,x]; t, sphum (+tracers), w [6,K_s,y,x];
+    zh [6,K_s+1,y,x]; ud [6,K_s,y+1,x]; vd [6,K_s,y,x+1];
+    ak_src/bk_src [K_s+1]."""
+    out = get_nggps_ic(data, ak, bk, ptop, kord=kord)
+    ps = jnp.asarray(data["ps"])
+    aks = jnp.asarray(data["ak_src"]).reshape((1,) * ps.ndim + (-1,))
+    bks = jnp.asarray(data["bk_src"]).reshape((1,) * ps.ndim + (-1,))
+    pe1 = aks + bks * ps[..., None]
+    akd = jnp.asarray(ak).reshape((1,) * ps.ndim + (-1,))
+    bkd = jnp.asarray(bk).reshape((1,) * ps.ndim + (-1,))
+    pe2 = akd + bkd * ps[..., None]
+    if "w" in data:
+        f = jnp.moveaxis(jnp.asarray(data["w"]), 1, -1)
+        out["w"] = jnp.moveaxis(
+            fv_mapz.map1_ppm_ext(f, pe1, pe2, iv=-1, kord=kord), -1, 1)
+    # staggered winds: remap on edge-averaged interface pressures
+    # (external_ic.F90's u_s/v_w handling)
+    if "ud" in data:
+        pe1u = 0.5 * (jnp.concatenate([pe1[:, :1], pe1], axis=1)
+                      + jnp.concatenate([pe1, pe1[:, -1:]], axis=1))
+        pe2u = 0.5 * (jnp.concatenate([pe2[:, :1], pe2], axis=1)
+                      + jnp.concatenate([pe2, pe2[:, -1:]], axis=1))
+        fu = jnp.moveaxis(jnp.asarray(data["ud"]), 1, -1)
+        out["u"] = jnp.moveaxis(
+            fv_mapz.map1_ppm_ext(fu, pe1u, pe2u, iv=-1, kord=kord), -1, 1)
+        pe1v = 0.5 * (jnp.concatenate([pe1[:, :, :1], pe1], axis=2)
+                      + jnp.concatenate([pe1, pe1[:, :, -1:]], axis=2))
+        pe2v = 0.5 * (jnp.concatenate([pe2[:, :, :1], pe2], axis=2)
+                      + jnp.concatenate([pe2, pe2[:, :, -1:]], axis=2))
+        fv = jnp.moveaxis(jnp.asarray(data["vd"]), 1, -1)
+        out["v"] = jnp.moveaxis(
+            fv_mapz.map1_ppm_ext(fv, pe1v, pe2v, iv=-1, kord=kord), -1, 1)
+    return out
+
+
 def get_external_ic(source, *args, **kw):
     """Dispatcher matching external_ic.F90 get_external_ic:94."""
     return {"ncep": get_ncep_ic, "ecmwf": get_ecmwf_ic,
-            "nggps": get_nggps_ic}[source](*args, **kw)
+            "nggps": get_nggps_ic, "hrrr": get_hrrr_ic}[source](*args, **kw)

@@ -143,3 +143,32 @@ def test_get_nggps_ic_cube_native_delz():
     dz2 = -(con.RDGAS * 260.0 / con.GRAV) * np.diff(np.log(pe2))
     np.testing.assert_allclose(np.asarray(st["delz"])[0, :, 5, 5], dz2,
                                rtol=0.05)
+
+
+def test_get_hrrr_ic_staggered_winds_and_w():
+    """HRRR cube-native flavor (external_ic.F90 get_hrrr_ic:816): remaps
+    D-grid staggered winds and w; with identical source/target coordinates
+    constant fields pass through unchanged."""
+    g = build_grid_ops(NPX, dtype=jnp.float64)
+    ks, ptop, ak, bk = set_eta(NPZ)
+    n = g.n
+    Ks = NPZ
+    ps = np.full((6, n, n), 1.0e5)
+    import gfdl_atmos_cubed_sphere_tpu.constants as con
+    pe = ak[:, None, None] + bk[:, None, None] * ps[0, :1]
+    zh1 = (con.RDGAS * 260.0 / con.GRAV
+           * np.log(pe[-1][None] / pe))
+    zh = np.broadcast_to(zh1[None, :, :], (6, Ks + 1, n, n)).copy()
+    data = dict(ps=ps, t=np.full((6, Ks, n, n), 260.0), zh=zh,
+                sphum=np.full((6, Ks, n, n), 1e-3),
+                w=np.full((6, Ks, n, n), 0.3),
+                ud=np.full((6, Ks, n + 1, n), 7.0),
+                vd=np.full((6, Ks, n, n + 1), -4.0),
+                ak_src=np.asarray(ak), bk_src=np.asarray(bk))
+    st = eic.get_external_ic("hrrr", data, ak, bk, ptop)
+    assert st["u"].shape == (6, NPZ, n + 1, n)
+    assert st["v"].shape == (6, NPZ, n, n + 1)
+    np.testing.assert_allclose(np.asarray(st["u"]), 7.0, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(st["v"]), -4.0, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(st["w"]), 0.3, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(st["pt"]), 260.0, rtol=1e-12)

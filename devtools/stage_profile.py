@@ -67,7 +67,8 @@ phis_p = g.phis_p
 pl = _sponge_level_params(cfg)
 dpmin = 0.01 * (np.diff(np.asarray(ak, np.float64))
                 + np.diff(np.asarray(bk, np.float64)) * 1.e5)
-rfp = ray_fast_profile(ak, bk, abs(dt), cfg.tau, cfg.rf_cutoff, ptop)
+rfp = (ray_fast_profile(ak, bk, abs(dt), cfg.tau, cfg.rf_cutoff, ptop)
+       if cfg.rf_fast and cfg.tau > 0.0 else None)
 
 delp = jnp.asarray(ic["delp"], jnp.float32)
 pt = jnp.asarray(ic["pt"], jnp.float32)
@@ -108,8 +109,14 @@ def dsw_stage(delp_p, pt_p, u_p, v_p, uc_p, vc_p, ua, va, divg_p):
         **{k: pl[k] for k in ("nord", "nord_v", "d2_bg", "d_con",
                               "nord_mask", "damp_v", "damp_v2", "nord_v2")})
 
-ds = jax.jit(dsw_stage)(delp_p, pt_p, u_p, v_p, uc_p, vc_p, ua, va, divg_p)
-ds = jax.tree_util.tree_map(lambda x: x.block_until_ready(), ds)
+def dsw_tuple(*a):
+    r = dsw_stage(*a)
+    return (r.delp, r.pt, r.u, r.v, r.fx, r.fy, r.crx, r.cry, r.xfx, r.yfx)
+
+ds_t = jax.jit(dsw_tuple)(delp_p, pt_p, u_p, v_p, uc_p, vc_p, ua, va, divg_p)
+ds_t = [x.block_until_ready() for x in ds_t]
+from types import SimpleNamespace
+ds = SimpleNamespace(delp=ds_t[0], pt=ds_t[1], u=ds_t[2], v=ds_t[3])
 
 
 def full_body(delp, pt, u, v):
@@ -125,12 +132,14 @@ def full_body(delp, pt, u, v):
     divg_p = halo.pad_corner(cs.divg_d[..., wsl, wsl])
     dsr = dsw_stage(delp_p, pt_p, u_p, v_p, uc_p, vc_p, ua, va, divg_p)
     delp2, pt2 = dsr.delp, dsr.pt
-    delp2, pt2, _ = mix_dp(delp2, pt2, None, dpmin, hydrostatic=True)
+    if cfg.fill_dp:
+        delp2, pt2, _ = mix_dp(delp2, pt2, None, dpmin, hydrostatic=True)
     delp_p2 = halo.pad_cell(delp2)
     pt_p2 = halo.pad_cell(pt2)
     _, _, pk, gz, _ = geopk(delp_p2, pt_p2, phis_p, akap, ptop)
     u2, v2 = one_grad_p(dsr.u, dsr.v, pk, gz, g, dt, npx, ptk)
-    u2, v2, _ = ray_fast(u2, v2, None, *rfp)
+    if rfp is not None:
+        u2, v2, _ = ray_fast(u2, v2, None, *rfp)
     return delp2, pt2, u2, v2
 
 
@@ -139,9 +148,12 @@ t_pad = timed("halo.pad_cell x2 + pad_dgrid", lambda a, b, c, d: (
     delp, pt, u, v)
 t_rec = timed("reconcile_dgrid", lambda a, b: halo.reconcile_dgrid(a, b),
               u, v)
-t_csw = timed("c_sw", lambda a, b, c, d: sw_core.c_sw(
-    a, b, None, c, d, g, dt2, hydrostatic=True, nord=cfg.nord,
-    sw_mode=False), delp_p, pt_p, u_p, v_p)
+def csw_tuple(a, b, c, d):
+    r = sw_core.c_sw(a, b, None, c, d, g, dt2, hydrostatic=True,
+                     nord=cfg.nord, sw_mode=False)
+    return (r.delpc, r.ptc, r.uc, r.vc, r.ua, r.va, r.divg_d)
+
+t_csw = timed("c_sw", csw_tuple, delp_p, pt_p, u_p, v_p)
 t_geo = timed("geopk(C)", lambda a, b: geopk(a, b, phis_p, akap, ptop),
               delpc, ptc)
 t_pgc = timed("p_grad_c + pad_cgrid + pad_corner",
@@ -152,18 +164,18 @@ t_pgc = timed("p_grad_c + pad_cgrid + pad_corner",
                                                       dt2, npx))]),
                   halo.pad_corner(dd[..., wsl, wsl])),
               csuc, csvc, delpc, pkc, gzc, divg_d)
-t_dsw = timed("d_sw (merged full-K)", dsw_stage,
+t_dsw = timed("d_sw (merged full-K)", dsw_tuple,
               delp_p, pt_p, u_p, v_p, uc_p, vc_p, ua, va, divg_p)
-t_mix = timed("mix_dp", lambda a, b: mix_dp(a, b, None, dpmin,
-                                            hydrostatic=True), ds.delp, ds.pt)
+t_mix = (timed("mix_dp", lambda a, b: mix_dp(a, b, None, dpmin,
+                                             hydrostatic=True),
+               ds.delp, ds.pt) if cfg.fill_dp else 0.0)
 t_gd = timed("geopk(D) + pads", lambda a, b: geopk(
     halo.pad_cell(a), halo.pad_cell(b), phis_p, akap, ptop), ds.delp, ds.pt)
 pk_p = jax.jit(lambda a, b: geopk(halo.pad_cell(a), halo.pad_cell(b),
                                   phis_p, akap, ptop))(ds.delp, ds.pt)
 pk_, gz_ = pk_p[2].block_until_ready(), pk_p[3].block_until_ready()
-t_ogp = timed("one_grad_p + ray_fast", lambda a, b, c, d: ray_fast(
-    *one_grad_p(a, b, c, d, g, dt, npx, ptk), None, *rfp), ds.u, ds.v,
-    pk_, gz_)
+t_ogp = timed("one_grad_p", lambda a, b, c, d: one_grad_p(
+    a, b, c, d, g, dt, npx, ptk), ds.u, ds.v, pk_, gz_)
 
 tot = t_pad + t_rec + t_csw + t_geo + t_pgc + t_dsw + t_mix + t_gd + t_ogp
 print(f"{'SUM of stages':34s} {tot:8.3f} ms")

@@ -53,6 +53,56 @@ def coarse_to_fine(field_c, refinement, offset_j=0, offset_i=0,
             + wjj * ((1 - wii) * f10 + wii * f11))
 
 
+def coarse_to_fine_stagger(field_c, refinement, offset_j=0.0, offset_i=0.0,
+                           fine_shape=None, wall=(False, False)):
+    """coarse_to_fine generalized to staggered (wall) axes: a True entry in
+    `wall` means that axis holds cell-wall values (D/C-grid winds), whose
+    coordinates are integers in coarse index space rather than centers
+    (nested_grid_BC's u/v ind/wt tables, boundary.F90:~700)."""
+    R = refinement
+    ny_c, nx_c = field_c.shape[-2:]
+    ny_f, nx_f = fine_shape
+
+    def coords(n_f, off, w, n_c):
+        if w:
+            x = off + np.arange(n_f) / R
+        else:
+            x = off + (np.arange(n_f) + 0.5) / R - 0.5
+        i0 = np.clip(np.floor(x).astype(int), 0, n_c - 2)
+        return i0, np.clip(x - i0, 0.0, 1.0)
+
+    j0, wj = coords(ny_f, offset_j, wall[0], ny_c)
+    i0, wi = coords(nx_f, offset_i, wall[1], nx_c)
+    f00 = field_c[..., j0[:, None], i0[None, :]]
+    f01 = field_c[..., j0[:, None], i0[None, :] + 1]
+    f10 = field_c[..., j0[:, None] + 1, i0[None, :]]
+    f11 = field_c[..., j0[:, None] + 1, i0[None, :] + 1]
+    wjj = jnp.asarray(wj)[:, None]
+    wii = jnp.asarray(wi)[None, :]
+    return ((1 - wjj) * ((1 - wii) * f00 + wii * f01)
+            + wjj * ((1 - wii) * f10 + wii * f11))
+
+
+def blend_interior(field, bc, nrows_blend=5, wall=(False, False)):
+    """Relax the rows nearest the lateral walls toward BC data on the
+    INTERIOR frame (the nrows_blend zone of fv_regional_bc.F90:250 without
+    a persistent halo: the model re-pads internally each step, so the
+    boundary forcing lives in the blend rows). Weight 1 at the wall row,
+    falling linearly to 0 past nrows_blend."""
+    ny, nx = field.shape[-2:]
+
+    def dist(n, w):
+        d = np.arange(n, dtype=np.float64)
+        d = np.minimum(d, n - 1 - d)
+        if not w:
+            d = d + 0.5
+        return d
+
+    d2 = np.minimum.outer(dist(ny, wall[0]), dist(nx, wall[1]))
+    wgt = jnp.asarray(np.clip(1.0 - d2 / (nrows_blend + 0.5), 0.0, 1.0))
+    return (1.0 - wgt) * field + wgt * bc
+
+
 def fine_to_coarse(field_f, refinement, area_f=None):
     """Area-weighted feedback of the fine grid onto its coarse footprint
     (update_coarse_grid, boundary.F90:78-80)."""

@@ -67,48 +67,53 @@ def main():
 
     xs = glob.glob(f"{LOGDIR}/**/*.xplane.pb", recursive=True)
     print("xplane:", xs, file=sys.stderr)
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
-    for tool in ("hlo_stats", "hlo_stats.json", "hlo_op_stats"):
-        try:
-            data, _ = rtd.xspace_to_tool_data(xs, tool, {})
-            break
-        except Exception as e:
-            print("tool", tool, "failed:", e, file=sys.stderr)
-            data = None
-    if data is None:
-        return
-    if isinstance(data, bytes):
-        data = data.decode()
-    obj = json.loads(data)
-    # gviz table: cols + rows
-    cols = [c["label"] if "label" in c else c["id"] for c in obj["cols"]]
-    print("COLS:", cols)
-    rows = obj["rows"]
+    os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+    report(xs[0])
 
-    def col(name):
-        for i, c in enumerate(cols):
-            if name.lower() in c.lower():
-                return i
-        return None
 
-    i_cat = col("category")
-    i_name = col("HLO op name") or col("name")
-    i_self = col("self time (us)") or col("self")
-    i_src = col("source")
-    agg = {}
-    for r in rows:
-        c = r["c"]
-        cat = c[i_cat]["v"] if i_cat is not None else "?"
-        t = float(c[i_self]["v"]) if c[i_self] and c[i_self]["v"] else 0.0
-        src = (c[i_src]["v"] if i_src is not None and c[i_src] else "")
-        key = (cat, src)
-        agg[key] = agg.get(key, 0.0) + t
-    top = sorted(agg.items(), key=lambda kv: -kv[1])[:45]
-    tot = sum(agg.values())
-    print(f"total self time: {tot/1e3:.1f} ms (2 steps)")
-    for (cat, src), t in top:
-        print(f"{t/1e3:9.2f} ms  {cat:28s} {src}")
+def report(xplane_path, top=45):
+    """Aggregate XLA-op self times by (category, source line). NOTE: the
+    'while' row ENCLOSES its body ops (double counted) — subtract it for
+    the true step total. Requires PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=
+    python when the fast protobuf rejects the tf generated code."""
+    import re
+    from collections import defaultdict
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    sp = xplane_pb2.XSpace()
+    sp.ParseFromString(open(xplane_path, "rb").read())
+    plane = [p for p in sp.planes if p.name == "/device:TPU:0"][0]
+    em, sm = plane.event_metadata, plane.stat_metadata
+    line = [l for l in plane.lines if l.name == "XLA Ops"][0]
+    by_src = defaultdict(float)
+    by_cat = defaultdict(float)
+    cnt = defaultdict(int)
+    tot = 0.0
+    for ev in line.events:
+        dur = ev.duration_ps / 1e12
+        tot += dur
+        md = em[ev.metadata_id]
+        src = cat = ""
+        for st in list(ev.stats) + list(md.stats):
+            nm = sm[st.metadata_id].name
+            if nm == "source":
+                src = st.str_value
+            elif nm == "hlo_category":
+                cat = st.str_value
+        by_src[(cat, src)] += dur
+        by_cat[cat] += dur
+        cnt[(cat, src)] += 1
+    print(f"total XLA-op time {tot:.3f} s over 2 steps "
+          f"({len(line.events) // 2} events/step)")
+    print("== by category (ms/step) ==")
+    for c, t in sorted(by_cat.items(), key=lambda kv: -kv[1])[:14]:
+        print(f"{t / 2e3 * 1e6:9.2f}  {c}")
+    print("== by (category, source) (ms/step) ==")
+    for (c, srx), t in sorted(by_src.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"{t / 2e3 * 1e6:8.2f}  n={cnt[(c, srx)] // 2:5d}  {c:20s} {srx}")
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1:
+        report(sys.argv[1])
+    else:
+        main()

@@ -49,11 +49,11 @@ def _tp2d_body(q, qx, qy, crx, cry, xfx, yfx, area, ra_x, ra_y, dxa, dya,
     return fx_ou, fx2, fy_ou, fy2
 
 
-def _make_kernel(hord, lim_fac, with_mf):
+def _make_kernel(hord, lim_fac, with_mf, rank5=False):
     def kernel(q_ref, qx_ref, qy_ref, crx_ref, cry_ref, xfx_ref, yfx_ref,
                area_ref, rax_ref, ray_ref, dxa_ref, dya_ref, mfx_ref,
                mfy_ref, fx_ref, fy_ref):
-        sq = lambda r: r[0]
+        sq = (lambda r: r[0, 0]) if rank5 else (lambda r: r[0])
         q = sq(q_ref)
         fx_ou, fx2, fy_ou, fy2 = _tp2d_body(
             q, sq(qx_ref), sq(qy_ref), sq(crx_ref), sq(cry_ref),
@@ -67,8 +67,12 @@ def _make_kernel(hord, lim_fac, with_mf):
         else:
             fx = 0.5 * (fx_ou + fx2[..., ctr, :]) * sq(xfx_ref)[..., ctr, :]
             fy = 0.5 * (fy_ou + fy2[..., :, ctr]) * sq(yfx_ref)[..., :, ctr]
-        fx_ref[0] = fx
-        fy_ref[0] = fy
+        if rank5:
+            fx_ref[0, 0] = fx
+            fy_ref[0, 0] = fy
+        else:
+            fx_ref[0] = fx
+            fy_ref[0] = fy
 
     return kernel
 
@@ -174,22 +178,29 @@ def tp2d_sweep_pallas(q, crx, cry, hord, xfx, yfx, area, ra_x, ra_y,
 
     Called from tp_core.fv_tp_2d on TPU with operands already sliced to
     compute walls; returns the combined (fx, fy) — the caller applies
-    del-n damping. q: [6, K, P, P]."""
+    del-n damping. q: [6, K, P, P], or the batched-tracer rank-5 form
+    [6, T, K, P, P] with winds/metrics [6, 1, K|1, ...]: the grid gets a
+    tracer dimension whose index_map pins the shared wind slabs, so each
+    wind level is read from HBM once regardless of tracer count
+    (tracer_2d's all-tracers-one-call path, fv_tracer2d.F90:390-400)."""
     h = H
     n = q.shape[-1] - 2 * h
-    K = q.shape[1]
+    rank5 = q.ndim == 5
+    T = q.shape[1] if rank5 else 1
+    K = q.shape[2] if rank5 else q.shape[1]
 
     qx = tp_core.copy_corners(q, h, 1)
     qy = tp_core.copy_corners(q, h, 2)
 
     with_mf = mfx is not None
+    zshape = (6, 1, 1, 1, 1) if rank5 else (6, 1, 1, 1)
     if not with_mf:
-        mfx = jnp.zeros((6, 1, 1, 1), q.dtype)
-        mfy = jnp.zeros((6, 1, 1, 1), q.dtype)
+        mfx = jnp.zeros(zshape, q.dtype)
+        mfy = jnp.zeros(zshape, q.dtype)
 
     def bcast(a):
         a = jnp.asarray(a, q.dtype)
-        if a.ndim == 3:
+        while a.ndim < q.ndim:
             a = a[:, None]
         return a
 
@@ -197,38 +208,68 @@ def tp2d_sweep_pallas(q, crx, cry, hord, xfx, yfx, area, ra_x, ra_y,
            bcast(area), bcast(ra_x), bcast(ra_y), bcast(dxa), bcast(dya),
            bcast(mfx), bcast(mfy)]
 
-    def spec_for(a, kb):
-        _, kk, yy, xx = a.shape
-        if kk == 1:
-            return pl.BlockSpec((1, 1, yy, xx), (lambda t, k: (t, 0, 0, 0)),
-                                memory_space=pltpu.VMEM)
-        return pl.BlockSpec((1, kb, yy, xx), (lambda t, k: (t, k, 0, 0)),
-                            memory_space=pltpu.VMEM)
-
     W = n + 1
-    out_shape = [
-        jax.ShapeDtypeStruct((6, K, n, W), q.dtype),
-        jax.ShapeDtypeStruct((6, K, W, n), q.dtype),
-    ]
-
-    def out_specs(kb):
-        return [
-            pl.BlockSpec((1, kb, n, W), lambda t, k: (t, k, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kb, W, n), lambda t, k: (t, k, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ]
-
     kb = 1
     for cand in (4, 2, 1):
         if K % cand == 0:
             kb = cand
             break
-    kernel = _make_kernel(hord, float(lim_fac), with_mf)
+    V = pltpu.VMEM
+
+    if rank5:
+        def spec_for(a, kb):
+            _, tt, kk, yy, xx = a.shape
+            if kk == 1:
+                return pl.BlockSpec((1, 1, 1, yy, xx),
+                                    (lambda t, b, k: (t, 0, 0, 0, 0)),
+                                    memory_space=V)
+            if tt == 1:
+                return pl.BlockSpec((1, 1, kb, yy, xx),
+                                    (lambda t, b, k: (t, 0, k, 0, 0)),
+                                    memory_space=V)
+            return pl.BlockSpec((1, 1, kb, yy, xx),
+                                (lambda t, b, k: (t, b, k, 0, 0)),
+                                memory_space=V)
+
+        out_shape = [
+            jax.ShapeDtypeStruct((6, T, K, n, W), q.dtype),
+            jax.ShapeDtypeStruct((6, T, K, W, n), q.dtype),
+        ]
+        out_specs = [
+            pl.BlockSpec((1, 1, kb, n, W), lambda t, b, k: (t, b, k, 0, 0),
+                         memory_space=V),
+            pl.BlockSpec((1, 1, kb, W, n), lambda t, b, k: (t, b, k, 0, 0),
+                         memory_space=V),
+        ]
+        grid = (6, T, K // kb)
+    else:
+        def spec_for(a, kb):
+            _, kk, yy, xx = a.shape
+            if kk == 1:
+                return pl.BlockSpec((1, 1, yy, xx),
+                                    (lambda t, k: (t, 0, 0, 0)),
+                                    memory_space=V)
+            return pl.BlockSpec((1, kb, yy, xx),
+                                (lambda t, k: (t, k, 0, 0)),
+                                memory_space=V)
+
+        out_shape = [
+            jax.ShapeDtypeStruct((6, K, n, W), q.dtype),
+            jax.ShapeDtypeStruct((6, K, W, n), q.dtype),
+        ]
+        out_specs = [
+            pl.BlockSpec((1, kb, n, W), lambda t, k: (t, k, 0, 0),
+                         memory_space=V),
+            pl.BlockSpec((1, kb, W, n), lambda t, k: (t, k, 0, 0),
+                         memory_space=V),
+        ]
+        grid = (6, K // kb)
+
+    kernel = _make_kernel(hord, float(lim_fac), with_mf, rank5=rank5)
     return pl.pallas_call(
         kernel,
-        grid=(6, K // kb),
+        grid=grid,
         in_specs=[spec_for(a, kb) for a in ins],
-        out_specs=out_specs(kb),
+        out_specs=out_specs,
         out_shape=out_shape,
     )(*ins)

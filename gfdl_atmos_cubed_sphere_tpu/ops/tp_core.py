@@ -423,8 +423,9 @@ _PALLAS_TP = _os.environ.get("GFDL_TPU_PALLAS_TP", "1") != "0"
 
 def _use_pallas_sweep(q, edges):
     """Gate for the fused Pallas double-sweep: TPU backend, cube-edge mode,
-    4-D [6, K, P, P] operands. Disable with GFDL_TPU_PALLAS_TP=0."""
-    if not (_PALLAS_TP and edges and q.ndim == 4):
+    4-D [6, K, P, P] or rank-5 batched-tracer [6, T, K, P, P] operands.
+    Disable with GFDL_TPU_PALLAS_TP=0."""
+    if not (_PALLAS_TP and edges and q.ndim in (4, 5)):
         return False
     try:
         import jax as _jax

@@ -93,6 +93,10 @@ def geopk(delp_p, pt_p, phis_p, akap, ptop):
     delp_p, pt_p: [6, K, Y, X] padded; pt is virtual potential temperature.
     Returns pe, peln, pk [6, K+1, Y, X], gz [6, K+1, Y, X], pkz [6, K, Y, X].
     """
+    from ..ops import pallas_col
+    if pallas_col.use_pallas_col(delp_p):
+        # single-HBM-pass fused column kernel (ops/pallas_col.py)
+        return pallas_col.geopk_pallas(delp_p, pt_p, phis_p, akap, ptop)
     pe = ptop + jnp.cumsum(delp_p, axis=1)
     pe = jnp.concatenate([jnp.full_like(pe[:, :1], ptop), pe], axis=1)
     peln = jnp.log(pe)

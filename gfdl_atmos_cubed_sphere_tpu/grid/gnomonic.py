@@ -143,3 +143,44 @@ def gnomonic_cube_corners(npx, shift_fac=18.0):
         Rshift = rot_matrix(2, -np.pi / shift_fac)
         tiles = tiles @ Rshift.T
     return tiles
+
+
+def schmidt_transform(xyz, stretch_fac, target_lon, target_lat,
+                      revised=False):
+    """Schmidt stretching of grid-point coordinates
+    (fv_grid_utils.F90 direct_transform:802 / cube_transform:863).
+
+    The conformal Schmidt map concentrates resolution by factor
+    `stretch_fac` toward the south pole, then a rigid rotation carries the
+    pole to (target_lon, target_lat) — the refined face ends centered on
+    the target. `revised=True` is the cube_transform variant (Schmidt at
+    the north pole: longitudes pre-rotated by pi).
+
+    xyz: [..., 3] unit vectors (any grid stage); returns transformed xyz.
+    """
+    c = float(stretch_fac)
+    lon, lat = xyz_to_lonlat(np.asarray(xyz, np.float64))
+    c2p1 = 1.0 + c * c
+    c2m1 = 1.0 - c * c
+    sin_p = np.sin(target_lat)
+    cos_p = np.cos(target_lat)
+
+    if abs(c2m1) > 1e-7:
+        sin_lat = np.sin(lat)
+        lat_t = np.arcsin(np.clip((c2m1 + c2p1 * sin_lat)
+                                  / (c2p1 + c2m1 * sin_lat), -1.0, 1.0))
+    else:
+        lat_t = lat
+    sin_lat = np.sin(lat_t)
+    cos_lat = np.cos(lat_t)
+    if revised:
+        lon = lon + np.pi
+    sin_o = -(sin_p * sin_lat + cos_p * cos_lat * np.cos(lon))
+    near_pole = (1.0 - np.abs(sin_o)) < 1e-7
+    lat_out = np.where(near_pole, np.sign(sin_o) * 0.5 * np.pi,
+                       np.arcsin(np.clip(sin_o, -1.0, 1.0)))
+    lon_out = target_lon + np.arctan2(
+        -cos_lat * np.sin(lon),
+        -sin_lat * cos_p + cos_lat * sin_p * np.cos(lon))
+    lon_out = np.where(near_pole, 0.0, np.mod(lon_out, 2.0 * np.pi))
+    return lonlat_to_xyz(lon_out, lat_out)

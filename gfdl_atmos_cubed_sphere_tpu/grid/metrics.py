@@ -122,14 +122,25 @@ class GridGeometry:
 
 
 def build_grid_geometry(npx, ng=3, radius=con.RADIUS, omega=con.OMEGA,
-                        shift_fac=18.0, coriolis_alpha=0.0):
-    """Compute the full metric inventory for a gnomonic cube of npx corners."""
+                        shift_fac=18.0, coriolis_alpha=0.0,
+                        stretch_fac=None, target_lon=0.0, target_lat=0.0,
+                        do_cube_transform=False):
+    """Compute the full metric inventory for a gnomonic cube of npx corners.
+
+    stretch_fac/target_lon/target_lat enable Schmidt grid refinement
+    (fv_core_nml do_schmidt + stretch_fac/target_lon/target_lat,
+    fv_grid_utils.F90 direct_transform:802); do_cube_transform selects the
+    revised cube_transform (:863). Angles in radians."""
     n = npx - 1
     hg = ng                    # stored halo
     hx = ng + 1                # computation halo (cells)
     hc = hx + 1                # corner gather halo
-    topo = CubeTopology(gnomonic_cube_corners(npx, shift_fac))
     corners = gnomonic_cube_corners(npx, shift_fac)     # [6, npx, npx, 3]
+    if stretch_fac is not None and abs(stretch_fac - 1.0) > 0.0:
+        from .gnomonic import schmidt_transform
+        corners = schmidt_transform(corners, stretch_fac, target_lon,
+                                    target_lat, revised=do_cube_transform)
+    topo = CubeTopology(corners)
 
     # ---- extended corner coordinates via topology gather -------------
     tix, jix, iix, valid = topo.corner_halo_spec(hc)

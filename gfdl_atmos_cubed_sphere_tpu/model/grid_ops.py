@@ -29,13 +29,20 @@ def _w(arr, dtype):
 
 
 def build_grid_ops(npx, dtype=jnp.float32, geom: GridGeometry = None,
-                   coriolis_alpha=0.0, radius=None, omega=None):
-    """Build the metric namespace `g` + halo exchanger for a cube of npx corners."""
+                   coriolis_alpha=0.0, radius=None, omega=None,
+                   stretch_fac=None, target_lon=0.0, target_lat=0.0,
+                   do_cube_transform=False):
+    """Build the metric namespace `g` + halo exchanger for a cube of npx
+    corners. stretch_fac et al.: Schmidt refinement (see
+    grid.metrics.build_grid_geometry)."""
     kw = {}
     if radius is not None:
         kw["radius"] = radius
     if omega is not None:
         kw["omega"] = omega
+    if stretch_fac is not None:
+        kw.update(stretch_fac=stretch_fac, target_lon=target_lon,
+                  target_lat=target_lat, do_cube_transform=do_cube_transform)
     if geom is None:
         geom = build_grid_geometry(npx, ng=H, coriolis_alpha=coriolis_alpha, **kw)
     n = geom.n

@@ -110,3 +110,18 @@ def load_input_nml(path, **required):
     dyn, unk1 = dyn_config_from_namelist(nml, **required)
     mpc, unk2 = mp_config_from_namelist(nml)
     return dyn, mpc, {"fv_core_nml": unk1, "gfdl_mp_nml": unk2}
+
+
+def grid_kwargs_from_namelist(nml):
+    """fv_core_nml grid-refinement options -> build_grid_ops kwargs
+    (do_schmidt/do_cube_transform + stretch_fac, target_lon/lat in degrees
+    — fv_control.F90:930-959, converted to radians like fv_grid_tools)."""
+    import math
+    core = nml.get("fv_core_nml", {})
+    kw = {}
+    if core.get("do_schmidt") or core.get("do_cube_transform"):
+        kw["stretch_fac"] = float(core.get("stretch_fac", 1.0))
+        kw["target_lon"] = math.radians(float(core.get("target_lon", 0.0)))
+        kw["target_lat"] = math.radians(float(core.get("target_lat", 0.0)))
+        kw["do_cube_transform"] = bool(core.get("do_cube_transform", False))
+    return kw

@@ -128,3 +128,64 @@ def test_edge_factors_symmetry(geom):
     ew = geom.edge_vect_w
     assert np.allclose(ew[0], ew[0][::-1], atol=1e-12)
     assert np.isfinite(geom.edge_w[:, 1:-1]).all()
+
+
+def test_schmidt_stretched_grid():
+    """Schmidt refinement (fv_grid_utils.F90 direct_transform:802): the
+    transform is conformal (still tiles the sphere exactly), concentrates
+    resolution by ~stretch_fac at the target point, and coarsens the
+    antipode; cube_transform (:863) places the refinement likewise."""
+    import numpy as np
+    from gfdl_atmos_cubed_sphere_tpu.grid.metrics import build_grid_geometry
+    from gfdl_atmos_cubed_sphere_tpu.grid.gnomonic import lonlat_to_xyz
+    import gfdl_atmos_cubed_sphere_tpu.constants as con
+
+    npx, c = 25, 3.0
+    tlon, tlat = np.pi, 0.6
+    g0 = build_grid_geometry(npx)
+    gs = build_grid_geometry(npx, stretch_fac=c, target_lon=tlon,
+                             target_lat=tlat)
+    # sphere coverage preserved
+    area = gs.interior("area")
+    np.testing.assert_allclose(np.nansum(area),
+                               4.0 * np.pi * con.RADIUS ** 2, rtol=1e-9)
+    # resolution enhanced ~c at the target, reduced ~c antipodally
+    dx0 = np.asarray(g0.interior("dx"))
+    dxs = np.asarray(gs.interior("dx"))
+    r_min = np.nanmin(dxs) / np.nanmin(dx0)
+    r_max = np.nanmax(dxs) / np.nanmax(dx0)
+    assert 0.5 / c < r_min < 1.5 / c, r_min
+    assert 0.6 * c < r_max < 1.6 * c, r_max
+    # finest cells sit at the target point
+    tgt = lonlat_to_xyz(tlon, tlat)
+    cc = lonlat_to_xyz(gs.interior("aglon"), gs.interior("aglat"))
+    d2 = np.sum((cc - tgt) ** 2, axis=-1)
+    i_fine = np.unravel_index(np.nanargmin(np.asarray(gs.interior("dxa"))),
+                              d2.shape)
+    # C24 is coarse: nearest-to-target up to ~15 deg of center
+    assert d2[i_fine] < 0.12, d2[i_fine]   # antipode would be ~4
+
+    # revised transform also covers the sphere
+    gr = build_grid_geometry(npx, stretch_fac=c, target_lon=tlon,
+                             target_lat=tlat, do_cube_transform=True)
+    np.testing.assert_allclose(np.nansum(gr.interior("area")),
+                               4.0 * np.pi * con.RADIUS ** 2, rtol=1e-9)
+
+
+def test_schmidt_namelist_plumbing():
+    from gfdl_atmos_cubed_sphere_tpu.utils.config import (
+        parse_namelist, grid_kwargs_from_namelist)
+    nml = parse_namelist("""
+&fv_core_nml
+  npx = 97
+  do_schmidt = .T.
+  stretch_fac = 2.5
+  target_lon = 262.4
+  target_lat = 38.5
+/
+""")
+    kw = grid_kwargs_from_namelist(nml)
+    assert abs(kw["stretch_fac"] - 2.5) < 1e-12
+    import math
+    assert abs(kw["target_lat"] - math.radians(38.5)) < 1e-12
+    assert not kw["do_cube_transform"]

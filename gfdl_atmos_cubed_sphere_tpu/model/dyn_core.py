@@ -61,6 +61,11 @@ class DynConfig:
     rf_cutoff: float = 3000.0
     p_fac: float = 0.05
     a_imp: float = 1.0
+    # pressure-gradient time off-centering (fv_arrays.F90 beta; beta > 0
+    # selects grad1_p_update / split_p_grad)
+    beta: float = 0.0
+    # external (barotropic) mode damping coefficient (fv_arrays.F90:452)
+    d_ext: float = 0.0
     # Riemann substeps for the explicit RIM_2D path (|a_imp| <= 0.5);
     # 0 = auto: 1 + |dt_acoustic| (fv_control.F90:1037-1038 sets
     # m_split = 1 + dt_atmos/(k_split*n_split*|p_split|), i.e. ~1 s each)
@@ -135,12 +140,11 @@ def p_grad_c(uc, vc, delpc_p, pkc, gz, g, dt2, npx, hydrostatic=True):
     return uc, vc
 
 
-def one_grad_p(u_acc, v_acc, pk, gz, g, dt, npx, ptk):
-    """Hydrostatic D-grid pressure gradient (dyn_core.F90 one_grad_p:1909).
-
-    pk, gz: [6, K+1, Y, X] padded cell-point interface fields; u_acc/v_acc are
-    the d_sw outputs in circulation form (u*dx + ...). Returns final D winds
-    (interior)."""
+def _pg_terms(pk, gz, g, npx, ptk):
+    """Shared B-grid setup of the D-grid pressure-gradient family:
+    corner-interpolated (pk, gz) and the cross-difference hydrostatic
+    gradient increments du/dv (the common kernel of one_grad_p:1909,
+    grad1_p_update:2033, nh_p_grad:1697, split_p_grad:1795)."""
     f = fi
     n = g.n
     ctr = slice(H, H + n)
@@ -152,23 +156,71 @@ def one_grad_p(u_acc, v_acc, pk, gz, g, dt, npx, ptk):
 
     cl_ = slice(f(1), f(npx - 1) + 1)
     cr_ = slice(f(2), f(npx) + 1)
-    gz1 = gzB[:, :-1]
-    gz2 = gzB[:, 1:]
-    pk1 = pkB[:, :-1]
-    pk2 = pkB[:, 1:]
-    u_new = g.rdx[..., wsl, ctr] * (u_acc + dt / (
-        wk[..., wsl, cl_] + wk[..., wsl, cr_]) * (
-        (gz2[..., wsl, cl_] - gz1[..., wsl, cr_])
-        * (pk2[..., wsl, cr_] - pk1[..., wsl, cl_])
-        + (gz1[..., wsl, cl_] - gz2[..., wsl, cr_])
-        * (pk2[..., wsl, cl_] - pk1[..., wsl, cr_])))
-    v_new = g.rdy[..., ctr, wsl] * (v_acc + dt / (
-        wk[..., cl_, wsl] + wk[..., cr_, wsl]) * (
-        (gz2[..., cl_, wsl] - gz1[..., cr_, wsl])
-        * (pk2[..., cr_, wsl] - pk1[..., cl_, wsl])
-        + (gz1[..., cl_, wsl] - gz2[..., cr_, wsl])
-        * (pk2[..., cl_, wsl] - pk1[..., cr_, wsl])))
+    gz1, gz2 = gzB[:, :-1], gzB[:, 1:]
+    pk1, pk2 = pkB[:, :-1], pkB[:, 1:]
+    du = ((gz2[..., wsl, cl_] - gz1[..., wsl, cr_])
+          * (pk2[..., wsl, cr_] - pk1[..., wsl, cl_])
+          + (gz1[..., wsl, cl_] - gz2[..., wsl, cr_])
+          * (pk2[..., wsl, cl_] - pk1[..., wsl, cr_])) / (
+              wk[..., wsl, cl_] + wk[..., wsl, cr_])
+    dv = ((gz2[..., cl_, wsl] - gz1[..., cr_, wsl])
+          * (pk2[..., cr_, wsl] - pk1[..., cl_, wsl])
+          + (gz1[..., cl_, wsl] - gz2[..., cr_, wsl])
+          * (pk2[..., cl_, wsl] - pk1[..., cr_, wsl])) / (
+              wk[..., cl_, wsl] + wk[..., cr_, wsl])
+    return du, dv, (ctr, wsl)
+
+
+def one_grad_p(u_acc, v_acc, pk, gz, g, dt, npx, ptk, divg2=None):
+    """Hydrostatic D-grid pressure gradient (dyn_core.F90 one_grad_p:1909).
+
+    pk, gz: [6, K+1, Y, X] padded cell-point interface fields; u_acc/v_acc
+    are the d_sw outputs in circulation form (u*dx + ...). divg2: optional
+    external-mode damping potential at interior B points [6, n+1, n+1]
+    (d_ext path, one_grad_p's wk1/wk2 diffs). Returns final D winds
+    (interior)."""
+    du, dv, (ctr, wsl) = _pg_terms(pk, gz, g, npx, ptk)
+    d2u = d2v = 0.0
+    if divg2 is not None:
+        d2u = divg2[..., :, :-1] - divg2[..., :, 1:]
+        d2v = divg2[..., :-1, :] - divg2[..., 1:, :]
+    u_new = g.rdx[..., wsl, ctr] * (u_acc + d2u + dt * du)
+    v_new = g.rdy[..., ctr, wsl] * (v_acc + d2v + dt * dv)
     return u_new, v_new
+
+
+def grad1_p_update(u_acc, v_acc, pk, gz, g, dt, npx, ptk, du_old, dv_old,
+                   beta, divg2=None):
+    """Off-centered hydrostatic pressure gradient (dyn_core.F90
+    grad1_p_update:2033, beta > 0): the wind gets beta of the PREVIOUS
+    acoustic iteration's gradient increment plus (1-beta) of the current
+    one; the increments persist across iterations (beta_d = 0 on the
+    first iteration, dyn_core.F90:398-406). Returns (u, v, du, dv)."""
+    du, dv, (ctr, wsl) = _pg_terms(pk, gz, g, npx, ptk)
+    du = dt * du
+    dv = dt * dv
+    d2u = d2v = 0.0
+    if divg2 is not None:
+        d2u = divg2[..., :, :-1] - divg2[..., :, 1:]
+        d2v = divg2[..., :-1, :] - divg2[..., 1:, :]
+    alpha = 1.0 - beta
+    u_new = g.rdx[..., wsl, ctr] * (u_acc + beta * du_old + d2u + alpha * du)
+    v_new = g.rdy[..., ctr, wsl] * (v_acc + beta * dv_old + d2v + alpha * dv)
+    return u_new, v_new, du, dv
+
+
+def external_mode_divg2(delp_p, divg_p, g, d_ext, npx):
+    """External (barotropic) mode damping potential (dyn_core.F90:828-846):
+    divg2 = d_ext * da_min_c * column mass-weighted mean of the B-grid
+    divergence. delp_p padded cells [6,K,Y,X]; divg_p padded corner
+    divergence [6,K,NW,NW]. Returns [6, n+1, n+1] interior corners."""
+    from ..ops.a2b_edge import a2b_ord2
+    f = fi
+    wsl = slice(f(1), f(npx) + 1)
+    delp_b = a2b_ord2(delp_p, g)[..., wsl, wsl]     # interior corners
+    dv = divg_p[..., wsl, wsl]
+    wsum = jnp.sum(delp_b, axis=1)
+    return (d_ext * g.da_min_c) * jnp.sum(delp_b * dv, axis=1) / wsum
 
 
 def _sponge_groups(cfg):
@@ -382,7 +434,7 @@ def dyn_core_hydro(delp, pt, u, v, phis, g, cfg: DynConfig, akap, ptop,
         rfp = ray_fast_profile(ak, bk, abs(dt), cfg.tau, cfg.rf_cutoff, ptop)
 
     def body(carry, _):
-        delp, pt, u, v, mfx, mfy, cx, cy = carry
+        delp, pt, u, v, mfx, mfy, cx, cy, it, dup, dvp = carry
         # reconcile duplicated tile-edge walls every iteration: the one-sided
         # edge stencils are not exactly mirror-symmetric across tiles, and
         # unreconciled walls (~1e-6 rel after one iteration) break the
@@ -416,6 +468,11 @@ def dyn_core_hydro(delp, pt, u, v, phis, g, cfg: DynConfig, akap, ptop,
                                   "nord_mask", "damp_v", "damp_v2",
                                   "nord_v2")})
 
+        divg2 = None
+        if cfg.d_ext > 0.0 and divg_p is not None:
+            # external-mode damping potential (dyn_core.F90:828-846)
+            divg2 = external_mode_divg2(delp_p, divg_p, g, cfg.d_ext, npx)
+
         delp = ds.delp
         pt = ds.pt
         if dpmin is not None:
@@ -426,10 +483,17 @@ def dyn_core_hydro(delp, pt, u, v, phis, g, cfg: DynConfig, akap, ptop,
         delp_p2 = halo.pad_cell(delp)
         pt_p2 = halo.pad_cell(pt)
         _, _, pk, gz, _ = geopk(delp_p2, pt_p2, phis_p, akap, ptop)
-        u, v = one_grad_p(ds.u, ds.v, pk, gz, g, dt, npx, ptk)
+        if cfg.beta > 0.0:
+            beta_eff = jnp.where(it == 0, 0.0, cfg.beta)
+            u, v, dup, dvp = grad1_p_update(ds.u, ds.v, pk, gz, g, dt, npx,
+                                            ptk, dup, dvp, beta_eff,
+                                            divg2=divg2)
+        else:
+            u, v = one_grad_p(ds.u, ds.v, pk, gz, g, dt, npx, ptk,
+                              divg2=divg2)
         if rfp is not None:
             u, v, _ = ray_fast(u, v, None, *rfp)
-        return (delp, pt, u, v, mfx, mfy, cx, cy), None
+        return (delp, pt, u, v, mfx, mfy, cx, cy, it + 1, dup, dvp), None
 
     T = delp.shape[0]
     K = delp.shape[1]
@@ -438,7 +502,7 @@ def dyn_core_hydro(delp, pt, u, v, phis, g, cfg: DynConfig, akap, ptop,
     # shard_map "varying" type matches the scan body outputs (scan-vma rule)
     zsh = lambda *s: jnp.zeros((T, K) + s, delp.dtype) + 0.0 * delp[:, :, :1, :1]
     carry0 = (delp, pt, u, v, zsh(n, n + 1), zsh(n + 1, n),
-              zsh(NC, NW), zsh(NW, NC))
+              zsh(NC, NW), zsh(NW, NC), jnp.int32(0), u * 0.0, v * 0.0)
     if cfg.use_scan:
         # lax.scan keeps compile time O(1) in n_split (single-device path;
         # under a GSPMD mesh use_scan=False — see parallel/mesh.py note)
@@ -447,7 +511,7 @@ def dyn_core_hydro(delp, pt, u, v, phis, g, cfg: DynConfig, akap, ptop,
         carry = carry0
         for _ in range(n_split):
             carry, _ = body(carry, None)
-    delp, pt, u, v, mfx, mfy, cx, cy = carry
+    delp, pt, u, v, mfx, mfy, cx, cy = carry[:8]
     # prevent accumulation of rounding/one-sided-stencil differences at the
     # duplicated tile-edge walls (dyn_core.F90:1152-1170)
     u, v = halo.reconcile_dgrid(u, v)
@@ -481,11 +545,6 @@ def nh_p_grad(u_acc, v_acc, pp, pk3, gz, delp_p, g, dt, npx, ptk):
     cl_ = slice(f(1), f(npx - 1) + 1)
     cr_ = slice(f(2), f(npx) + 1)
 
-    def dual(acc, rdm, asel, bsel, A, B):
-        """acc + hydro(du1) + nonhydro parts on the requested stagger.
-        A = (row_slice, col wall slice); handled by closures below."""
-        raise NotImplementedError
-
     gz1, gz2 = gzB[:, :-1], gzB[:, 1:]
     pk1, pk2 = pkB[:, :-1], pkB[:, 1:]
     pp1, pp2 = ppB[:, :-1], ppB[:, 1:]
@@ -515,6 +574,61 @@ def nh_p_grad(u_acc, v_acc, pp, pk3, gz, delp_p, g, dt, npx, ptk):
         * (pp2[..., cl_, wsl] - pp1[..., cr_, wsl]))
     v_new = (v_acc + dv1 + dv2) * g.rdy[..., ctr, wsl]
     return u_new, v_new
+
+
+def split_p_grad(u_acc, v_acc, pp, pk3, gz, delp_p, g, dt, npx, ptk,
+                 du_old, dv_old, beta):
+    """Off-centered nonhydrostatic dual pressure gradient (dyn_core.F90
+    split_p_grad:1795, beta > 0): the HYDROSTATIC part is time-split
+    (beta of the previous iteration's increment + (1-beta) of the current),
+    the nonhydrostatic perturbation part is applied fully each iteration.
+    Returns (u, v, du, dv) with the new hydrostatic increments carried to
+    the next acoustic iteration (beta_d = 0 on the first,
+    dyn_core.F90:398-406)."""
+    f = fi
+    n = g.n
+    ctr = slice(H, H + n)
+    wsl = slice(f(1), f(npx) + 1)
+
+    ppB = a2b_ord4(pp, g)
+    ppB = ppB.at[:, 0].set(jnp.zeros_like(ppB[:, 0]))
+    pkB = a2b_ord4(pk3, g)
+    pkB = pkB.at[:, 0].set(jnp.full_like(pkB[:, 0], ptk))
+    gzB = a2b_ord4(gz, g)
+    dpB = a2b_ord4(delp_p, g)
+
+    wk = pkB[:, 1:] - pkB[:, :-1]
+    cl_ = slice(f(1), f(npx - 1) + 1)
+    cr_ = slice(f(2), f(npx) + 1)
+    gz1, gz2 = gzB[:, :-1], gzB[:, 1:]
+    pk1, pk2 = pkB[:, :-1], pkB[:, 1:]
+    pp1, pp2 = ppB[:, :-1], ppB[:, 1:]
+    alpha = 1.0 - beta
+
+    du1 = dt / (wk[..., wsl, cl_] + wk[..., wsl, cr_]) * (
+        (gz2[..., wsl, cl_] - gz1[..., wsl, cr_])
+        * (pk2[..., wsl, cr_] - pk1[..., wsl, cl_])
+        + (gz1[..., wsl, cl_] - gz2[..., wsl, cr_])
+        * (pk2[..., wsl, cl_] - pk1[..., wsl, cr_]))
+    du2 = dt / (dpB[..., wsl, cl_] + dpB[..., wsl, cr_]) * (
+        (gz2[..., wsl, cl_] - gz1[..., wsl, cr_])
+        * (pp2[..., wsl, cr_] - pp1[..., wsl, cl_])
+        + (gz1[..., wsl, cl_] - gz2[..., wsl, cr_])
+        * (pp2[..., wsl, cl_] - pp1[..., wsl, cr_]))
+    u_new = (u_acc + beta * du_old + alpha * du1 + du2) * g.rdx[..., wsl, ctr]
+
+    dv1 = dt / (wk[..., cl_, wsl] + wk[..., cr_, wsl]) * (
+        (gz2[..., cl_, wsl] - gz1[..., cr_, wsl])
+        * (pk2[..., cr_, wsl] - pk1[..., cl_, wsl])
+        + (gz1[..., cl_, wsl] - gz2[..., cr_, wsl])
+        * (pk2[..., cl_, wsl] - pk1[..., cr_, wsl]))
+    dv2 = dt / (dpB[..., cl_, wsl] + dpB[..., cr_, wsl]) * (
+        (gz2[..., cl_, wsl] - gz1[..., cr_, wsl])
+        * (pp2[..., cr_, wsl] - pp1[..., cl_, wsl])
+        + (gz1[..., cl_, wsl] - gz2[..., cr_, wsl])
+        * (pp2[..., cl_, wsl] - pp1[..., cr_, wsl]))
+    v_new = (v_acc + beta * dv_old + alpha * dv1 + dv2) * g.rdy[..., ctr, wsl]
+    return u_new, v_new, du1, dv1
 
 
 def dyn_core_nh(delp, pt, u, v, w, delz, phis, g, cfg: DynConfig, akap, ptop,
@@ -571,7 +685,8 @@ def dyn_core_nh(delp, pt, u, v, w, delz, phis, g, cfg: DynConfig, akap, ptop,
     akx = akap / (1.0 - akap)
 
     def body(carry, _):
-        delp, pt, u, v, w, zh, ws_c, mfx, mfy, cx, cy, qv_t = carry
+        (delp, pt, u, v, w, zh, ws_c, mfx, mfy, cx, cy, it,
+         dup, dvp, qv_t) = carry
         u, v = halo.reconcile_dgrid(u, v)
         delp_p = halo.pad_cell(delp)
         pt_p = halo.pad_cell(pt)
@@ -633,8 +748,14 @@ def dyn_core_nh(delp, pt, u, v, w, delz, phis, g, cfg: DynConfig, akap, ptop,
         w = rs.w[..., ctr, ctr]
         zh = rs.zh[..., ctr, ctr][:, :, :, :]
         gz_geo = rs.zh * con.GRAV
-        u, v = nh_p_grad(ds.u, ds.v, rs.ppe, rs.pk3, gz_geo,
-                         delp_p2, g, dt, npx, ptk)
+        if cfg.beta > 0.0:
+            beta_eff = jnp.where(it == 0, 0.0, cfg.beta)
+            u, v, dup, dvp = split_p_grad(ds.u, ds.v, rs.ppe, rs.pk3,
+                                          gz_geo, delp_p2, g, dt, npx,
+                                          ptk, dup, dvp, beta_eff)
+        else:
+            u, v = nh_p_grad(ds.u, ds.v, rs.ppe, rs.pk3, gz_geo,
+                             delp_p2, g, dt, npx, ptk)
         if rfp is not None:
             u, v, w = ray_fast(u, v, w, *rfp, hydrostatic=False)
         if fast_cfg is not None:
@@ -651,7 +772,8 @@ def dyn_core_nh(delp, pt, u, v, w, delz, phis, g, cfg: DynConfig, akap, ptop,
             pt = tv_new / pkz
             qv_t = tuple(qd[k] for k in qkeys)
         ws_c = ws_full[..., ctr, ctr]
-        return (delp, pt, u, v, w, zh, ws_c, mfx, mfy, cx, cy, qv_t), rs.pem
+        return (delp, pt, u, v, w, zh, ws_c, mfx, mfy, cx, cy, it + 1,
+                dup, dvp, qv_t), rs.pem
 
     T = delp.shape[0]
     K = delp.shape[1]
@@ -661,7 +783,8 @@ def dyn_core_nh(delp, pt, u, v, w, delz, phis, g, cfg: DynConfig, akap, ptop,
     zsh = lambda *s: jnp.zeros((T, K) + s, delp.dtype) + 0.0 * delp[:, :, :1, :1]
     qv0 = tuple(q[k] for k in qkeys)
     carry0 = (delp, pt, u, v, w, zh, jnp.zeros_like(delp[:, 0]),
-              zsh(n, n + 1), zsh(n + 1, n), zsh(NC, NW), zsh(NW, NC), qv0)
+              zsh(n, n + 1), zsh(n + 1, n), zsh(NC, NW), zsh(NW, NC),
+              jnp.int32(0), u * 0.0, v * 0.0, qv0)
     if cfg.use_scan:
         carry, pems = jax.lax.scan(body, carry0, None, length=n_split)
         pem_last = pems[-1]
@@ -669,7 +792,8 @@ def dyn_core_nh(delp, pt, u, v, w, delz, phis, g, cfg: DynConfig, akap, ptop,
         carry = carry0
         for _ in range(n_split):
             carry, pem_last = body(carry, None)
-    delp, pt, u, v, w, zh, ws, mfx, mfy, cx, cy, qv_t = carry
+    delp, pt, u, v, w, zh, ws, mfx, mfy, cx, cy = carry[:11]
+    qv_t = carry[-1]
     q_out = dict(q, **dict(zip(qkeys, qv_t))) if fast_cfg is not None else q
     u, v = halo.reconcile_dgrid(u, v)
     delz = zh[:, 1:] - zh[:, :-1]

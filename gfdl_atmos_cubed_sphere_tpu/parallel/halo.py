@@ -26,7 +26,23 @@ from ..grid.topology import CubeTopology
 
 
 class HaloExchanger:
-    """Precomputed halo gather maps for one (n, h) configuration."""
+    """Precomputed halo gather maps for one (n, h) configuration.
+
+    GSPMD caveat: the strip-only pads (slice + concatenate assembly, the
+    single-chip fast path) are mis-partitioned by the auto-sharding
+    partitioner on a >1-device mesh (wrong values — same XLA issue class
+    as the use_scan note in model/dyn_core.py). Under plain-jit GSPMD
+    execution call `set_gspmd_safe(True)` (or use the shard_map backend,
+    parallel/shard_halo.py, which bypasses GSPMD entirely): pads then use
+    the single full gather, which partitions correctly.
+    """
+
+    #: class-wide switch: True disables strip-assembled pads
+    GSPMD_SAFE = False
+
+    @classmethod
+    def set_gspmd_safe(cls, flag=True):
+        cls.GSPMD_SAFE = bool(flag)
 
     def __init__(self, topo: CubeTopology, h: int):
         self.topo = topo
@@ -129,14 +145,14 @@ class HaloExchanger:
 
     def pad_cell(self, q):
         """[6, ..., n, n] -> [6, ..., n+2h, n+2h] (corner blocks garbage)."""
-        if self._cell_strips is not None:
+        if self._cell_strips is not None and not self.GSPMD_SAFE:
             return self._gather_strips(q, self._cell_strips,
                                        self.n * self.n, q)
         return self._gather(q, self._cell_flat, self.n * self.n)
 
     def pad_corner(self, q):
         m = self.n + 1
-        if self._corner_strips is not None:
+        if self._corner_strips is not None and not self.GSPMD_SAFE:
             return self._gather_strips(q, self._corner_strips, m * m, q)
         return self._gather(q, self._corner_flat, m * m)
 
@@ -183,7 +199,7 @@ class HaloExchanger:
         if gname is not None:
             su = self._vec_strips.get((gname, "u"))
             sv = self._vec_strips.get((gname, "v"))
-            if su is not None and sv is not None:
+            if su is not None and sv is not None and not self.GSPMD_SAFE:
                 up = self._gather_strips(u, su, ly, u, src2=v, L2=ly)
                 vp = self._gather_strips(u, sv, ly, v, src2=v, L2=ly)
                 return up, vp
@@ -250,7 +266,7 @@ class HaloExchanger:
         ly = (n + 1) * n
         su = self._vec_strips.get(("C", "u"))
         sv = self._vec_strips.get(("C", "v"))
-        if su is not None and sv is not None:
+        if su is not None and sv is not None and not self.GSPMD_SAFE:
             uc_p = self._gather_strips(vc, su, ly, uc, src2=uc, L2=ly)
             vc_p = self._gather_strips(vc, sv, ly, vc, src2=uc, L2=ly)
             return uc_p, vc_p

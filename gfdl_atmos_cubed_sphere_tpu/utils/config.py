@@ -22,7 +22,6 @@ _ALIASES = {
     "ntiles": None,             # always 6 (cubed sphere)
     "npy": None,                # npy == npx on the cube
     "grid_type": None,          # gnomonic only (so far)
-    "beta": None,               # one_grad_p (beta=0) path implemented
     "rf_fast": None,
 }
 

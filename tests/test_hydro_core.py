@@ -97,3 +97,89 @@ def test_var_hi2_levels():
         assert abs(ak[-1]) < 1e-9
         # surface-adjacent layers thinner than ~60 hPa, top layers thin
         assert np.diff(pe)[-1] < 60.0e2
+
+
+def test_beta_offcentered_pgrad_and_d_ext():
+    """beta > 0 (grad1_p_update, dyn_core.F90:2033) and d_ext external-mode
+    damping (:828-846, one_grad_p wk1/wk2): both run stably on the JW wave
+    and stay close to the beta=0 solution (same PDE, different acoustic
+    time-centering)."""
+    import numpy as np
+    from gfdl_atmos_cubed_sphere_tpu.model.grid_ops import build_grid_ops
+    from gfdl_atmos_cubed_sphere_tpu.model.sw_dynamics import prepare_phis
+    from gfdl_atmos_cubed_sphere_tpu.model.dyn_core import DynConfig
+    from gfdl_atmos_cubed_sphere_tpu.model.fv_dynamics import fv_dynamics_hydro
+    from gfdl_atmos_cubed_sphere_tpu.grid.fv_eta import set_eta
+    from gfdl_atmos_cubed_sphere_tpu.init.baroclinic import jw_baroclinic
+
+    NPX, NPZ = 25, 10
+    g = build_grid_ops(NPX, dtype=jnp.float64)
+    ks, ptop, ak, bk = set_eta(NPZ)
+    ic = jw_baroclinic(g.geom, NPZ, ak, bk, ptop, perturb=True)
+    prepare_phis(g, ic["phis"])
+    akj, bkj = jnp.asarray(ak), jnp.asarray(bk)
+    st0 = tuple(jnp.asarray(ic[k]) for k in ("delp", "pt", "u", "v"))
+
+    outs = {}
+    for name, kw in (("base", {}), ("beta", dict(beta=0.45)),
+                     ("dext", dict(d_ext=0.02))):
+        cfg = DynConfig(npx=NPX, npz=NPZ, dt=600.0, n_split=4, **kw)
+
+        def step(delp, pt, u, v, cfg=cfg):
+            r = fv_dynamics_hydro(delp, pt, u, v, None, g, cfg, akj, bkj,
+                                  ptop)
+            return r.delp, r.pt, r.u, r.v
+
+        s = st0
+        js = jax.jit(step)
+        for _ in range(4):
+            s = js(*s)
+        for a in s:
+            assert not bool(jnp.isnan(a).any()), name
+        outs[name] = s
+
+    for name in ("beta", "dext"):
+        du = float(jnp.abs(outs[name][2] - outs["base"][2]).max())
+        dpt = float(jnp.abs(outs[name][1] - outs["base"][1]).max())
+        assert du < 1.0, (name, du)
+        assert dpt < 1.0, (name, dpt)
+
+
+def test_split_p_grad_nh_runs():
+    """NH beta > 0 path (split_p_grad, dyn_core.F90:1795) stays stable and
+    near the beta=0 (nh_p_grad) solution."""
+    import numpy as np
+    from gfdl_atmos_cubed_sphere_tpu.model.grid_ops import build_grid_ops
+    from gfdl_atmos_cubed_sphere_tpu.model.sw_dynamics import prepare_phis
+    from gfdl_atmos_cubed_sphere_tpu.model.dyn_core import DynConfig
+    from gfdl_atmos_cubed_sphere_tpu.model.fv_dynamics import fv_dynamics_nh
+    from gfdl_atmos_cubed_sphere_tpu.grid.fv_eta import set_eta
+    from gfdl_atmos_cubed_sphere_tpu.init.baroclinic import jw_baroclinic
+
+    NPX, NPZ = 25, 10
+    g = build_grid_ops(NPX, dtype=jnp.float64)
+    ks, ptop, ak, bk = set_eta(NPZ)
+    ic = jw_baroclinic(g.geom, NPZ, ak, bk, ptop, perturb=True)
+    prepare_phis(g, ic["phis"])
+    dp0 = np.diff(ak) + np.diff(bk) * 1e5
+    akj, bkj = jnp.asarray(ak), jnp.asarray(bk)
+    st0 = tuple(jnp.asarray(ic[k])
+                for k in ("delp", "pt", "u", "v", "w", "delz"))
+    outs = {}
+    for beta in (0.0, 0.4):
+        cfg = DynConfig(npx=NPX, npz=NPZ, dt=600.0, n_split=4,
+                        hydrostatic=False, beta=beta)
+
+        def step(*s, cfg=cfg):
+            r = fv_dynamics_nh(*s, None, g, cfg, akj, bkj, ptop, dp0)
+            return r.delp, r.pt, r.u, r.v, r.w, r.delz
+
+        s = st0
+        js = jax.jit(step)
+        for _ in range(3):
+            s = js(*s)
+        for a in s:
+            assert not bool(jnp.isnan(a).any()), beta
+        outs[beta] = s
+    du = float(jnp.abs(outs[0.4][2] - outs[0.0][2]).max())
+    assert du < 1.0, du

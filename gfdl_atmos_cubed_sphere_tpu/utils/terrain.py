@@ -67,6 +67,77 @@ def fv3_zs_filter(phis, g, n_del2_weak=12, n_del2_strong=0, n_del4=2):
     return q
 
 
+def surfdrv(geom, dem_lon, dem_lat, dem_z, g=None, land_mask=None,
+            filter_terrain=True, zero_ocean=False, **filter_kw):
+    """Terrain driver (fv_surf_map.F90 surfdrv:92): grid a high-resolution
+    source DEM onto the cube, compute the subgrid-orography statistics the
+    physics needs, and optionally smooth with the operational zs filter.
+
+    dem_lon [NX], dem_lat [NY] (radians), dem_z [NY, NX] (m, height above
+    sea level), land_mask optional [NY, NX] in [0,1]. Source points are
+    binned to their nearest cube cell center (the reference bins source
+    cells into the enclosing target cell, fv_surf_map.F90 map_to_cube
+    logic; nearest-center binning is its first-order equivalent and keeps
+    the mapping grid-agnostic — no gnomonic inverse needed).
+
+    Returns dict:
+      phis  [6, 1, n, n]  filtered surface geopotential (m^2/s^2)
+      zs    [6, n, n]     unfiltered mean terrain height (m)
+      sgh   [6, n, n]     subgrid std-dev of source heights (m) — the
+                          `sgh` gravity-wave-drag field
+      oro   [6, n, n]     land fraction (needs land_mask; else 1 where
+                          zs > 0)
+    """
+    from scipy.spatial import cKDTree
+
+    lon_c = geom.interior("aglon")                   # [6, n, n]
+    lat_c = geom.interior("aglat")
+    nt, n, _ = lon_c.shape
+    centers = np.stack(lonlat_unit(lon_c.ravel(), lat_c.ravel()), axis=-1)
+    tree = cKDTree(centers)
+
+    glon, glat = np.meshgrid(np.asarray(dem_lon), np.asarray(dem_lat))
+    pts = np.stack(lonlat_unit(glon.ravel(), glat.ravel()), axis=-1)
+    _, idx = tree.query(pts, k=1)
+
+    z = np.asarray(dem_z, dtype=np.float64).ravel()
+    # source-latitude area weights (lat-lon DEM cells shrink as cos(lat))
+    wt = np.cos(glat).ravel()
+    wt = np.maximum(wt, 1e-6)
+    ncell = nt * n * n
+    wsum = np.bincount(idx, weights=wt, minlength=ncell)
+    zsum = np.bincount(idx, weights=wt * z, minlength=ncell)
+    z2sum = np.bincount(idx, weights=wt * z * z, minlength=ncell)
+    hit = wsum > 0
+    zs = np.zeros(ncell)
+    zs[hit] = zsum[hit] / wsum[hit]
+    var = np.zeros(ncell)
+    var[hit] = np.maximum(z2sum[hit] / wsum[hit] - zs[hit] ** 2, 0.0)
+    sgh = np.sqrt(var)
+    if land_mask is not None:
+        lsum = np.bincount(idx, weights=wt * np.asarray(land_mask).ravel(),
+                           minlength=ncell)
+        oro = np.where(hit, lsum / np.maximum(wsum, 1e-30), 0.0)
+    else:
+        oro = (zs > 0.0).astype(np.float64)
+    if zero_ocean:
+        zs = zs * (oro > 0.5)                       # zs_filter zero_ocean nml
+
+    zs = zs.reshape(nt, n, n)
+    sgh = sgh.reshape(nt, n, n)
+    oro = oro.reshape(nt, n, n)
+    phis = jnp.asarray(zs * con.GRAV)[:, None]
+    if filter_terrain and g is not None:
+        phis = fv3_zs_filter(phis, g, **filter_kw)
+    return {"phis": phis, "zs": zs, "sgh": sgh, "oro": oro}
+
+
+def lonlat_unit(lon, lat):
+    """Unit sphere xyz from lon/lat arrays."""
+    cl = np.cos(lat)
+    return cl * np.cos(lon), cl * np.sin(lon), np.sin(lat)
+
+
 def synthetic_terrain(geom, h0=2000.0, lat0=0.7, lon0=1.0, r0=0.4,
                       kind="gaussian"):
     """Idealized terrain (surfdrv stand-in for tests): a Gaussian hill or

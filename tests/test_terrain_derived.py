@@ -168,3 +168,37 @@ def test_layer_heights_hydrostatic_matches_nh():
     zm_n, _ = layer_heights(delz=-dz_h)
     np.testing.assert_allclose(np.asarray(zm_h), np.asarray(zm_n),
                                rtol=1e-12)
+
+
+def test_surfdrv_dem_binning(setup):
+    """surfdrv (fv_surf_map.F90:92): a smooth analytic DEM binned to the
+    cube reproduces the analytic field at cell centers; sgh captures
+    added subgrid noise; oro follows the land mask."""
+    g, ic, ptop, ak, bk = setup
+    import gfdl_atmos_cubed_sphere_tpu.constants as con
+    nlat, nlon = 181, 360
+    lat = np.deg2rad(np.linspace(-90.0, 90.0, nlat))
+    lon = np.deg2rad(np.arange(nlon) * 1.0)
+    LON, LAT = np.meshgrid(lon, lat)
+    zfun = lambda lo, la: 1000.0 * (1.0 + np.sin(la) * np.cos(2 * lo))
+    rng = np.random.default_rng(0)
+    noise = 50.0 * rng.standard_normal(LON.shape)
+    dem = zfun(LON, LAT) + noise
+    land = (dem > 1000.0).astype(float)
+
+    out = terrain.surfdrv(g.geom, lon, lat, dem, g=g, land_mask=land,
+                          filter_terrain=False)
+    lon_c = g.geom.interior("aglon")
+    lat_c = g.geom.interior("aglat")
+    want = zfun(lon_c, lat_c)
+    err = np.abs(out["zs"] - want)
+    # C24 cells are ~3.7 deg; DEM varies over ~90 deg scales -> binned
+    # means track the analytic surface to a few percent of its range
+    assert np.median(err) < 60.0
+    assert out["sgh"].min() >= 0.0
+    assert 20.0 < np.median(out["sgh"][out["sgh"] > 0]) < 120.0
+    assert out["oro"].min() >= 0.0 and out["oro"].max() <= 1.0
+    # filtered phis runs and stays bounded
+    out2 = terrain.surfdrv(g.geom, lon, lat, dem, g=g,
+                           filter_terrain=True, n_del2_weak=4, n_del4=1)
+    assert float(np.abs(np.asarray(out2["phis"])).max()) < 3000.0 * con.GRAV

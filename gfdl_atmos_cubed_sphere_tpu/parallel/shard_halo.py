@@ -296,6 +296,8 @@ def tile_mesh(axis_name="tile"):
     from jax.sharding import Mesh
     devs = jax.devices()
     if len(devs) < 6:
+        devs = jax.devices("cpu")       # virtual-CPU fallback (dry runs)
+    if len(devs) < 6:
         raise ValueError(f"need >= 6 devices for tile mesh, have {len(devs)}")
     return Mesh(np.asarray(devs[:6]), (axis_name,))
 
@@ -307,6 +309,8 @@ def hybrid_mesh(ly=1, lx=1, axis_name="tile"):
     from jax.sharding import Mesh
     need = 6 * ly * lx
     devs = jax.devices()
+    if len(devs) < need:
+        devs = jax.devices("cpu")       # virtual-CPU fallback (dry runs)
     if len(devs) < need:
         raise ValueError(f"need >= {need} devices for (6,{ly},{lx}) mesh, "
                          f"have {len(devs)}")

@@ -80,6 +80,9 @@ class MPConfig:
     c_pracw: float = 0.8       # rain accretion efficiency
     c_psaci: float = 0.05      # snow-ice accretion efficiency
     c_pgacw: float = 1.0
+    c_psacw: float = 1.0       # snow-cloud water accretion (gfdl_mp.F90)
+    c_pgaci: float = 0.05      # graupel-ice accretion efficiency
+    c_pgacr: float = 1.0       # graupel-rain accretion (freezing)
     rh_inc: float = 0.25
     rh_inr: float = 0.25       # rain evap rh threshold increment
     t_min: float = 178.0
@@ -321,6 +324,60 @@ def ice_cloud(t, qv, ql, qr, qi, qs, qg, p_lay, den, denfac, dts,
     ql = ql - gacw
     qg = qg + gacw
     t = t + gacw * icpk
+
+    # psacw: accretion of cloud water by snow (psacw:3318, acr2d form);
+    # below freezing the rimed water freezes onto snow (latent heating),
+    # above freezing it sheds to rain
+    a, b = _TV["qs"]
+    qden = jnp.maximum(6.0 * qs * den, 1.0e-20)
+    sacw = cfg.c_psacw * ql * dts * a * jnp.exp(b * jnp.log(qden)) * denfac
+    sacw = jnp.where(qs > QCMIN, jnp.minimum(sacw, ql), 0.0)
+    ql = ql - sacw
+    frz = t < TICE
+    qs = qs + jnp.where(frz, sacw, 0.0)
+    qr = qr + jnp.where(frz, 0.0, sacw)
+    t = t + jnp.where(frz, sacw * icpk, 0.0)
+
+    # pgaci: accretion of cloud ice by graupel (pgaci:3789)
+    a, b = _TV["qg"]
+    qden = jnp.maximum(6.0 * qg * den, 1.0e-20)
+    gaci = cfg.c_pgaci * qi * dts * a * jnp.exp(b * jnp.log(qden)) * denfac
+    gaci = jnp.where((qg > QCMIN) & (t < TICE), jnp.minimum(gaci, qi), 0.0)
+    qi = qi - gaci
+    qg = qg + gaci
+
+    # pgacr: accretion (freezing) of rain by graupel below TICE (pgacr:3693)
+    gacr = cfg.c_pgacr * qr * dts * a * jnp.exp(b * jnp.log(qden)) * denfac
+    gacr = jnp.where((qg > QCMIN) & (t < TICE), jnp.minimum(gacr, qr), 0.0)
+    gacr = jnp.minimum(gacr, jnp.maximum(0.0, (TICE - t) / icpk))
+    qr = qr - gacr
+    qg = qg + gacr
+    t = t + gacr * icpk
+
+    # pgfr: freezing of rain to graupel below t_wfr (pgfr:3651, tau form)
+    gfr = jnp.where((qr > QCMIN) & (t < cfg.t_wfr),
+                    jnp.minimum(qr * (1.0 - jnp.exp(-dts / cfg.tau_g2r)),
+                                jnp.maximum(0.0, (cfg.t_wfr - t) / icpk)),
+                    0.0)
+    qr = qr - gfr
+    qg = qg + gfr
+    t = t + gfr * icpk
+
+    # psdep / pssub: snow deposition/sublimation toward ice saturation
+    # (psdep_pssub:3406 tau form)
+    qsi, disdt = iqs(t, p_lay)
+    dqi = qv - qsi
+    cold = t < TICE
+    sdep = jnp.where(cold & (dqi > 0.0) & (qs > QCMIN),
+                     dqi / (1.0 + (lcpk + icpk) * disdt)
+                     * (1.0 - jnp.exp(-dts / cfg.tau_i2s)), 0.0)
+    ssub = jnp.where(cold & (dqi < 0.0) & (qs > QCMIN),
+                     jnp.minimum(qs, -dqi / (1.0 + (lcpk + icpk) * disdt))
+                     * (1.0 - jnp.exp(-dts / cfg.tau_i2s)), 0.0)
+    sink = sdep - ssub
+    qv = qv - sink
+    qs = qs + sink
+    t = t + sink * (lcpk + icpk)
 
     # psmlt / pgmlt: tau-based melting above freezing (psmlt:3362, :3447)
     smlt = jnp.where((qs > QCMIN) & (t > TICE),

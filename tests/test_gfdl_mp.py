@@ -150,3 +150,34 @@ def test_fast_phys_hook_condenses_in_acoustic_loop():
         assert not bool(jnp.isnan(a).any())
     assert float(r.q["liq_wat"].max()) > 1e-4       # condensate formed
     assert float((q["sphum"][:, -3:] - r.q["sphum"][:, -3:]).mean()) > 1e-4
+
+
+def test_riming_and_freezing_processes():
+    """psacw/pgaci/pgacr/pgfr/psdep (gfdl_mp.F90:3318-3789): water closes,
+    riming below freezing warms, rain freezes toward graupel in deep
+    supercooling."""
+    cfg = mp.MPConfig()
+    sh = (1, 1, 2, 2)
+    p = jnp.full(sh, 5.0e4)
+    den = jnp.full(sh, 0.7)
+    denfac = jnp.sqrt(1.2 / den)
+    t = jnp.full(sh, 250.0)                 # deeply supercooled
+    qv = jnp.full(sh, 1.0e-4)
+    ql = jnp.full(sh, 5.0e-4)
+    qr = jnp.full(sh, 1.0e-3)
+    qi = jnp.full(sh, 2.0e-4)
+    qs = jnp.full(sh, 5.0e-4)
+    qg = jnp.full(sh, 5.0e-4)
+    tot0 = qv + ql + qr + qi + qs + qg
+    out = mp.ice_cloud(t, qv, ql, qr, qi, qs, qg, p, den, denfac, 60.0, cfg)
+    t2, qv2, ql2, qr2, qi2, qs2, qg2 = out
+    tot = qv2 + ql2 + qr2 + qi2 + qs2 + qg2
+    np.testing.assert_allclose(np.asarray(tot), np.asarray(tot0), rtol=1e-6)
+    # supercooled rain freezes toward graupel; graupel grows
+    assert float((qg2 - qg).min()) > 0.0
+    assert float((qr2 - qr).max()) < 0.0
+    # riming/freezing releases latent heat
+    assert float((t2 - t).min()) > 0.0
+    # nothing went negative
+    for a in out[1:]:
+        assert float(a.min()) >= 0.0

@@ -163,3 +163,25 @@ def test_native_fvio_restart_roundtrip(tmp_path):
     open(path, "wb").write(bytes(raw))
     with pytest.raises(ValueError):
         rst.load_state(path)
+
+
+def test_gfdl_driver_input_blocks():
+    """AM4-style facade (driver/GFDL/atmosphere.F90:1473/:1532)."""
+    import numpy as np
+    from gfdl_atmos_cubed_sphere_tpu.driver.gfdl import GFDLAtmosphere
+
+    atm = GFDLAtmosphere(13, 10, 600.0, case="jw", dtype="f64")
+    atm.atmosphere_dynamics()
+    b = atm.atmos_physics_driver_inputs()
+    K = 10
+    assert b["p_half"].shape[1] == K + 1
+    assert b["p_full"].shape[1] == K
+    # monotone interface pressures, heights decrease upward index
+    ph = np.asarray(b["p_half"])
+    assert np.all(np.diff(ph, axis=1) > 0)
+    zh = np.asarray(b["z_half"])
+    assert np.all(zh[:, 0] >= zh[:, -1])
+    assert float(zh[:, -1].max()) == 0.0     # surface-relative heights
+    r = atm.atmos_radiation_driver_inputs()
+    assert set(r) == {"p_half", "p_full", "t", "qgrs", "z_half",
+                      "z_full", "phis"}

@@ -260,3 +260,65 @@ def fv_diag(dm, state, q, g, ak, bk, ptop, plevs=(850.0e2, 500.0e2, 200.0e2),
             dm.register(full)
         dm.send(full, arr)
     return out
+
+
+def consv_checker(before, after, g, ptop, te_err=1.0e-5, tw_err=1.0e-6,
+                  hydrostatic=True, out=print, strict=False):
+    """Energy/water conservation audit (the reference's consv_checker,
+    fv_control.F90:1145 te_err/tw_err namelist; checks printed from
+    fv_dynamics).
+
+    before/after: state dicts with delp, pt (temperature), u, v [, w,
+    delz, phis] and optional q dict under "q". Returns
+    (te_rel_err, tw_rel_err); warns via `out` beyond thresholds, raises
+    if strict."""
+    import jax.numpy as jnp
+    from ..model.thermodynamics import (total_energy_2d_hydro,
+                                        total_energy_2d_nh, g_mean)
+    import gfdl_atmos_cubed_sphere_tpu.constants as con
+
+    def te(st):
+        delp, pt = st["delp"], st["pt"]
+        q = st.get("q") or {}
+        sph = q.get("sphum")
+        tv = pt * (1.0 + con.ZVIR * sph) if sph is not None else pt
+        phis = st.get("phis")
+        if phis is None:
+            phis = jnp.zeros_like(delp[:, 0])
+        elif phis.ndim == 4:
+            phis = phis[:, 0]
+        if hydrostatic or st.get("w") is None:
+            pe = ptop + jnp.cumsum(delp, axis=1)
+            pe = jnp.concatenate([jnp.full_like(pe[:, :1], ptop), pe],
+                                 axis=1)
+            te2 = total_energy_2d_hydro(st["u"], st["v"], tv, delp,
+                                        jnp.log(pe), pe, phis, g)
+        else:
+            te2 = total_energy_2d_nh(st["u"], st["v"], st["w"], tv,
+                                     sph if sph is not None
+                                     else jnp.zeros_like(delp),
+                                     delp, st["delz"], phis, g)
+        return g_mean(te2, g)
+
+    def tw(st):
+        q = st.get("q") or {}
+        wat = sum((q[k] for k in ("sphum", "liq_wat", "ice_wat", "rainwat",
+                                  "snowwat", "graupel") if k in q),
+                  jnp.zeros_like(st["delp"]))
+        return g_mean(jnp.sum(st["delp"] * wat, axis=1), g)
+
+    te0, te1 = float(te(before)), float(te(after))
+    te_rel = abs(te1 - te0) / max(abs(te0), 1e-30)
+    tw0, tw1 = float(tw(before)), float(tw(after))
+    tw_rel = abs(tw1 - tw0) / max(abs(tw0), 1e-30) if tw0 != 0.0 else 0.0
+    if te_rel > te_err:
+        msg = f"consv_checker: TE error {te_rel:.3e} > te_err {te_err:.1e}"
+        if strict:
+            raise AssertionError(msg)
+        out(msg)
+    if tw_rel > tw_err:
+        msg = f"consv_checker: TW error {tw_rel:.3e} > tw_err {tw_err:.1e}"
+        if strict:
+            raise AssertionError(msg)
+        out(msg)
+    return te_rel, tw_rel

@@ -108,3 +108,33 @@ def test_sim_solver_offcentered():
     p2, w2_, dz2_ = sim1_solver(5.0, **args, alpha=0.75)
     assert np.isfinite(np.asarray(w2_)).all()
     assert float(jnp.abs(w2_ - w1_).max()) < 0.5 * float(jnp.abs(w1_).max())
+
+
+def test_consv_checker():
+    """consv_checker (fv_control.F90:1145 te_err/tw_err audit): zero for
+    an unchanged state; flags a deliberate energy leak."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+    from gfdl_atmos_cubed_sphere_tpu.model.grid_ops import build_grid_ops
+    from gfdl_atmos_cubed_sphere_tpu.grid.fv_eta import set_eta
+    from gfdl_atmos_cubed_sphere_tpu.init.baroclinic import jw_baroclinic
+    from gfdl_atmos_cubed_sphere_tpu.io.diagnostics import consv_checker
+
+    g = build_grid_ops(13, dtype=jnp.float64)
+    ks, ptop, ak, bk = set_eta(10)
+    ic = jw_baroclinic(g.geom, 10, ak, bk, ptop, perturb=True, moist=True)
+    st = {k: jnp.asarray(ic[k]) for k in ("delp", "pt", "u", "v")}
+    st["phis"] = jnp.asarray(ic["phis"])
+    st["q"] = {"sphum": jnp.asarray(ic["sphum"])}
+    te, tw = consv_checker(st, st, g, ptop)
+    assert te == 0.0 and tw == 0.0
+    warm = dict(st, pt=st["pt"] * 1.001)
+    msgs = []
+    te, tw = consv_checker(st, warm, g, ptop, out=msgs.append)
+    assert te > 1e-5 and msgs
+    with pytest.raises(AssertionError):
+        consv_checker(st, warm, g, ptop, strict=True)
+    dryer = dict(st, q={"sphum": st["q"]["sphum"] * 0.999})
+    te, tw = consv_checker(st, dryer, g, ptop, out=msgs.append)
+    assert tw > 1e-6

@@ -78,6 +78,9 @@ class DynConfig:
     # (fv_arrays.F90:364 do_fast_phys; dyn_core.F90:1101)
     do_fast_phys: bool = False
     consv_te: float = 0.0
+    # global angular-momentum fixer (fv_arrays.F90 consv_am;
+    # fv_dynamics.F90:747-800 -> thermodynamics.am_fixer)
+    consv_am: bool = False
     fill: bool = False
     fill_dp: bool = False     # mix_dp delp-floor fixer (dyn_core.F90:820)
     rf_fast: bool = False     # inline Rayleigh friction (dyn_core.F90:1058)
@@ -182,8 +185,9 @@ def one_grad_p(u_acc, v_acc, pk, gz, g, dt, npx, ptk, divg2=None):
     du, dv, (ctr, wsl) = _pg_terms(pk, gz, g, npx, ptk)
     d2u = d2v = 0.0
     if divg2 is not None:
-        d2u = divg2[..., :, :-1] - divg2[..., :, 1:]
-        d2v = divg2[..., :-1, :] - divg2[..., 1:, :]
+        # column-mean potential -> same del-phi increment on every level
+        d2u = (divg2[..., :, :-1] - divg2[..., :, 1:])[:, None]
+        d2v = (divg2[..., :-1, :] - divg2[..., 1:, :])[:, None]
     u_new = g.rdx[..., wsl, ctr] * (u_acc + d2u + dt * du)
     v_new = g.rdy[..., ctr, wsl] * (v_acc + d2v + dt * dv)
     return u_new, v_new
@@ -201,8 +205,9 @@ def grad1_p_update(u_acc, v_acc, pk, gz, g, dt, npx, ptk, du_old, dv_old,
     dv = dt * dv
     d2u = d2v = 0.0
     if divg2 is not None:
-        d2u = divg2[..., :, :-1] - divg2[..., :, 1:]
-        d2v = divg2[..., :-1, :] - divg2[..., 1:, :]
+        # column-mean potential -> same del-phi increment on every level
+        d2u = (divg2[..., :, :-1] - divg2[..., :, 1:])[:, None]
+        d2v = (divg2[..., :-1, :] - divg2[..., 1:, :])[:, None]
     alpha = 1.0 - beta
     u_new = g.rdx[..., wsl, ctr] * (u_acc + beta * du_old + d2u + alpha * du)
     v_new = g.rdy[..., ctr, wsl] * (v_acc + beta * dv_old + d2v + alpha * dv)

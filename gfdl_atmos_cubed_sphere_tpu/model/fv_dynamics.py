@@ -131,8 +131,20 @@ def fv_dynamics_hydro(delp, pt, u, v, q, g, cfg: DynConfig, ak, bk, ptop,
     if cfg.consv_te > 0.0:
         te0 = thermo.total_energy_2d_hydro(u, v, tv, delp, peln, pe,
                                            g.phis_p[..., 3:-3, 3:-3], g)
-    if cfg.tau > 0.0 and not cfg.rf_fast and u0 is not None:
-        u, v, _ = rayleigh_super(u, v, None, u0, v0, ak, bk, cfg, ptop)
+    aam0 = None
+    if cfg.consv_am:
+        aam0, _, _ = thermo.compute_aam(u, v, delp, g, ptop)
+    if cfg.tau > 0.0 and not cfg.rf_fast:
+        if u0 is not None:
+            u, v, _ = rayleigh_super(u, v, None, u0, v0, ak, bk, cfg, ptop)
+        elif not cfg.is_ideal_case:
+            # real-case amplitude-dependent drag (fv_dynamics.F90:369-370)
+            import numpy as np
+            akn, bkn = np.asarray(ak), np.asarray(bk)
+            pm = ((akn[1:] + akn[:-1]) + (bkn[1:] + bkn[:-1]) * 1.0e5) * 0.5
+            u, v, _, pt, _ = rayleigh_friction(u, v, None, pt, None, pm,
+                                               cfg, ptop, g)
+            tv = pt * (1.0 + zvir * q["sphum"]) if zvir else pt
     ptv = tv / pkz
 
     conv = jnp.zeros_like(delp)
@@ -182,6 +194,10 @@ def fv_dynamics_hydro(delp, pt, u, v, q, g, cfg: DynConfig, ak, bk, ptop,
             pt, q, mp_diag = gfdl_mp_driver(pt, delp, None, q, cfg.dt, ptop,
                                             cfg=mp_cfg, hydrostatic=True)
 
+    if cfg.consv_am:
+        u, v, _ = thermo.am_fixer(u, v, delp, aam0, g, ptop,
+                                  reproduce=cfg.reproduce_sum)
+
     return SimpleNamespace(delp=delp, pt=pt, u=u, v=v, q=q, ps=rm.ps,
                            mp_diag=mp_diag, omga=_omega(conv, cfg.dt))
 
@@ -222,6 +238,57 @@ def rayleigh_super(u, v, w, u0, v0, ak, bk, cfg, ptop):
     if w is not None:
         w = w / (1.0 + rfk)
     return u, v, w
+
+
+def rayleigh_friction(u, v, w, pt, delz, pm, cfg, ptop, g,
+                      hydrostatic=True, conserve=True):
+    """Real-case Rayleigh friction (fv_dynamics.F90 Rayleigh_Friction:1126):
+    amplitude-dependent drag above rf_cutoff. The damping rate is
+    rf(k)*sqrt(|V|^2/u000) — strong winds are damped harder — applied to
+    the D winds through staggered averages of the A-grid speed field, with
+    the lost kinetic energy returned as heat when conserve (exact
+    cp-or-cv bookkeeping incl. the delz rescale in the NH case).
+
+    pm: [K] layer reference pressures. pt is TEMPERATURE here (called
+    before the theta conversion, fv_dynamics.F90:369-370). Returns
+    (u, v, w, pt, delz)."""
+    import numpy as np
+    from .fv_update_phys import cubed_to_latlon
+    K = u.shape[1]
+    sday, u000 = 86400.0, 4900.0
+    pmn = np.asarray(pm, np.float64)
+    rf = np.where(
+        pmn < cfg.rf_cutoff,
+        cfg.dt / (cfg.tau * sday)
+        * np.sin(0.5 * np.pi * np.log(cfg.rf_cutoff / np.maximum(pmn, ptop))
+                 / np.log(cfg.rf_cutoff / ptop)) ** 2,
+        0.0)
+    rfk = jnp.asarray(rf, u.dtype).reshape(1, K, 1, 1)
+
+    ua, va = cubed_to_latlon(u, v, g)
+    u2f = ua * ua + va * va
+    if not hydrostatic and w is not None:
+        u2f = u2f + w * w
+    if conserve:
+        fac = 1.0 - 1.0 / (1.0 + rfk * jnp.sqrt(u2f / u000)) ** 2
+        if hydrostatic:
+            pmk = jnp.asarray(pm, u.dtype).reshape(1, K, 1, 1)
+            pt = pt + 0.5 * u2f / (con.CP_AIR - con.RDGAS * ptop / pmk) * fac
+        else:
+            rcv = 1.0 / (con.CP_AIR - con.RDGAS)
+            heat = 0.5 * u2f * rcv * fac
+            delz = delz / pt * (pt + heat)
+            pt = pt + heat
+    # damping coefficient field, halo-padded for the staggered averages
+    n = u.shape[-1]
+    u2f_d = g.halo.pad_cell(rfk * jnp.sqrt(u2f / u000))
+    cy = u2f_d[..., H - 1:H + n + 1, H:H + n]     # cells j-1..n for y-walls
+    u = u / (1.0 + 0.5 * (cy[..., :-1, :] + cy[..., 1:, :]))
+    cx = u2f_d[..., H:H + n, H - 1:H + n + 1]     # cells i-1..n for x-walls
+    v = v / (1.0 + 0.5 * (cx[..., :, :-1] + cx[..., :, 1:]))
+    if not hydrostatic and w is not None:
+        w = w / (1.0 + u2f_d[..., H:-H, H:-H])
+    return u, v, w, pt, delz
 
 
 def remap_nh(delp, ptv, u, v, w, delz, ws, q, pe_pad, peln_pad, ak, bk, g,
@@ -325,8 +392,19 @@ def fv_dynamics_nh(delp, pt, u, v, w, delz, q, g, cfg: DynConfig, ak, bk,
                                         q["sphum"] if zvir else None,
                                         delp, delz,
                                         g.phis_p[..., 3:-3, 3:-3], g)
-    if cfg.tau > 0.0 and not cfg.rf_fast and u0 is not None:
-        u, v, w = rayleigh_super(u, v, w, u0, v0, ak, bk, cfg, ptop)
+    aam0 = None
+    if cfg.consv_am:
+        aam0, _, _ = thermo.compute_aam(u, v, delp, g, ptop)
+    if cfg.tau > 0.0 and not cfg.rf_fast:
+        if u0 is not None:
+            u, v, w = rayleigh_super(u, v, w, u0, v0, ak, bk, cfg, ptop)
+        elif not cfg.is_ideal_case:
+            import numpy as np
+            akn, bkn = np.asarray(ak), np.asarray(bk)
+            pm = ((akn[1:] + akn[:-1]) + (bkn[1:] + bkn[:-1]) * 1.0e5) * 0.5
+            u, v, w, pt, delz = rayleigh_friction(
+                u, v, w, pt, delz, pm, cfg, ptop, g, hydrostatic=False)
+            tv = pt * (1.0 + zvir * q["sphum"]) if zvir else pt
     ptv = tv / pkz
 
     conv = jnp.zeros_like(delp)
@@ -374,6 +452,10 @@ def fv_dynamics_nh(delp, pt, u, v, w, delz, q, g, cfg: DynConfig, ak, bk,
             from ..physics.gfdl_mp import gfdl_mp_driver
             pt, q, mp_diag = gfdl_mp_driver(pt, delp, delz, q, cfg.dt, ptop,
                                             cfg=mp_cfg, hydrostatic=False)
+
+    if cfg.consv_am:
+        u, v, _ = thermo.am_fixer(u, v, delp, aam0, g, ptop,
+                                  reproduce=cfg.reproduce_sum)
 
     return SimpleNamespace(delp=delp, pt=pt, u=u, v=v, w=w, delz=delz,
                            q=q, ps=rm.ps, mp_diag=mp_diag,

@@ -155,6 +155,32 @@ def compute_aam(u, v, delp, g, ptop):
     return aam, m_fac, ps
 
 
+def am_fixer(u, v, delp, aam0, g, ptop, reproduce=False, torque=None):
+    """consv_am global angular-momentum fixer (fv_dynamics.F90:747-800).
+
+    Computes the AAM change over the dynamics step relative to the
+    pre-dynamics value aam0 (plus an optional mountain-torque map, the
+    dt2*(ps2+ps)*zxg term of fv_dynamics.F90:765), converts it into the
+    solid-body zonal-wind increment u00 = -R*<dAAM>/<m_fac>, and projects
+    u00*cos(lat)*e_east back onto the D-grid edges with the precomputed
+    l2c_u/l2c_v factors (fv_grid_utils.F90:404-423).
+
+    Returns (u, v, u00)."""
+    aam1, m_fac, _ = compute_aam(u, v, delp, g, ptop)
+    d = aam1 - aam0
+    if torque is not None:
+        d = d + torque
+    # g_sum mode-0 normalization (divide by global area) cancels in the
+    # amdt/m_fac ratio, so area-weighted means are exact here.
+    amdt = g_mean(d, g, reproduce=reproduce)
+    u00 = -g.geom.radius * amdt / g_mean(m_fac, g, reproduce=reproduce)
+    l2c_u = jnp.asarray(g.geom.interior("l2c_u"), u.dtype)
+    l2c_v = jnp.asarray(g.geom.interior("l2c_v"), v.dtype)
+    u = u + u00 * l2c_u[:, None]
+    v = v + u00 * l2c_v[:, None]
+    return u, v, u00
+
+
 def energy_fixer_dtmp(te0, te1, pkz, delp, pk, ptop, consv, g,
                       hydrostatic=True, reproduce=False):
     """Global heating increment dtmp (fv_mapz.F90:740-772): consv times the

@@ -275,7 +275,29 @@ def get_hrrr_ic(data, ak, bk, ptop, kord=8):
     return out
 
 
+def get_fv_ic(dyn, geom, ak, bk, ptop, g=None, tra=None, kord=8):
+    """Initialize from a prior lat-lon FV-core run's restart
+    (external_ic.F90 get_fv_ic:2426): dyn supplies the source hybrid
+    coordinate (ak_src/bk_src), surface pressure (ps, or delp to integrate
+    it), surface geopotential, T, winds; tra is an optional dict of
+    lat-lon tracer fields remapped mass-weighted like sphum.
+
+    dyn keys: lon, lat, ak_src, bk_src, phis (or gz), t, u, v and one of
+    ps | delp[Ksrc,NY,NX]."""
+    ana = dict(dyn)
+    if "gz" in ana and "phis" not in ana:
+        ana["phis"] = ana.pop("gz")
+    if "ps" not in ana:
+        dp = jnp.asarray(ana.pop("delp"))
+        ana["ps"] = float(ana["ak_src"][0]) + dp.sum(axis=0)
+    if tra:
+        ana.update(tra)
+    return _finish_latlon_ic(ana, geom, g, ak, bk, ptop, kord,
+                             tracers=tuple(tra or ()))
+
+
 def get_external_ic(source, *args, **kw):
     """Dispatcher matching external_ic.F90 get_external_ic:94."""
     return {"ncep": get_ncep_ic, "ecmwf": get_ecmwf_ic,
-            "nggps": get_nggps_ic, "hrrr": get_hrrr_ic}[source](*args, **kw)
+            "nggps": get_nggps_ic, "hrrr": get_hrrr_ic,
+            "fv": get_fv_ic}[source](*args, **kw)

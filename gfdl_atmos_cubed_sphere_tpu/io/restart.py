@@ -94,6 +94,18 @@ def load_state(path, verify_checksums=True):
 
 # ---- reference fv_core.res NetCDF interop ---------------------------------
 
+def save_coarse_state(path, state, q, g, factor, ak=None, bk=None,
+                      strategy="model_level_area_weighted", **kw):
+    """Write a coarse-grained restart alongside the native one
+    (coarse_grained_restart_files.F90:48): coarsen the prognostic state by
+    `factor` with the chosen strategy, then save through the normal
+    checkpoint writer."""
+    from ..utils.coarse_graining import coarse_grain_restart
+    cs, cq = coarse_grain_restart(state, q, g, factor, strategy=strategy)
+    save_state(path, cs, ak=ak, bk=bk, tracers=cq, **kw)
+    return cs, cq
+
+
 def export_fv_core_res(path, state, ak, bk, tracers=None):
     """Write the reference fv_core.res-style NetCDF (one file, all 6 tiles
     stacked on a 'tile' dim; the reference writes one file per tile)."""

@@ -72,9 +72,14 @@ def remap_hydro(delp, ptv, u, v, q, pe_pad, peln_pad, pkz, ak, bk, g, cfg,
     q_new = {}
     if q:
         names_q = list(q.keys())
-        qs_stack = jnp.stack([_k_last(q[k]) for k in names_q], axis=1)
-        qk = fv_mapz.map1_ppm(qs_stack, pe1[:, None], pe2[:, None], iv=0,
-                              kord=cfg.kord_tr)
+        # serialize over tracers (lax.map) so the remap's fused
+        # [.., K+1, K] overlap-integral pass peaks at one tracer's
+        # footprint (~0.7 GB at C192L79) instead of nq of them at once
+        qs_stack = jnp.stack([_k_last(q[k]) for k in names_q], axis=0)
+        qk = jax.lax.map(
+            lambda qq: fv_mapz.map1_ppm(qq, pe1, pe2, iv=0,
+                                        kord=cfg.kord_tr), qs_stack)
+        qk = jnp.moveaxis(qk, 0, 1)
         if cfg.fill:
             qk = fv_mapz.fillz(qk, (pe2[..., 1:] - pe2[..., :-1])[:, None])
         for i, name in enumerate(names_q):
@@ -336,9 +341,12 @@ def remap_nh(delp, ptv, u, v, w, delz, ws, q, pe_pad, peln_pad, ak, bk, g,
     q_new = {}
     if q:
         names_q = list(q.keys())
-        qs_stack = jnp.stack([_k_last(q[k]) for k in names_q], axis=1)
-        qk = fv_mapz.map1_ppm(qs_stack, pe1[:, None], pe2[:, None], iv=0,
-                              kord=cfg.kord_tr)
+        # serialized per-tracer remap (memory cap; see remap_hydro)
+        qs_stack = jnp.stack([_k_last(q[k]) for k in names_q], axis=0)
+        qk = jax.lax.map(
+            lambda qq: fv_mapz.map1_ppm(qq, pe1, pe2, iv=0,
+                                        kord=cfg.kord_tr), qs_stack)
+        qk = jnp.moveaxis(qk, 0, 1)
         if cfg.fill:
             qk = fv_mapz.fillz(qk, dp2[:, None])
         for i, name in enumerate(names_q):

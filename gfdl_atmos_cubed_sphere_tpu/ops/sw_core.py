@@ -659,10 +659,19 @@ def ytp_v(c, v, dy, rdy, jord, lim_fac=1.0, edges=True):
 # d_sw (sw_core.F90:494): full D-grid forward step for one layer group
 # ===========================================================================
 
+def _traced(x):
+    """True when x is a traced/device scalar (the in-kernel per-level path:
+    ops/pallas_dsw.py reads each level's damping parameter from SMEM)."""
+    return isinstance(x, (jax.Array, jax.core.Tracer))
+
+
 def _pl(x, dtype):
     """Normalize a damping parameter: scalar stays a float; a per-level [K]
     numpy profile becomes a [K,1,1] device array broadcasting over
-    [..., K, P, P] fields (the merged sponge-group path)."""
+    [..., K, P, P] fields (the merged sponge-group path); a traced scalar
+    (in-kernel per-level value) passes through."""
+    if _traced(x):
+        return x
     a = np.asarray(x)
     if a.ndim == 0:
         return float(a)
@@ -670,8 +679,14 @@ def _pl(x, dtype):
 
 
 def _on(x):
-    """Static is-this-damping-active test for scalar or [K] profile."""
-    return x is not None and float(np.max(np.asarray(x))) > 1.0e-5
+    """Static is-this-damping-active test for scalar or [K] profile.
+    Traced scalars count as active — the caller makes the static decision
+    and passes None for inactive combos."""
+    if x is None:
+        return False
+    if _traced(x):
+        return True
+    return float(np.max(np.asarray(x))) > 1.0e-5
 
 
 def ke_section(u, v, uc, vc, ut, vt, cosa, rsina, dx, rdx, dy, rdy,

@@ -355,10 +355,17 @@ def _corner_block(q, jsrc, isrc, orient):
     blk = q[..., jsrc, isrc]
     if trans:
         blk = jnp.swapaxes(blk, -1, -2)
+    # reversals as width-1 slice concats: the blocks are h x h (h = 3), and
+    # Mosaic has no `rev` lowering, so [..., ::-1] would break the Pallas
+    # mega-kernels that run copy_corners in-kernel (ops/pallas_dsw.py)
     if fj:
-        blk = blk[..., ::-1, :]
+        m = blk.shape[-2]
+        blk = jnp.concatenate([blk[..., i:i + 1, :]
+                               for i in range(m - 1, -1, -1)], axis=-2)
     if fi:
-        blk = blk[..., :, ::-1]
+        m = blk.shape[-1]
+        blk = jnp.concatenate([blk[..., :, i:i + 1]
+                               for i in range(m - 1, -1, -1)], axis=-1)
     return blk
 
 

@@ -201,18 +201,22 @@ def _strip_runs(rows, src_shapes):
 
 
 def _emit_run(arrs, run):
+    # reversed runs (L <= NG = 3) are emitted as width-1 concats: Mosaic has
+    # no `rev` lowering, and these fills run inside the Pallas mega-kernels
     src, sign, j0, dj, i0, di, L = run
     q = arrs[src]
     if L == 1 or dj == 0:
         if di >= 0:
             piece = q[..., j0:j0 + 1, i0:i0 + L]
         else:
-            piece = q[..., j0:j0 + 1, i0 - L + 1:i0 + 1][..., ::-1]
+            piece = jnp.concatenate(
+                [q[..., j0:j0 + 1, i0 - k:i0 - k + 1] for k in range(L)], -1)
     else:
         if dj > 0:
             piece = q[..., j0:j0 + L, i0:i0 + 1]
         else:
-            piece = q[..., j0 - L + 1:j0 + 1, i0:i0 + 1][..., ::-1, :]
+            piece = jnp.concatenate(
+                [q[..., j0 - k:j0 - k + 1, i0:i0 + 1] for k in range(L)], -2)
         piece = jnp.swapaxes(piece, -1, -2)
     return piece if sign > 0 else -piece
 

@@ -861,7 +861,7 @@ def d_sw(delp, pt, w, u, v, uc, vc, ua, va, divg_d, g, *,
          damp_w=0.0, nord_w=0, hydrostatic=True, sw_mode=False,
          advection_only=False, lim_fac=1.0,
          nord_mask=None, damp_v2=None, nord_v2=0,
-         damp_w2=None, nord_w2=0):
+         damp_w2=None, nord_w2=0, in_kernel=False):
     """All inputs padded. Returns SimpleNamespace of interior (compute-domain)
     updated fields + fluxes:
       u [*, n+1, n], v [*, n, n+1], delp/pt/w [*, n, n],
@@ -967,7 +967,8 @@ def d_sw(delp, pt, w, u, v, uc, vc, ua, va, divg_d, g, *,
                        ut[..., f(1) + 1:Er, :], ut_edge_row(npx - 1),
                        ut_edge_row(npx), ut[..., f(npx) + 1:, :]])
 
-            ut, vt = _dsw_corner_solve(ut, vt, uc, vc, g, npx)
+            ut, vt = _dsw_corner_solve(ut, vt, uc, vc, g, npx,
+                                       use_select=in_kernel)
 
         xfx = dt * ut
         crx = xfx * jnp.where(xfx > 0.0, _cl(g.rdxa), _cr(g.rdxa))
@@ -1041,7 +1042,13 @@ def d_sw(delp, pt, w, u, v, uc, vc, ua, va, divg_d, g, *,
     # ---- kinetic energy (sw_core.F90:1063-1225) ---------------------------
     import os
     from .tp_core import _use_pallas_sweep
-    if (_use_pallas_sweep(delp, edges)
+    if in_kernel:
+        # iota-masked selects: free on VMEM-resident operands, and Mosaic's
+        # offset-strip concat path miscompiles here (see devtools/mosaic_probe)
+        ke = ke_section(u, v, uc, vc, ut, vt, g.cosa, g.rsina, g.dx, g.rdx,
+                        g.dy, g.rdy, dt, hord_mt, lim_fac, npx, edges,
+                        use_select=True)
+    elif (_use_pallas_sweep(delp, edges)
             and os.environ.get("GFDL_TPU_PALLAS_KE", "1") != "0"):
         from .pallas_sw import ke_section_pallas
         ke = ke_section_pallas(u, v, uc, vc, ut, vt, g.cosa, g.rsina,
@@ -1061,7 +1068,8 @@ def d_sw(delp, pt, w, u, v, uc, vc, ua, va, divg_d, g, *,
     # ---- divergence damping ----------------------------------------------
     # need0: levels using the del-2 branch exist (nord==0 everywhere, or a
     # sponge nord_mask under nord>0); needN: the del-2^nord branch.
-    need0 = (nord == 0) or (nord_mask is not None and bool(np.any(nord_mask)))
+    need0 = (nord == 0) or (nord_mask is not None and (
+        _traced(nord_mask) or bool(np.any(nord_mask))))
     needN = nord > 0
     vortB0 = vortBN = None
     if need0:
@@ -1158,9 +1166,13 @@ def d_sw(delp, pt, w, u, v, uc, vc, ua, va, divg_d, g, *,
         vortBN = damp2 * delpc_d + dd8 * dd
 
     if vortB0 is not None and vortBN is not None:
-        # blended per-level branch select (merged sponge groups)
-        m0 = jnp.asarray(np.asarray(nord_mask, np.float64),
-                         delp.dtype).reshape((-1, 1, 1))
+        # blended per-level branch select (merged sponge groups); a traced
+        # nord_mask is the in-kernel per-level 0/1 scalar from SMEM
+        if _traced(nord_mask):
+            m0 = nord_mask
+        else:
+            m0 = jnp.asarray(np.asarray(nord_mask, np.float64),
+                             delp.dtype).reshape((-1, 1, 1))
         vortB = m0 * vortB0 + (1.0 - m0) * vortBN
         divg_out = dd
     elif vortBN is not None:
@@ -1234,18 +1246,21 @@ def d_sw(delp, pt, w, u, v, uc, vc, ua, va, divg_d, g, *,
         heat_source=heat_source)
 
 
-def _dsw_corner_solve(ut, vt, uc, vc, g, npx):
+def _dsw_corner_solve(ut, vt, uc, vc, g, npx, use_select=False):
     """2x2 corner systems for parallel-to-edge uc/vc (sw_core.F90:763-860).
 
     The 16 point updates live within 6 rows of the top/bottom edges, so they
     are applied to thin row strips (cheap point sets on [.., 6, P] arrays)
     and stitched back with one concatenate per array, instead of 16
-    full-array dynamic-update-slice passes."""
+    full-array dynamic-update-slice passes. use_select=True (the in-kernel
+    Pallas path) writes via two-stage iota-masked selects instead of
+    .at[].set, which Mosaic lowers as scatter."""
     f = fi
     npy = npx
     S = 6
     NCr = ut.shape[-2]
     NWr = vt.shape[-2]
+    NWx = max(ut.shape[-1], vt.shape[-1])
     strips = {
         "ut_t": ut[..., :S, :], "ut_b": ut[..., NCr - S:, :],
         "vt_t": vt[..., :S, :], "vt_b": vt[..., NWr - S:, :],
@@ -1259,31 +1274,46 @@ def _dsw_corner_solve(ut, vt, uc, vc, g, npx):
 
     def U(i, j):
         nm, r = _row("ut", j, NCr - S)
-        return strips[nm][..., r, f(i)]
+        return strips[nm][..., r:r + 1, f(i):f(i) + 1]
 
     def V(i, j):
         nm, r = _row("vt", j, NWr - S)
-        return strips[nm][..., r, f(i)]
+        return strips[nm][..., r:r + 1, f(i):f(i) + 1]
+
+    if use_select:
+        iy = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+
+        def _set(nm, r, i, val):
+            s = strips[nm]
+            ix = jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[-1]), 1)
+            zero = jnp.zeros((), s.dtype)
+            # two-stage select: lanes first, then sublanes (Mosaic cannot
+            # broadcast a [1,1] value into both dims in one select)
+            row_val = jnp.where(ix == f(i), val, zero)
+            strips[nm] = jnp.where((iy == r) & (ix == f(i)), row_val, s)
+    else:
+        def _set(nm, r, i, val):
+            strips[nm] = strips[nm].at[..., r:r + 1, f(i):f(i) + 1].set(val)
 
     def setU(i, j, val):
         nm, r = _row("ut", j, NCr - S)
-        strips[nm] = strips[nm].at[..., r, f(i)].set(val)
+        _set(nm, r, i, val)
 
     def setV(i, j, val):
         nm, r = _row("vt", j, NWr - S)
-        strips[nm] = strips[nm].at[..., r, f(i)].set(val)
+        _set(nm, r, i, val)
 
     def UC(i, j):
-        return uc[..., f(j), f(i)]
+        return uc[..., f(j):f(j) + 1, f(i):f(i) + 1]
 
     def VC(i, j):
-        return vc[..., f(j), f(i)]
+        return vc[..., f(j):f(j) + 1, f(i):f(i) + 1]
 
     def CU(i, j):
-        return g.cosa_u[..., f(j), f(i)]
+        return g.cosa_u[..., f(j):f(j) + 1, f(i):f(i) + 1]
 
     def CV(i, j):
-        return g.cosa_v[..., f(j), f(i)]
+        return g.cosa_v[..., f(j):f(j) + 1, f(i):f(i) + 1]
 
     # SW corner
     damp = 1.0 / (1.0 - 0.0625 * CU(2, 0) * CV(1, 0))

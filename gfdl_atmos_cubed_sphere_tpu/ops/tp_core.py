@@ -511,11 +511,16 @@ def fv_tp_2d(q, crx, cry, hord, xfx, yfx, area, ra_x, ra_y, dxa, dya,
         for nd, dc in ((nord, damp_c), (nord2, damp_c2)):
             if dc is None:
                 continue
-            dcn = _np.asarray(dc)
-            if float(dcn.max()) <= 1.0e-4:
-                continue
-            dcb = (float(dcn) if dcn.ndim == 0
-                   else jnp.asarray(dcn, q.dtype).reshape((-1, 1, 1)))
+            if isinstance(dc, (jax.Array, jax.core.Tracer)):
+                # in-kernel per-level scalar (ops/pallas_dsw.py); the static
+                # is-it-active decision was made by the caller
+                dcb = dc
+            else:
+                dcn = _np.asarray(dc)
+                if float(dcn.max()) <= 1.0e-4:
+                    continue
+                dcb = (float(dcn) if dcn.ndim == 0
+                       else jnp.asarray(dcn, q.dtype).reshape((-1, 1, 1)))
             damp4 = (dcb * g.da_min) ** (nd + 1)  # da_min (tp_core.F90:204)
             fx, fy = deln_flux_add(q, fx, fy, nd, damp4, g, mass=mass,
                                    edges=edges)

@@ -8,6 +8,8 @@ Round 2 findings (C48 shapes, v5e):
 
 Usage: python devtools/mosaic_probe.py
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -6,6 +6,8 @@ against the axon-tunnel wall-clock issues noted in PERFORMANCE.md.
 
 Usage: python devtools/stage_profile.py [N_ITERS]
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 import time
 

@@ -5,6 +5,8 @@ serialized-fori methodology as stage_profile.py.
 Usage (from repo root): python -c "import runpy,sys; sys.argv=['p','N'];
 runpy.run_path('devtools/step_profile.py', run_name='__main__')"
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 import time
 

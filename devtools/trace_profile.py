@@ -6,6 +6,8 @@ are unreliable (PERFORMANCE.md); the xplane trace is ground truth.
 Run from repo root:
   python -c "import runpy; runpy.run_path('devtools/trace_profile.py')"
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import glob
 import gzip
 import json

@@ -298,7 +298,9 @@ def cs_profile(a1, delp, qs=None, iv=1, kord=8, qmin=None):
     a6_b = 3.0 * (2.0 * a1 - (al + ar))
     al0, ar0, a60 = _cs_limiter(a1, al, ar, a6_b, extm, 1)      # k=1 (top)
     al1, ar1, a61 = _cs_limiter(a1, al, ar, a6_b, extm, 2)      # k=2
-    # bottom subgrid constraints on ar(km)
+    # bottom subgrid constraints modify ar at layer km ONLY
+    # (cs_profile:1283-1290); the km-1 row uses the unmodified profile and
+    # the same iv=2 limiter as k=2, so it reuses (al1, ar1, a61)
     if iv == 0:
         ar_bot = jnp.maximum(0.0, ar)
     elif iv == -1:
@@ -306,7 +308,7 @@ def cs_profile(a1, delp, qs=None, iv=1, kord=8, qmin=None):
     else:
         ar_bot = ar
     a6_bot = 3.0 * (2.0 * a1 - (al + ar_bot))
-    alm1, arm1, a6m1 = _cs_limiter(a1, al, ar_bot, a6_bot, extm, 2)  # km-1
+    alm1, arm1, a6m1 = al1, ar1, a61                                 # km-1
     alm0, arm0, a6m0 = _cs_limiter(a1, al, ar_bot, a6_bot, extm, 1)  # km
 
     pos = jnp.arange(km)

@@ -1169,7 +1169,8 @@ def d_sw(delp, pt, w, u, v, uc, vc, ua, va, divg_d, g, *,
         # blended per-level branch select (merged sponge groups); a traced
         # nord_mask is the in-kernel per-level 0/1 scalar from SMEM
         if _traced(nord_mask):
-            m0 = nord_mask
+            # normalize dtype: the SMEM per-level scalar may arrive bool/int
+            m0 = jnp.asarray(nord_mask, delp.dtype)
         else:
             m0 = jnp.asarray(np.asarray(nord_mask, np.float64),
                              delp.dtype).reshape((-1, 1, 1))
@@ -1260,7 +1261,6 @@ def _dsw_corner_solve(ut, vt, uc, vc, g, npx, use_select=False):
     S = 6
     NCr = ut.shape[-2]
     NWr = vt.shape[-2]
-    NWx = max(ut.shape[-1], vt.shape[-1])
     strips = {
         "ut_t": ut[..., :S, :], "ut_b": ut[..., NCr - S:, :],
         "vt_t": vt[..., :S, :], "vt_b": vt[..., NWr - S:, :],

@@ -511,9 +511,11 @@ def fv_tp_2d(q, crx, cry, hord, xfx, yfx, area, ra_x, ra_y, dxa, dya,
         for nd, dc in ((nord, damp_c), (nord2, damp_c2)):
             if dc is None:
                 continue
-            if isinstance(dc, (jax.Array, jax.core.Tracer)):
+            if isinstance(dc, jax.core.Tracer):
                 # in-kernel per-level scalar (ops/pallas_dsw.py); the static
-                # is-it-active decision was made by the caller
+                # is-it-active decision was made by the caller. Concrete
+                # device arrays fall through to the numpy path below so a
+                # per-level [K] profile still gets the (-1,1,1) reshape.
                 dcb = dc
             else:
                 dcn = _np.asarray(dc)

@@ -369,6 +369,57 @@ def _corner_block(q, jsrc, isrc, orient):
     return blk
 
 
+_IN_KERNEL_CORNERS = False
+
+
+class in_kernel_corners:
+    """Context manager: route copy_corners through the point-DUS variant
+    while tracing a Pallas kernel body (Mosaic rejects the lane-direction
+    strip concats of the fast XLA formulation — 'result/input offset
+    mismatch on non-concat dimension')."""
+
+    def __enter__(self):
+        global _IN_KERNEL_CORNERS
+        self._prev = _IN_KERNEL_CORNERS
+        _IN_KERNEL_CORNERS = True
+
+    def __exit__(self, *exc):
+        global _IN_KERNEL_CORNERS
+        _IN_KERNEL_CORNERS = self._prev
+        return False
+
+
+def _copy_corners_dus(q, h, direction):
+    """Mosaic-safe corner fill: per-point two-stage iota-masked selects on
+    the top/bottom h-row strips (static-slice .at[].set lowers to scatter
+    under current Pallas TPU; a lane-select against zero then a masked
+    select survives Mosaic canonicalization — same pattern as
+    sw_core._dsw_corner_solve use_select=True), stitched back with one
+    sublane concat. Only used inside Pallas kernel bodies where every
+    operand is VMEM-resident."""
+    P = q.shape[-1]
+    n = P - 2 * h
+    top = q[..., :h, :]
+    bot = q[..., P - h:, :]
+    ix = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0)
+    zero = jnp.zeros((), q.dtype)
+    for jsl, isl, sj, si in _corner_fill_idx(n, h, direction):
+        for jj in range(h):
+            for ii in range(h):
+                dj = jsl.start + jj
+                di = isl.start + ii
+                val = q[..., int(sj[jj, ii]):int(sj[jj, ii]) + 1,
+                        int(si[jj, ii]):int(si[jj, ii]) + 1]
+                row_val = jnp.where(ix == di, val, zero)
+                if dj < h:
+                    top = jnp.where((iy == dj) & (ix == di), row_val, top)
+                else:
+                    r = dj - (P - h)
+                    bot = jnp.where((iy == r) & (ix == di), row_val, bot)
+    return jnp.concatenate([top, q[..., h:P - h, :], bot], axis=-2)
+
+
 def copy_corners(q, h, direction):
     """Fill the 4 corner halo blocks of a padded cell array for a directional
     sweep (tp_core.F90:245-320). q: [..., P, P] padded with halo h,
@@ -378,6 +429,8 @@ def copy_corners(q, h, direction):
     copies of tiny interior slices, stitched into the top/bottom h-row strips
     and concatenated with the untouched middle rows — one full-array pass
     instead of four full-array dynamic-update-slices with gathers."""
+    if _IN_KERNEL_CORNERS:
+        return _copy_corners_dus(q, h, direction)
     P = q.shape[-1]
     n = P - 2 * h
     blocks = {}

@@ -78,25 +78,31 @@ def main():
         ds = d_sw_pallas(*args, **kw)
         return tuple(getattr(ds, nm) for nm in names)
 
+    mode = _sys.argv[3] if len(_sys.argv) > 3 else "both"
     print("inputs built", flush=True)
-    t0 = time.time()
-    fx = jax.jit(run_xla)
-    rx = jax.block_until_ready(fx())
-    t1 = time.time()
-    print(f"xla compiled {t1-t0:.1f}s", flush=True)
-    fp = jax.jit(run_pl)
-    rp = jax.block_until_ready(fp())
-    t2 = time.time()
-    print(f"compile xla {t1-t0:.1f}s pallas {t2-t1:.1f}s")
-    for nm, a, b in zip(names, rx, rp):
-        a = np.asarray(a); b = np.asarray(b)
-        d = np.abs(a - b)
-        s = np.maximum(np.abs(a), 1e-30)
-        print(f"{nm:6s} max_abs={d.max():.3e} max_rel={(d/s).max():.3e} "
-              f"bitexact={np.array_equal(a, b)}")
+    todo = []
+    if mode in ("both", "pl"):
+        t1 = time.time()
+        fp = jax.jit(run_pl)
+        rp = jax.block_until_ready(fp())
+        print(f"pallas compiled {time.time()-t1:.1f}s", flush=True)
+        todo.append(("pallas", fp, rp))
+    if mode in ("both", "xla"):
+        t0 = time.time()
+        fx = jax.jit(run_xla)
+        rx = jax.block_until_ready(fx())
+        print(f"xla compiled {time.time()-t0:.1f}s", flush=True)
+        todo.insert(0, ("xla", fx, rx))
+    if mode == "both":
+        for nm, a, b in zip(names, rx, rp):
+            a = np.asarray(a); b = np.asarray(b)
+            d = np.abs(a - b)
+            s = np.maximum(np.abs(a), 1e-30)
+            print(f"{nm:6s} max_abs={d.max():.3e} max_rel={(d/s).max():.3e} "
+                  f"bitexact={np.array_equal(a, b)}")
 
     # timing loop (serialized by output dependency)
-    for label, fn, r0 in (("xla", fx, rx), ("pallas", fp, rp)):
+    for label, fn, r0 in todo:
         reps = 30
         jax.block_until_ready(fn())
         t0 = time.time()

@@ -317,10 +317,61 @@ def _plan_dgrid(PuY, PuX, PvY, PvX, npx, sign):
     return _build_plan(ref, [(PuY, PuX), (PvY, PvX)], [0, 1])
 
 
+def _run_is_identity(run, out_idx, dest_j, dest_col):
+    src, sign, j0, dj, i0, di, L = run
+    if src != out_idx or sign <= 0 or j0 != dest_j or i0 != dest_col:
+        return False
+    return L == 1 or (dj == 0 and di == 1)
+
+
+def _apply_strip_plan_select(arrs, out_idx, plan_top, plan_bot, h):
+    """In-kernel variant of _apply_strip_plan: instead of per-row lane
+    concats (Mosaic rejects offset-slice concat operands), apply each
+    non-identity run as per-point two-stage iota selects on the top/bottom
+    strips. Runs are short (L <= NG) so this is a handful of [h, Px] VPU
+    selects."""
+    import jax as _jax
+    q = arrs[out_idx]
+    Py, Px = q.shape[-2:]
+    ix = _jax.lax.broadcasted_iota(jnp.int32, (1, Px), 1)
+    iy = _jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0)
+    zero = jnp.zeros((), q.dtype)
+
+    def apply(strip, plan, j_base):
+        for r, pieces in enumerate(plan):
+            col = 0
+            for run in pieces:
+                src, sign, j0, dj, i0, di, L = run
+                if not _run_is_identity(run, out_idx, j_base + r, col):
+                    for k in range(L):
+                        sj = j0 + dj * k
+                        si = i0 + di * k
+                        val = arrs[src][..., sj:sj + 1, si:si + 1]
+                        if sign < 0:
+                            val = -val
+                        di_ = col + k
+                        row_val = jnp.where(ix == di_, val, zero)
+                        strip = jnp.where((iy == r) & (ix == di_),
+                                          row_val, strip)
+                col += L
+        return strip
+
+    top = apply(q[..., :h, :], plan_top, 0)
+    bot = apply(q[..., Py - h:, :], plan_bot, Py - h)
+    return jnp.concatenate([top, q[..., h:Py - h, :], bot], -2)
+
+
+def _in_kernel():
+    from ..parallel import halo as _halo
+    return _halo._IN_KERNEL_CORNERS
+
+
 def fill_4corners_cell(q, direction, npx):
     """sw_core.F90 fill_4corners: fill 2 cells at each corner for a sweep.
     q: [..., P, P] padded cell array; direction: 1 = x, 2 = y."""
     pt, pb = _plan_cell(q.shape[-1], direction, npx)
+    if _in_kernel():
+        return _apply_strip_plan_select([q], 0, pt, pb, H)
     return _apply_strip_plan([q], 0, pt, pb, H)
 
 
@@ -328,6 +379,8 @@ def fill_corners_bgrid(q, direction, npx):
     """q: [..., NW, NW] padded corner-point array; fills ng x ng corner
     blocks (fv_mp_mod.F90:944-982 BGRID)."""
     pt, pb = _plan_bgrid(q.shape[-1], direction, npx)
+    if _in_kernel():
+        return _apply_strip_plan_select([q], 0, pt, pb, H)
     return _apply_strip_plan([q], 0, pt, pb, H)
 
 
@@ -337,6 +390,7 @@ def fill_corners_dgrid_vector(u, v, npx, sign=-1.0):
     (put, pub), (pvt, pvb) = _plan_dgrid(u.shape[-2], u.shape[-1],
                                          v.shape[-2], v.shape[-1],
                                          npx, float(sign))
-    u2 = _apply_strip_plan([u, v], 0, put, pub, H)
-    v2 = _apply_strip_plan([u, v], 1, pvt, pvb, H)
+    ap = _apply_strip_plan_select if _in_kernel() else _apply_strip_plan
+    u2 = ap([u, v], 0, put, pub, H)
+    v2 = ap([u, v], 1, pvt, pvb, H)
     return u2, v2

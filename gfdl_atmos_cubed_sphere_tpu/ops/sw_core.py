@@ -111,14 +111,60 @@ def _d2a2c_vect_dp(u, v, g):
     return ua, va, uc, vc, uc, vc
 
 
-def d2a2c_vect(u, v, g):
+def _ix(n, dtype=jnp.int32):
+    return jax.lax.broadcasted_iota(dtype, (1, n), 1)
+
+
+def _iy(n, dtype=jnp.int32):
+    return jax.lax.broadcasted_iota(dtype, (n, 1), 0)
+
+
+def _sel_col(a, i, val):
+    """Override column i with val ([..., Y, 1] or full-size) via a lane
+    select (Mosaic-safe in-kernel replacement for .at[..., :, i].set)."""
+    return jnp.where(_ix(a.shape[-1]) == i, val, a)
+
+
+def _sel_row(a, j, val):
+    return jnp.where(_iy(a.shape[-2]) == j, val, a)
+
+
+def _sel_point(a, j, i, val, add=False):
+    """Point override/add via two-stage select; val [..., 1, 1]."""
+    ix = _ix(a.shape[-1])
+    iy = _iy(a.shape[-2])
+    zero = jnp.zeros((), a.dtype)
+    row_val = jnp.where(ix == i, val, zero)
+    if add:
+        return jnp.where(iy == j, a + row_val, a)
+    return jnp.where((iy == j) & (ix == i), row_val, a)
+
+
+def _sel_region(a, val, j0, j1, i0, i1, add=False):
+    """Override/add on rows [j0, j1) x cols [i0, i1); val full-size."""
+    ix = _ix(a.shape[-1])
+    iy = _iy(a.shape[-2])
+    m = (iy >= j0) & (iy < j1) & (ix >= i0) & (ix < i1)
+    if add:
+        return jnp.where(m, a + val, a)
+    return jnp.where(m, val, a)
+
+
+def d2a2c_vect(u, v, g, in_kernel=False):
     """u: [..., NW, NC] D x-wind; v: [..., NC, NW] D y-wind (halo-exchanged).
 
     Returns (ua, va, uc, vc, ut, vt): A-grid winds + contravariant forms on
     cells, C-grid winds on walls, contravariant C winds ut/vt.
+
+    in_kernel=True (the c_sw Pallas mega-kernel, ops/pallas_csw.py) rewrites
+    every static .at[].set override as iota-masked selects — current Pallas
+    TPU lowers static-slice .at[].set to scatter, and the jnp.flip corner
+    fills to an unimplemented `rev`.
     """
     if getattr(g, "grid_type", 0) >= 3:
         return _d2a2c_vect_dp(u, v, g)
+    if in_kernel:
+        return _d2a2c_vect_sel(u, v, g)
     npx = g.npx
     n = g.n
     f = fi
@@ -255,29 +301,187 @@ def d2a2c_vect(u, v, g):
     return ua, va, uc, vc, ut, vt
 
 
+def _d2a2c_vect_sel(u, v, g):
+    """Select-based restatement of d2a2c_vect for Pallas kernel bodies:
+    identical numerics, every .at[].set / jnp.flip replaced by iota-masked
+    selects / per-point reads (sw_core.F90:3006 d2a2c_vect)."""
+    npx = g.npx
+    n = g.n
+    f = fi
+    npt = 4
+    NC = n + 2 * H
+    NW = n + 1 + 2 * H
+    dt_ = u.dtype
+    je = npx - 1
+
+    utmp = 0.5 * (u[..., :-1, :] + u[..., 1:, :])
+    vtmp = 0.5 * (v[..., :, :-1] + v[..., :, 1:])
+    L = npx - 2 * npt + 1
+    j0 = f(npt)
+
+    # 4th-order D->A over the interior box, computed full-frame then masked
+    pad2 = lambda a, ax: jnp.pad(a, [(0, 0)] * (a.ndim + ax) + [(1, 1)]
+                                 + [(0, 0)] * (-1 - ax))
+    u4f = pad2(A1 * (u[..., 1:-2, :] + u[..., 2:-1, :])
+               + A2 * (u[..., :-3, :] + u[..., 3:, :]), -2)
+    utmp = _sel_region(utmp, u4f, j0, j0 + L, j0, j0 + L)
+    v4f = pad2(A1 * (v[..., :, 1:-2] + v[..., :, 2:-1])
+               + A2 * (v[..., :, :-3] + v[..., :, 3:]), -1)
+    vtmp = _sel_region(vtmp, v4f, j0, j0 + L, j0, j0 + L)
+
+    ua = (utmp - vtmp * g.cosa_s) * g.rsin2
+    va = (vtmp - utmp * g.cosa_s) * g.rsin2
+
+    r0, rn = f(0), f(npx)
+
+    def pt(a, j, i):
+        return a[..., j:j + 1, i:i + 1]
+
+    # utmp corner fills (sw_core.F90:3165-3185), per-point
+    for k in range(3):
+        utmp = _sel_point(utmp, r0, f(-2) + k, -pt(vtmp, f(3) - k, r0))
+        utmp = _sel_point(utmp, r0, f(npx) + k, pt(vtmp, f(1) + k, rn))
+        utmp = _sel_point(utmp, rn, f(npx) + k, -pt(vtmp, f(je) - k, rn))
+        utmp = _sel_point(utmp, rn, f(-2) + k, pt(vtmp, f(je - 2) + k, r0))
+
+    # uc: 4th-order A->C in x on walls [0, npx+1], other walls zero
+    Lc = npx + 2
+    ucf = jnp.pad(A1 * (utmp[..., :, 1:-2] + utmp[..., :, 2:-1])
+                  + A2 * (utmp[..., :, :-3] + utmp[..., :, 3:]),
+                  [(0, 0)] * (utmp.ndim - 1) + [(2, 2)])     # [.., NC, NW]
+    uc = _sel_region(jnp.zeros_like(ucf), ucf, 0, NC, r0, r0 + Lc)
+
+    # ua corner fills (sw_core.F90:3202-3218)
+    ua = _sel_point(ua, r0, f(-1), -pt(va, f(2), r0))
+    ua = _sel_point(ua, r0, f(0), -pt(va, f(1), r0))
+    ua = _sel_point(ua, r0, f(npx), pt(va, f(1), rn))
+    ua = _sel_point(ua, r0, f(npx + 1), pt(va, f(2), rn))
+    ua = _sel_point(ua, rn, f(npx), -pt(va, f(npx - 1), rn))
+    ua = _sel_point(ua, rn, f(npx + 1), -pt(va, f(npx - 2), rn))
+    ua = _sel_point(ua, rn, f(-1), pt(va, f(npx - 2), r0))
+    ua = _sel_point(ua, rn, f(0), pt(va, f(npx - 1), r0))
+
+    def colk(a, i):
+        return a[..., :, f(i):f(i) + 1]
+
+    # west edge columns (sw_core.F90:3220-3236)
+    uc0 = C1 * colk(utmp, -2) + C2 * colk(utmp, -1) + C3 * colk(utmp, 0)
+    ut1 = edge_interpolate4(ua[..., :, f(-1):f(2) + 1],
+                            g.dxa[..., :, f(-1):f(2) + 1])[..., None]
+    uc1 = jnp.where(ut1 > 0.0, ut1 * colk(g.sin_sg3, 0),
+                    ut1 * colk(g.sin_sg1, 1))
+    uc2 = C1 * colk(utmp, 3) + C2 * colk(utmp, 2) + C3 * colk(utmp, 1)
+    uc = _sel_col(uc, f(0), uc0)
+    uc = _sel_col(uc, f(1), uc1)
+    uc = _sel_col(uc, f(2), uc2)
+    # east edge (sw_core.F90:3238-3253)
+    ucm = (C1 * colk(utmp, npx - 3) + C2 * colk(utmp, npx - 2)
+           + C3 * colk(utmp, npx - 1))
+    utn = edge_interpolate4(ua[..., :, f(npx - 2):f(npx + 1) + 1],
+                            g.dxa[..., :, f(npx - 2):f(npx + 1) + 1])[..., None]
+    ucn = jnp.where(utn > 0.0, utn * colk(g.sin_sg3, npx - 1),
+                    utn * colk(g.sin_sg1, npx))
+    ucp = (C3 * colk(utmp, npx) + C2 * colk(utmp, npx + 1)
+           + C1 * colk(utmp, npx + 2))
+    uc = _sel_col(uc, f(npx - 1), ucm)
+    uc = _sel_col(uc, f(npx), ucn)
+    uc = _sel_col(uc, f(npx + 1), ucp)
+
+    ut = (uc - v * g.cosa_u) * g.rsin_u
+    ut = _sel_col(ut, f(1), ut1)
+    ut = _sel_col(ut, f(npx), utn)
+
+    # vtmp corner fills (sw_core.F90:3258-3278)
+    for k in range(3):
+        vtmp = _sel_point(vtmp, f(-2) + k, r0, -pt(utmp, r0, f(3) - k))
+        vtmp = _sel_point(vtmp, f(npx) + k, r0, pt(utmp, rn, f(1) + k))
+        vtmp = _sel_point(vtmp, f(-2) + k, rn, pt(utmp, r0, f(je - 2) + k))
+        vtmp = _sel_point(vtmp, f(npx) + k, rn, -pt(utmp, rn, f(je) - k))
+    # va corner fills (sw_core.F90:3280-3296)
+    va = _sel_point(va, f(-1), r0, -pt(ua, r0, f(2)))
+    va = _sel_point(va, f(0), r0, -pt(ua, r0, f(1)))
+    va = _sel_point(va, f(0), rn, pt(ua, r0, f(npx - 1)))
+    va = _sel_point(va, f(-1), rn, pt(ua, r0, f(npx - 2)))
+    va = _sel_point(va, f(npx), rn, -pt(ua, rn, f(npx - 1)))
+    va = _sel_point(va, f(npx + 1), rn, -pt(ua, rn, f(npx - 2)))
+    va = _sel_point(va, f(npx), r0, pt(ua, rn, f(1)))
+    va = _sel_point(va, f(npx + 1), r0, pt(ua, rn, f(2)))
+
+    # vc: 4th-order A->C in y (sw_core.F90:3298-3334)
+    vcf = jnp.pad(A1 * (vtmp[..., 1:-2, :] + vtmp[..., 2:-1, :])
+                  + A2 * (vtmp[..., :-3, :] + vtmp[..., 3:, :]),
+                  [(0, 0)] * (vtmp.ndim - 2) + [(2, 2), (0, 0)])
+    vc = _sel_region(jnp.zeros_like(vcf), vcf, r0, r0 + Lc, 0, NC)
+
+    def rowk(a, jf):
+        return a[..., f(jf):f(jf) + 1, :]
+
+    vc = _sel_row(vc, f(0), C1 * rowk(vtmp, -2) + C2 * rowk(vtmp, -1)
+                  + C3 * rowk(vtmp, 0))
+    vt1 = edge_interpolate4(va[..., f(-1):f(2) + 1, :],
+                            g.dya[..., f(-1):f(2) + 1, :], axis=-2)[..., None, :]
+    vc = _sel_row(vc, f(1), jnp.where(vt1 > 0.0, vt1 * rowk(g.sin_sg4, 0),
+                                      vt1 * rowk(g.sin_sg2, 1)))
+    vc = _sel_row(vc, f(2), C1 * rowk(vtmp, 3) + C2 * rowk(vtmp, 2)
+                  + C3 * rowk(vtmp, 1))
+    vc = _sel_row(vc, f(npx - 1), C1 * rowk(vtmp, npx - 3)
+                  + C2 * rowk(vtmp, npx - 2) + C3 * rowk(vtmp, npx - 1))
+    vtn = edge_interpolate4(va[..., f(npx - 2):f(npx + 1) + 1, :],
+                            g.dya[..., f(npx - 2):f(npx + 1) + 1, :],
+                            axis=-2)[..., None, :]
+    vc = _sel_row(vc, f(npx), jnp.where(vtn > 0.0, vtn * rowk(g.sin_sg4, npx - 1),
+                                        vtn * rowk(g.sin_sg2, npx)))
+    vc = _sel_row(vc, f(npx + 1), C1 * rowk(vtmp, npx + 2)
+                  + C2 * rowk(vtmp, npx + 1) + C3 * rowk(vtmp, npx))
+
+    vt = (vc - u * g.cosa_v) * g.rsin_v
+    vt = _sel_row(vt, f(1), vt1)
+    vt = _sel_row(vt, f(npx), vtn)
+    return ua, va, uc, vc, ut, vt
+
+
 # ===========================================================================
 # divergence_corner (sw_core.F90:1740)
 # ===========================================================================
 
-def divergence_corner(u, v, ua, va, g):
+def divergence_corner(u, v, ua, va, g, in_kernel=False):
     npx = g.npx
     f = fi
     edges = getattr(g, "grid_type", 0) < 3
     uf = ((u - 0.25 * (_rl(va) + _rr(va)) * (_rl(g.cos_sg4) + _rr(g.cos_sg2)))
           * g.dyc * 0.5 * (_rl(g.sin_sg4) + _rr(g.sin_sg2)))
-    for jw in (1, npx) if edges else ():
-        uf = uf.at[..., f(jw), :].set(
-            u[..., f(jw), :] * g.dyc[..., f(jw), :] * 0.5
-            * (g.sin_sg4[..., f(jw - 1), :] + g.sin_sg2[..., f(jw), :]))
+    if in_kernel and edges:
+        # edge rows via one full-frame value + row select (Mosaic-safe)
+        uf_e = u * g.dyc * 0.5 * (_rl(g.sin_sg4) + _rr(g.sin_sg2))
+        iyu = _iy(uf.shape[-2])
+        uf = jnp.where((iyu == f(1)) | (iyu == f(npx)), uf_e, uf)
+    else:
+        for jw in (1, npx) if edges else ():
+            uf = uf.at[..., f(jw), :].set(
+                u[..., f(jw), :] * g.dyc[..., f(jw), :] * 0.5
+                * (g.sin_sg4[..., f(jw - 1), :] + g.sin_sg2[..., f(jw), :]))
     vf = ((v - 0.25 * (_cl(ua) + _cr(ua)) * (_cl(g.cos_sg3) + _cr(g.cos_sg1)))
           * g.dxc * 0.5 * (_cl(g.sin_sg3) + _cr(g.sin_sg1)))
-    for iw in (1, npx) if edges else ():
-        vf = vf.at[..., :, f(iw)].set(
-            v[..., :, f(iw)] * g.dxc[..., :, f(iw)] * 0.5
-            * (g.sin_sg3[..., :, f(iw - 1)] + g.sin_sg1[..., :, f(iw)]))
+    if in_kernel and edges:
+        vf_e = v * g.dxc * 0.5 * (_cl(g.sin_sg3) + _cr(g.sin_sg1))
+        ixv = _ix(vf.shape[-1])
+        vf = jnp.where((ixv == f(1)) | (ixv == f(npx)), vf_e, vf)
+    else:
+        for iw in (1, npx) if edges else ():
+            vf = vf.at[..., :, f(iw)].set(
+                v[..., :, f(iw)] * g.dxc[..., :, f(iw)] * 0.5
+                * (g.sin_sg3[..., :, f(iw - 1)] + g.sin_sg1[..., :, f(iw)]))
     # divg(i,j) = vf(i,j-1) - vf(i,j) + uf(i-1,j) - uf(i,j)  (corners)
     divg = (_rl(vf) - _rr(vf) + _cl(uf) - _cr(uf))
-    if edges:
+    if edges and in_kernel:
+        def pv(a, j, i):
+            return a[..., f(j):f(j) + 1, f(i):f(i) + 1]
+
+        divg = _sel_point(divg, f(1), f(1), -pv(vf, 0, 1), add=True)
+        divg = _sel_point(divg, f(1), f(npx), -pv(vf, 0, npx), add=True)
+        divg = _sel_point(divg, f(npx), f(npx), pv(vf, npx, npx), add=True)
+        divg = _sel_point(divg, f(npx), f(1), pv(vf, npx, 1), add=True)
+    elif edges:
         divg = divg.at[..., f(1), f(1)].add(-vf[..., f(0), f(1)])
         divg = divg.at[..., f(1), f(npx)].add(-vf[..., f(0), f(npx)])
         divg = divg.at[..., f(npx), f(npx)].add(vf[..., f(npx), f(npx)])
@@ -289,16 +493,19 @@ def divergence_corner(u, v, ua, va, g):
 # c_sw (sw_core.F90:79): C-grid half-step
 # ===========================================================================
 
-def c_sw(delp, pt, w, u, v, g, dt2, hydrostatic=True, nord=0, sw_mode=False):
+def c_sw(delp, pt, w, u, v, g, dt2, hydrostatic=True, nord=0, sw_mode=False,
+         in_kernel=False):
     """All inputs padded (halo-exchanged). Returns SimpleNamespace with
     delpc, ptc, wc (cell arrays, valid on rim [0..npx] cells), uc, vc
-    (updated on compute walls), ua, va, divg_d."""
+    (updated on compute walls), ua, va, divg_d. in_kernel=True: iota-select
+    edge handling for Pallas kernel bodies (ops/pallas_csw.py)."""
     npx = g.npx
     f = fi
     edges = getattr(g, "grid_type", 0) < 3
     f4 = fill_4corners_cell if edges else (lambda q, d, npx_: q)
-    ua, va, uc, vc, ut, vt = d2a2c_vect(u, v, g)
-    divg_d = divergence_corner(u, v, ua, va, g) if nord > 0 else None
+    ua, va, uc, vc, ut, vt = d2a2c_vect(u, v, g, in_kernel=in_kernel)
+    divg_d = (divergence_corner(u, v, ua, va, g, in_kernel=in_kernel)
+              if nord > 0 else None)
 
     ut_s = dt2 * ut * g.dy * jnp.where(ut > 0.0, _cl(g.sin_sg3), _cr(g.sin_sg1))
     vt_s = dt2 * vt * g.dx * jnp.where(vt > 0.0, _rl(g.sin_sg4), _rr(g.sin_sg2))
@@ -338,7 +545,32 @@ def c_sw(delp, pt, w, u, v, g, dt2, hydrostatic=True, nord=0, sw_mode=False):
     keneg = uc[..., :, 1:]
     vtpos = vc[..., :-1, :]
     vtneg = vc[..., 1:, :]
-    if edges:
+    if edges and in_kernel:
+        def ccol(a, i):
+            return a[..., :, f(i):f(i) + 1]
+
+        def crow(a, jf):
+            return a[..., f(jf):f(jf) + 1, :]
+
+        kepos = _sel_col(kepos, f(1), ccol(uc, 1) * ccol(g.sin_sg1, 1)
+                         + ccol(v, 1) * ccol(g.cos_sg1, 1))
+        kepos = _sel_col(kepos, f(npx), ccol(uc, npx) * ccol(g.sin_sg1, npx)
+                         + ccol(v, npx) * ccol(g.cos_sg1, npx))
+        keneg = _sel_col(keneg, f(0), ccol(uc, 1) * ccol(g.sin_sg3, 0)
+                         + ccol(v, 1) * ccol(g.cos_sg3, 0))
+        keneg = _sel_col(keneg, f(npx - 1),
+                         ccol(uc, npx) * ccol(g.sin_sg3, npx - 1)
+                         + ccol(v, npx) * ccol(g.cos_sg3, npx - 1))
+        vtpos = _sel_row(vtpos, f(1), crow(vc, 1) * crow(g.sin_sg2, 1)
+                         + crow(u, 1) * crow(g.cos_sg2, 1))
+        vtpos = _sel_row(vtpos, f(npx), crow(vc, npx) * crow(g.sin_sg2, npx)
+                         + crow(u, npx) * crow(g.cos_sg2, npx))
+        vtneg = _sel_row(vtneg, f(0), crow(vc, 1) * crow(g.sin_sg4, 0)
+                         + crow(u, 1) * crow(g.cos_sg4, 0))
+        vtneg = _sel_row(vtneg, f(npx - 1),
+                         crow(vc, npx) * crow(g.sin_sg4, npx - 1)
+                         + crow(u, npx) * crow(g.cos_sg4, npx - 1))
+    elif edges:
         kepos = kepos.at[..., :, f(1)].set(
             uc[..., :, f(1)] * g.sin_sg1[..., :, f(1)]
             + v[..., :, f(1)] * g.cos_sg1[..., :, f(1)])
@@ -372,7 +604,15 @@ def c_sw(delp, pt, w, u, v, g, dt2, hydrostatic=True, nord=0, sw_mode=False):
     fxc = uc * g.dxc
     fyc = vc * g.dyc
     circ = _rl(fxc) - _rr(fxc) - _cl(fyc) + _cr(fyc)
-    if edges:
+    if edges and in_kernel:
+        def pf(a, j, i):
+            return a[..., f(j):f(j) + 1, f(i):f(i) + 1]
+
+        circ = _sel_point(circ, f(1), f(1), pf(fyc, 1, 0), add=True)
+        circ = _sel_point(circ, f(1), f(npx), -pf(fyc, 1, npx), add=True)
+        circ = _sel_point(circ, f(npx), f(npx), -pf(fyc, npx, npx), add=True)
+        circ = _sel_point(circ, f(npx), f(1), pf(fyc, npx, 0), add=True)
+    elif edges:
         circ = circ.at[..., f(1), f(1)].add(fyc[..., f(1), f(0)])
         circ = circ.at[..., f(1), f(npx)].add(-fyc[..., f(1), f(npx)])
         circ = circ.at[..., f(npx), f(npx)].add(-fyc[..., f(npx), f(npx)])
@@ -381,13 +621,19 @@ def c_sw(delp, pt, w, u, v, g, dt2, hydrostatic=True, nord=0, sw_mode=False):
 
     # ---- transport absolute vorticity; update uc/vc ----------------------
     fy1v = dt2 * (v - uc * g.cosa_u) / g.sina_u
-    if edges:
+    if edges and in_kernel:
+        ixw = _ix(fy1v.shape[-1])
+        fy1v = jnp.where((ixw == f(1)) | (ixw == f(npx)), dt2 * v, fy1v)
+    elif edges:
         fy1v = fy1v.at[..., :, f(1)].set(dt2 * v[..., :, f(1)])
         fy1v = fy1v.at[..., :, f(npx)].set(dt2 * v[..., :, f(npx)])
     fyv = jnp.where(fy1v > 0.0, vortB[..., :-1, :], vortB[..., 1:, :])
 
     fx1u = dt2 * (u - vc * g.cosa_v) / g.sina_v
-    if edges:
+    if edges and in_kernel:
+        iyw = _iy(fx1u.shape[-2])
+        fx1u = jnp.where((iyw == f(1)) | (iyw == f(npx)), dt2 * u, fx1u)
+    elif edges:
         fx1u = fx1u.at[..., f(1), :].set(dt2 * u[..., f(1), :])
         fx1u = fx1u.at[..., f(npx), :].set(dt2 * u[..., f(npx), :])
     fxu = jnp.where(fx1u > 0.0, vortB[..., :, :-1], vortB[..., :, 1:])
@@ -395,9 +641,15 @@ def c_sw(delp, pt, w, u, v, g, dt2, hydrostatic=True, nord=0, sw_mode=False):
     wall_c = slice(f(1), f(npx) + 1)
     cell_c = slice(f(1), f(npx - 1) + 1)
     uc_inc = fy1v * fyv + g.rdxc * (_cl(ke) - _cr(ke))
-    uc = uc.at[..., cell_c, wall_c].add(uc_inc[..., cell_c, wall_c])
     vc_inc = -fx1u * fxu + g.rdyc * (_rl(ke) - _rr(ke))
-    vc = vc.at[..., wall_c, cell_c].add(vc_inc[..., wall_c, cell_c])
+    if in_kernel:
+        uc = _sel_region(uc, uc_inc, f(1), f(npx - 1) + 1,
+                         f(1), f(npx) + 1, add=True)
+        vc = _sel_region(vc, vc_inc, f(1), f(npx) + 1,
+                         f(1), f(npx - 1) + 1, add=True)
+    else:
+        uc = uc.at[..., cell_c, wall_c].add(uc_inc[..., cell_c, wall_c])
+        vc = vc.at[..., wall_c, cell_c].add(vc_inc[..., wall_c, cell_c])
 
     # ut_s/vt_s are the dt2-scaled area fluxes (reference c_sw's in-place
     # scaled ut/vt, sw_core.F90:214-229) consumed by update_dz_c

@@ -451,8 +451,16 @@ def dyn_core_hydro(delp, pt, u, v, phis, g, cfg: DynConfig, akap, ptop,
         pt_p = halo.pad_cell(pt)
         u_p, v_p = halo.pad_dgrid(u, v)
 
-        cs = sw_core.c_sw(delp_p, pt_p, None, u_p, v_p, g, dt2,
-                          hydrostatic=True, nord=cfg.nord, sw_mode=False)
+        from ..ops import pallas_csw
+        if pallas_csw.use_pallas_csw(delp_p,
+                                     getattr(g, "grid_type", 0) < 3, False):
+            # one Pallas program per (tile, level): whole C-grid half-step
+            # in VMEM (ops/pallas_csw.py)
+            cs = pallas_csw.c_sw_pallas(delp_p, pt_p, None, u_p, v_p, g,
+                                        dt2, hydrostatic=True, nord=cfg.nord)
+        else:
+            cs = sw_core.c_sw(delp_p, pt_p, None, u_p, v_p, g, dt2,
+                              hydrostatic=True, nord=cfg.nord, sw_mode=False)
         _, _, pkc, gzc, _ = geopk(cs.delpc, cs.ptc, phis_p, akap, ptop)
         uc, vc = p_grad_c(cs.uc, cs.vc, cs.delpc, pkc, gzc, g, dt2, npx)
         uc_p, vc_p = halo.pad_cgrid(uc[..., ctr, wsl], vc[..., wsl, ctr])
@@ -462,16 +470,25 @@ def dyn_core_hydro(delp, pt, u, v, phis, g, cfg: DynConfig, akap, ptop,
 
         # merged d_sw: the reference's per-sponge-group dispatch collapsed
         # into one full-K call with per-level damping profiles
-        ds = sw_core.d_sw(
-            delp_p, pt_p, None, u_p, v_p, uc_p, vc_p, cs.ua, cs.va,
-            divg_p, g,
+        from ..ops import pallas_dsw
+        dsw_kw = dict(
             dt=dt, hord_mt=cfg.hord_mt, hord_vt=cfg.hord_vt,
             hord_dp=cfg.hord_dp, hord_tm=cfg.hord_tm,
             dddmp=cfg.dddmp, d4_bg=cfg.d4_bg,
-            hydrostatic=True, sw_mode=False, lim_fac=cfg.lim_fac,
+            hydrostatic=True, lim_fac=cfg.lim_fac,
             **{k: pl[k] for k in ("nord", "nord_v", "d2_bg", "d_con",
                                   "nord_mask", "damp_v", "damp_v2",
                                   "nord_v2")})
+        if pallas_dsw.use_pallas_dsw(delp_p, getattr(g, "grid_type", 0) < 3,
+                                     cfg.dddmp, False, False):
+            # whole D-grid step per (tile, level) in VMEM (ops/pallas_dsw.py)
+            ds = pallas_dsw.d_sw_pallas(
+                delp_p, pt_p, None, u_p, v_p, uc_p, vc_p, cs.ua, cs.va,
+                divg_p, g, **dsw_kw)
+        else:
+            ds = sw_core.d_sw(
+                delp_p, pt_p, None, u_p, v_p, uc_p, vc_p, cs.ua, cs.va,
+                divg_p, g, sw_mode=False, **dsw_kw)
 
         divg2 = None
         if cfg.d_ext > 0.0 and divg_p is not None:
@@ -699,8 +716,15 @@ def dyn_core_nh(delp, pt, u, v, w, delz, phis, g, cfg: DynConfig, akap, ptop,
         zh_p = halo.pad_cell(zh)
         u_p, v_p = halo.pad_dgrid(u, v)
 
-        cs = sw_core.c_sw(delp_p, pt_p, w_p, u_p, v_p, g, dt2,
-                          hydrostatic=False, nord=cfg.nord, sw_mode=False)
+        from ..ops import pallas_csw, pallas_dsw
+        if pallas_csw.use_pallas_csw(delp_p,
+                                     getattr(g, "grid_type", 0) < 3, False):
+            cs = pallas_csw.c_sw_pallas(delp_p, pt_p, w_p, u_p, v_p, g, dt2,
+                                        hydrostatic=False, nord=cfg.nord)
+        else:
+            cs = sw_core.c_sw(delp_p, pt_p, w_p, u_p, v_p, g, dt2,
+                              hydrostatic=False, nord=cfg.nord,
+                              sw_mode=False)
         gz_c, ws3 = nh_core.update_dz_c(g, cs.ut, cs.vt, zh_p, zs_p, dp0,
                                         dt2, npx)
         pkc, gzc = nh_core.riem_solver_c(dt2, cs.delpc, cs.ptc, cs.wc, gz_c,
@@ -713,14 +737,21 @@ def dyn_core_nh(delp, pt, u, v, w, delz, phis, g, cfg: DynConfig, akap, ptop,
         if cfg.nord > 0:
             divg_p = halo.pad_corner(cs.divg_d[..., wsl, wsl])
 
-        ds = sw_core.d_sw(
-            delp_p, pt_p, w_p, u_p, v_p, uc_p, vc_p, cs.ua, cs.va,
-            divg_p, g,
+        dsw_kw = dict(
             dt=dt, hord_mt=cfg.hord_mt, hord_vt=cfg.hord_vt,
             hord_dp=cfg.hord_dp, hord_tm=cfg.hord_tm,
             dddmp=cfg.dddmp, d4_bg=cfg.d4_bg,
-            ke_bg=cfg.ke_bg, hydrostatic=False, sw_mode=False,
+            ke_bg=cfg.ke_bg, hydrostatic=False,
             lim_fac=cfg.lim_fac, **pl)
+        if pallas_dsw.use_pallas_dsw(delp_p, getattr(g, "grid_type", 0) < 3,
+                                     cfg.dddmp, False, False):
+            ds = pallas_dsw.d_sw_pallas(
+                delp_p, pt_p, w_p, u_p, v_p, uc_p, vc_p, cs.ua, cs.va,
+                divg_p, g, **dsw_kw)
+        else:
+            ds = sw_core.d_sw(
+                delp_p, pt_p, w_p, u_p, v_p, uc_p, vc_p, cs.ua, cs.va,
+                divg_p, g, sw_mode=False, **dsw_kw)
 
         delp = ds.delp
         pt = ds.pt

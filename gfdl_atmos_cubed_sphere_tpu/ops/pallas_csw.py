@@ -10,6 +10,9 @@ formulation with iota-masked selects for the edge/corner overrides (current
 Pallas TPU lowers static-slice .at[].set to scatter and jnp.flip to an
 unimplemented `rev`). Equivalence vs the XLA path is pinned by
 tests/test_pallas_csw.py (interpret mode, f64, 1e-12).
+
+Levels run kb=4 per program (K padded up): Mosaic compile time grows
+steeply with grid trip count (see ops/pallas_dsw.py).
 """
 
 import os
@@ -24,6 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 from . import sw_core
 
 H = 3
+KB = 4          # levels per program
 
 _METRICS = (
     "cosa_s", "rsin2", "dxa", "dya",
@@ -55,10 +59,18 @@ def c_sw_pallas(delp, pt, w, u, v, g, dt2, hydrostatic=True, nord=0,
     dtype = delp.dtype
     NC = n + 2 * H
     NW = n + 1 + 2 * H
+    kb = KB if K > 1 else 1
+    Kp = -(-K // kb) * kb
 
-    fields = [("delp", delp), ("pt", pt), ("u", u), ("v", v)]
+    def padk(a):
+        if a is None or Kp == K:
+            return a
+        return jnp.pad(a, [(0, 0), (0, Kp - K)] + [(0, 0)] * (a.ndim - 2))
+
+    fields = [("delp", padk(delp)), ("pt", padk(pt)), ("u", padk(u)),
+              ("v", padk(v))]
     if not hydrostatic:
-        fields.append(("w", w))
+        fields.append(("w", padk(w)))
     field_names = [nm for nm, _ in fields]
 
     out_shapes = {
@@ -81,8 +93,8 @@ def c_sw_pallas(delp, pt, w, u, v, g, dt2, hydrostatic=True, nord=0,
         fr = dict(zip(field_names, refs[:nf]))
         mr = dict(zip(_METRICS, refs[nf:nf + nm]))
         outs = dict(zip(out_names, refs[nf + nm:]))
-        sq = lambda r: r[0, 0]
-        gg = SimpleNamespace(**{k: sq(mr[k]) for k in _METRICS})
+        sq = lambda r: r[0]
+        gg = SimpleNamespace(**{k: mr[k][0, 0] for k in _METRICS})
         gg.npx = statics["npx"]
         gg.n = statics["n"]
         gg.grid_type = 0
@@ -96,9 +108,9 @@ def c_sw_pallas(delp, pt, w, u, v, g, dt2, hydrostatic=True, nord=0,
                 hydrostatic=statics["hydrostatic"], nord=statics["nord"],
                 sw_mode=False, in_kernel=True)
         for nm_ in out_names:
-            outs[nm_][0, 0] = getattr(cs, nm_)
+            outs[nm_][0] = getattr(cs, nm_)
 
-    fspec = lambda a: pl.BlockSpec((1, 1) + a.shape[-2:],
+    fspec = lambda a: pl.BlockSpec((1, kb) + a.shape[-2:],
                                    (lambda t, k: (t, k, 0, 0)),
                                    memory_space=pltpu.VMEM)
     mspec = lambda a: pl.BlockSpec((1, 1) + a.shape[-2:],
@@ -107,16 +119,16 @@ def c_sw_pallas(delp, pt, w, u, v, g, dt2, hydrostatic=True, nord=0,
     marrs = [jnp.asarray(getattr(g, nm), dtype) for nm in _METRICS]
     ins = [a for _, a in fields] + marrs
     in_specs = [fspec(a) for _, a in fields] + [mspec(a) for a in marrs]
-    out_specs = [pl.BlockSpec((1, 1) + out_shapes[nm],
+    out_specs = [pl.BlockSpec((1, kb) + out_shapes[nm],
                               (lambda t, k: (t, k, 0, 0)),
                               memory_space=pltpu.VMEM)
                  for nm in out_names]
-    out_shape = [jax.ShapeDtypeStruct((T, K) + out_shapes[nm], dtype)
+    out_shape = [jax.ShapeDtypeStruct((T, Kp) + out_shapes[nm], dtype)
                  for nm in out_names]
 
     outs = pl.pallas_call(
         kernel,
-        grid=(T, K),
+        grid=(T, Kp // kb),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -125,7 +137,7 @@ def c_sw_pallas(delp, pt, w, u, v, g, dt2, hydrostatic=True, nord=0,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*ins)
-    od = dict(zip(out_names, outs))
+    od = {nm: (a if Kp == K else a[:, :K]) for nm, a in zip(out_names, outs)}
     return SimpleNamespace(
         delpc=od["delpc"], ptc=od["ptc"], wc=od.get("wc"),
         uc=od["uc"], vc=od["vc"], ua=od["ua"], va=od["va"],

@@ -83,6 +83,13 @@ class MPConfig:
     c_psacw: float = 1.0       # snow-cloud water accretion (gfdl_mp.F90)
     c_pgaci: float = 0.05      # graupel-ice accretion efficiency
     c_pgacr: float = 1.0       # graupel-rain accretion (freezing)
+    c_praci: float = 1.0       # cloud ice to rain accretion efficiency
+    c_pracs: float = 1.0       # snow to rain accretion efficiency
+    c_psacr: float = 1.0       # rain to snow accretion efficiency
+    c_pgacs: float = 0.01      # snow to graupel accretion efficiency
+    fi2s_fac: float = 1.0      # max sink fraction: cloud ice -> snow
+    fs2g_fac: float = 1.0      # max sink fraction: snow -> graupel
+    qs_mlt: float = 1.0e-6     # max cloud water from melted snow (kg/kg)
     rh_inc: float = 0.25
     rh_inr: float = 0.25       # rain evap rh threshold increment
     t_min: float = 178.0
@@ -97,10 +104,55 @@ class MPConfig:
     vg_max: float = 12.0
     do_sedi_heat: bool = True
     do_warm_rain_mp: bool = False
+    # PSD parameters (gfdl_mp_nml:339-377 defaults)
+    n0w_sig: float = 1.1
+    n0i_sig: float = 1.3
+    n0r_sig: float = 8.0
+    n0s_sig: float = 3.0
+    n0g_sig: float = 4.0
+    n0w_exp: float = 41.0
+    n0i_exp: float = 18.0
+    n0r_exp: float = 6.0
+    n0s_exp: float = 6.0
+    n0g_exp: float = 6.0
+    muw: float = 6.0
+    mui: float = 3.35
+    mur: float = 1.0
+    mus: float = 1.0
+    mug: float = 1.0
+    alinw: float = 3.0e7
+    alini: float = 7.0e2
+    alinr: float = 842.0
+    alins: float = 4.8
+    aling: float = 1.0
+    blinw: float = 2.0
+    blini: float = 1.0
+    blinr: float = 0.8
+    blins: float = 0.25
+    bling: float = 0.5
+    rhow: float = 1.0e3
+    rhoi: float = 9.17e2
+    rhor: float = 1.0e3
+    rhos: float = 1.0e2
+    rhog: float = 4.0e2
 
     @property
     def t_wfr(self):
         return self.t_min if self.do_warm_rain_mp else TICE - 40.0
+
+    @property
+    def coeffs(self):
+        """Full Lin-scheme PSD coefficient pack (physics/mp_coeffs.py),
+        cached per config."""
+        c = _COEFF_CACHE.get(self)
+        if c is None:
+            from .mp_coeffs import build_coeffs
+            c = build_coeffs(self)
+            _COEFF_CACHE[self] = c
+        return c
+
+
+_COEFF_CACHE = {}
 
 
 def _tv_coeffs(alin, blin, mu, n0_sig, n0_exp, rho_x, extra=1.0):
@@ -156,6 +208,121 @@ def iqs(t, p):
     return qs, dqdt
 
 
+def wqs_den(t, den):
+    """Saturation mixing ratio over water from DENSITY (gfdl_mp.F90 wqs:
+    qsat = es / (rvgas * t * den)) + d(qs)/dT."""
+    es = es_water(t)
+    qs = es / (con.RVGAS * t * jnp.maximum(den, 1e-10))
+    dqdt = qs * (DC_VAP + LV0 / t) / (con.RVGAS * t)
+    return qs, dqdt
+
+
+def iqs_den(t, den):
+    """Saturation over ice from density (gfdl_mp.F90 iqs)."""
+    es = es_ice(t)
+    qs = es / (con.RVGAS * t * jnp.maximum(den, 1e-10))
+    dqdt = qs * (D2_ICE + LI2 / t) / (con.RVGAS * t)
+    return qs, dqdt
+
+
+# ---------------------------------------------------------------------------
+# Lin et al. (1983) accretion / ventilation kernels (gfdl_mp.F90:5490-5616)
+# ---------------------------------------------------------------------------
+
+def acr2d(qden, c, denfac, blin, mu):
+    """Accretion of a suspended species by a falling species (acr2d:5490)."""
+    return denfac * c * jnp.exp((2 + mu + blin) / (mu + 3)
+                                * jnp.log(jnp.maximum(6.0 * qden, 1e-20)))
+
+
+def acr3d(v1, v2, q1, q2, c, acco_k, acc1, acc2, den):
+    """Accretion between two falling species (acr3d:5510, vdiffflag=1).
+    q1 is collected by q2; acco_k = acco[:, k] (3 moments)."""
+    lt1 = jnp.log(jnp.maximum(6.0 * q1 * den, 1e-20)) / (acc1 + 3)
+    lt2 = jnp.log(jnp.maximum(6.0 * q2 * den, 1e-20)) / (acc2 + 3)
+    vdiff = jnp.abs(v1 - v2)
+    tmp = 0.0
+    for i in (1, 2, 3):
+        tmp = tmp + acco_k[i - 1] * jnp.exp((6 + acc1 - i) * lt1
+                                            + (acc2 + i - 1) * lt2)
+    return c * vdiff / den * tmp
+
+
+def vent_coeff(qden, c1, c2, denfac, blin, mu):
+    """Ventilation coefficient (vent_coeff:5552)."""
+    lq = jnp.log(jnp.maximum(6.0 * qden, 1e-20))
+    return c1 + c2 * jnp.exp((3 + 2 * mu + blin) / (mu + 3) / 2 * lq) \
+        * jnp.sqrt(denfac) / jnp.exp((1 + mu) / (mu + 3) * lq)
+
+
+def pmlt(tc, dq, qden, pxacw, pxacr, c4, den, denfac, blin, mu,
+         lcpk, icpk, cvm):
+    """Melt rate of snow/graupel incl. accreted-water enhancement
+    (pmlt:5597)."""
+    lq = jnp.log(jnp.maximum(6.0 * qden, 1e-20))
+    return ((c4[0] / (icpk * cvm) * tc / den - c4[1] * lcpk / icpk * dq)
+            * jnp.exp((1 + mu) / (mu + 3) * lq)
+            * vent_coeff(qden, c4[2], c4[3], denfac, blin, mu)
+            + C_LIQ / (icpk * cvm) * tc * (pxacw + pxacr))
+
+
+def psub(t2, dq, qden, qsat, c5, den, denfac, blin, mu, cpk, cvm):
+    """Sublimation/evaporation rate with ventilation (psub:5569)."""
+    lq = jnp.log(jnp.maximum(6.0 * qden, 1e-20))
+    return (c5[0] * t2 * dq * jnp.exp((1 + mu) / (mu + 3) * lq)
+            * vent_coeff(qden, c5[1], c5[2], denfac, blin, mu)
+            / (c5[3] * t2 + c5[4] * (cpk * cvm) ** 2 * qsat * den))
+
+
+def _acco_k(co, k):
+    """acco(:, k) column (1-based k, matching the reference pair table)."""
+    return [co.acco[0][k - 1], co.acco[1][k - 1], co.acco[2][k - 1]]
+
+
+def _mhc(qv, ql, qr, qi, qs, qg):
+    """Moist heat capacity (gfdl_mp.F90 mhc)."""
+    q_liq = ql + qr
+    q_sol = qi + qs + qg
+    return ((1.0 - (qv + q_liq + q_sol)) * CV_AIR + qv * CV_VAP
+            + q_liq * C_LIQ + q_sol * C_ICE)
+
+
+def _cal_mhc_lhc(t, qv, ql, qr, qi, qs, qg, t_wfr):
+    """cvm, the conserved moist energy te8 = cvm*T - lv00*qv + li00*qsol,
+    and the latent-heat factors (cal_mhc_lhc / update_qt)."""
+    cvm = _mhc(qv, ql, qr, qi, qs, qg)
+    # conserved moist internal energy: te8 = cvm*T + lv00*qv - li00*q_sol
+    # (update_qt:6983 recovers T as (te8 - lv00*qv + li00*q_sol)/cvm)
+    te8 = cvm * t + LV0 * qv - LI0 * (qi + qs + qg)
+    lcpk = (LV0 + DC_VAP * t) / cvm
+    icpk = (LI0 + DC_ICE * t) / cvm
+    tcpk = (LI2 + (DC_VAP + DC_ICE) * t) / cvm
+    tcp3 = lcpk + icpk * jnp.minimum(
+        1.0, jnp.maximum(TICE - t, 0.0) / (TICE - t_wfr))
+    return cvm, te8, lcpk, icpk, tcpk, tcp3
+
+
+def _update_qt(st, dqv, dql, dqr, dqi, dqs, dqg):
+    """Apply increments and recover T from the conserved te8 (update_qt:
+    6951) — exact phase-change energy bookkeeping. st is a dict with keys
+    t, qv, ql, qr, qi, qs, qg, te8, t_wfr; cvm/lcpk/... are refreshed."""
+    st["qv"] = st["qv"] + dqv
+    st["ql"] = st["ql"] + dql
+    st["qr"] = st["qr"] + dqr
+    st["qi"] = st["qi"] + dqi
+    st["qs"] = st["qs"] + dqs
+    st["qg"] = st["qg"] + dqg
+    cvm = _mhc(st["qv"], st["ql"], st["qr"], st["qi"], st["qs"], st["qg"])
+    t = (st["te8"] - LV0 * st["qv"]
+         + LI0 * (st["qi"] + st["qs"] + st["qg"])) / cvm
+    st["t"] = t
+    st["cvm"] = cvm
+    st["lcpk"] = (LV0 + DC_VAP * t) / cvm
+    st["icpk"] = (LI0 + DC_ICE * t) / cvm
+    st["tcpk"] = (LI2 + (DC_VAP + DC_ICE) * t) / cvm
+    return st
+
+
 def _heat_capacities(qv, ql, qr, qi, qs, qg, t):
     """Moist heat capacity + latent-heat factors (setup_mhc_lhc:1120 /
     neg_adj-style lcpk/icpk)."""
@@ -170,11 +337,11 @@ def _heat_capacities(qv, ql, qr, qi, qs, qg, t):
 
 def terminal_velocity(name, q, den, denfac, cfg: MPConfig):
     """Lin et al. (1983) PSD mass-weighted fall speed (term_rsg:2385)."""
-    a, b = _TV[name]
-    fac = {"qr": cfg.vr_fac, "qi": cfg.vi_fac,
-           "qs": cfg.vs_fac, "qg": cfg.vg_fac}[name]
-    vmax = {"qr": cfg.vr_max, "qi": cfg.vi_max,
-            "qs": cfg.vs_max, "qg": cfg.vg_max}[name]
+    a, b = cfg.coeffs.tv[name]
+    fac = {"qr": cfg.vr_fac, "qi": cfg.vi_fac, "qs": cfg.vs_fac,
+           "qg": cfg.vg_fac, "qw": 1.0}[name]
+    vmax = {"qr": cfg.vr_max, "qi": cfg.vi_max, "qs": cfg.vs_max,
+            "qg": cfg.vg_max, "qw": 0.5}[name]
     qden = jnp.maximum(6.0 * q * den, 1.0e-20)
     vt = fac * a * jnp.exp(b * jnp.log(qden)) * denfac
     return jnp.where(q < QFMIN, 0.0, jnp.clip(vt, 0.0, vmax))
@@ -247,30 +414,34 @@ def sedimentation(t, qv, ql, qr, qi, qs, qg, dp, dz, den, denfac, dts,
 def warm_rain(t, qv, ql, qr, qi, qs, qg, p_lay, den, denfac, dts,
               cfg: MPConfig):
     """praut + pracw + prevp (warm_rain:2792 children)."""
+    co = cfg.coeffs
     # -- autoconversion ql -> qr above threshold (praut:3006, no-subgrid) --
     sink = jnp.maximum(0.0, ql - cfg.ql0_max) * (1.0 - jnp.exp(-dts / 300.0))
     sink = cfg.c_paut * sink
     ql = ql - sink
     qr = qr + sink
 
-    # -- accretion of cloud water by rain (pracw:2950, acr2d form) ---------
-    a, b = _TV["qr"]
-    qden = jnp.maximum(6.0 * qr * den, 1.0e-20)
-    acc = cfg.c_pracw * ql * dts * a * jnp.exp(b * jnp.log(qden)) * denfac
-    acc = jnp.minimum(acc, ql)
-    acc = jnp.where(qr > QCMIN, acc, 0.0)
+    # -- accretion of cloud water by rain (pracw:2950, exact acr2d form) ---
+    fac = dts * acr2d(qr * den, co.cracw, denfac, co.blin["qr"], co.mu["qr"])
+    acc = fac / (1.0 + fac) * ql
+    acc = jnp.where((qr > QCMIN) & (ql > QCMIN) & (t > cfg.t_wfr), acc, 0.0)
     ql = ql - acc
     qr = qr + acc
 
-    # -- rain evaporation toward (sub)saturation (prevp:2840) --------------
-    qsat, dqdt = wqs(t, p_lay)
+    # -- rain evaporation with ventilation (prevp:2840 / psub:5569) --------
     cvm, lcpk, _ = _heat_capacities(qv, ql, qr, qi, qs, qg, t)
+    qsat, dqdt = wqs_den(t, den)
     dq = qsat - qv
-    t_wfr = cfg.t_wfr
-    can_evap = (t > t_wfr) & (qr > QCMIN) & (dq > 0.0)
+    fac_revp = 1.0 - math.exp(-dts / cfg.tau_revp) if cfg.tau_revp > 1e-6 \
+        else 1.0
+    t2 = t * t
+    rate = psub(t2, dq, qr * den, qsat, co.crevp, den, denfac,
+                co.blin["qr"], co.mu["qr"], lcpk, cvm)
+    can_evap = (t > cfg.t_wfr) & (qr > QCMIN) & (dq > 0.0)
     evap = jnp.where(can_evap,
-                     jnp.minimum(qr, dts / cfg.tau_revp * dq
-                                 / (1.0 + lcpk * dqdt)), 0.0)
+                     jnp.minimum(qr, jnp.minimum(
+                         dts * fac_revp * rate,
+                         dq / (1.0 + lcpk * dqdt))), 0.0)
     qr = qr - evap
     qv = qv + evap
     t = t - evap * lcpk
@@ -279,120 +450,202 @@ def warm_rain(t, qv, ql, qr, qi, qs, qg, p_lay, den, denfac, dts,
 
 def ice_cloud(t, qv, ql, qr, qi, qs, qg, p_lay, den, denfac, dts,
               cfg: MPConfig):
-    """Ice-phase processes (ice_cloud:3116 children), tau-form."""
-    cvm, lcpk, icpk = _heat_capacities(qv, ql, qr, qi, qs, qg, t)
+    """Ice-phase processes in the reference order (ice_cloud:3116): pimlt,
+    pifr, psmlt (pmlt form with psacw/psacr/pracs melt enhancement), pgmlt
+    (with pgacw/pgacr), psaci, psaut, pgaci, psacr + pgfr (Bigg freezing),
+    pgacs, pgaut, pgacw + pgacr. Every transfer goes through the conserved
+    moist-energy update (update_qt:6951), so each process is exactly
+    energy-closed."""
+    co = cfg.coeffs
+    t_wfr = cfg.t_wfr
 
-    # pimlt: cloud ice melting above freezing (pimlt:3244)
-    melt = jnp.where((qi > QCMIN) & (t > TICE),
-                     jnp.minimum(qi, (t - TICE) / icpk), 0.0)
-    qi = qi - melt
-    ql = ql + melt
-    t = t - melt * icpk
+    st = dict(t=t, qv=qv, ql=ql, qr=qr, qi=qi, qs=qs, qg=qg)
+    cvm, te8, lcpk, icpk, tcpk, tcp3 = _cal_mhc_lhc(
+        t, qv, ql, qr, qi, qs, qg, t_wfr)
+    st.update(cvm=cvm, te8=te8, lcpk=lcpk, icpk=icpk, tcpk=tcpk)
 
-    # pifr: instant freezing of cloud water below t_wfr (pifr:3303)
-    frez = jnp.where((ql > QCMIN) & (t < cfg.t_wfr),
-                     jnp.minimum(ql, (cfg.t_wfr - t) / icpk), 0.0)
-    ql = ql - frez
-    qi = qi + frez
-    t = t + frez * icpk
+    def tvel(name, q):
+        return terminal_velocity(name, q, den, denfac, cfg)
 
-    # psaut: ice -> snow autoconversion above qi0_crt (psaut:3599)
+    zero = jnp.zeros_like(t)
+
+    # ---- pimlt: cloud ice melting -> cloud water (up to ql_mlt) + rain ---
+    melt = jnp.where((st["qi"] > QCMIN) & (st["t"] > TICE),
+                     jnp.minimum(st["qi"], (st["t"] - TICE) / st["icpk"]),
+                     0.0)
+    to_l = jnp.minimum(melt, jnp.maximum(0.0, cfg.ql0_max - st["ql"]))
+    st = _update_qt(st, zero, to_l, melt - to_l, -melt, zero, zero)
+
+    # ---- pifr: homogeneous freezing of cloud water below t_wfr -----------
+    frez = jnp.where((st["ql"] > QCMIN) & (st["t"] < t_wfr),
+                     jnp.minimum(st["ql"], (t_wfr - st["t"]) / st["icpk"]),
+                     0.0)
+    st = _update_qt(st, zero, -frez, zero, frez, zero, zero)
+
+    # ---- psmlt: snow melt with accreted water (psmlt:3362) ---------------
+    vtw = tvel("qw", st["ql"])
+    vtr = tvel("qr", st["qr"])
+    vts = tvel("qs", st["qs"])
+    vtg = tvel("qg", st["qg"])
+    vti = tvel("qi", st["qi"])
+    tc = st["t"] - TICE
+    warm_s = (tc >= 0.0) & (st["qs"] > QCMIN)
+    qden_s = st["qs"] * den
+    fac = acr2d(qden_s, co.csacw, denfac, co.blin["qs"], co.mu["qs"])
+    psacw = jnp.where(st["ql"] > QCMIN, fac / (1.0 + dts * fac) * st["ql"],
+                      0.0)
+    psacr = jnp.where(st["qr"] > QCMIN,
+                      jnp.minimum(acr3d(vts, vtr, st["qr"], st["qs"],
+                                        co.csacr, _acco_k(co, 2),
+                                        co.acc[2], co.acc[3], den),
+                                  st["qr"] / dts), 0.0)
+    pracs = jnp.where(st["qr"] > QCMIN,
+                      acr3d(vtr, vts, st["qs"], st["qr"], co.cracs,
+                            _acco_k(co, 1), co.acc[0], co.acc[1], den), 0.0)
+    qsi, _ = iqs_den(st["t"], den)
+    dq = qsi - st["qv"]
+    rate = jnp.maximum(0.0, pmlt(tc, dq, qden_s, psacw, psacr, co.csmlt,
+                                 den, denfac, co.blin["qs"], co.mu["qs"],
+                                 st["lcpk"], st["icpk"], st["cvm"]))
+    sink = jnp.minimum(st["qs"],
+                       jnp.minimum((rate + pracs) * dts,
+                                   jnp.maximum(tc, 0.0) / st["icpk"]))
+    sink = jnp.where(warm_s, sink, 0.0)
+    tmp = jnp.minimum(sink, jnp.maximum(0.0, cfg.qs_mlt - st["ql"]))
+    st = _update_qt(st, zero, tmp, sink - tmp, zero, -sink, zero)
+
+    # ---- pgmlt: graupel melt (pgmlt:3447) --------------------------------
+    tc = st["t"] - TICE
+    warm_g = (tc >= 0.0) & (st["qg"] > QCMIN)
+    qden_g = st["qg"] * den
+    fac = acr2d(qden_g, co.cgacw, denfac, co.blin["qg"], co.mu["qg"])
+    pgacw = jnp.where(st["ql"] > QCMIN, fac / (1.0 + dts * fac) * st["ql"],
+                      0.0)
+    pgacr = jnp.where(st["qr"] > QCMIN,
+                      jnp.minimum(acr3d(vtg, vtr, st["qr"], st["qg"],
+                                        co.cgacr, _acco_k(co, 3),
+                                        co.acc[4], co.acc[5], den),
+                                  st["qr"] / dts), 0.0)
+    qsi, _ = iqs_den(st["t"], den)
+    dq = qsi - st["qv"]
+    rate = jnp.maximum(0.0, pmlt(tc, dq, qden_g, pgacw, pgacr, co.cgmlt,
+                                 den, denfac, co.blin["qg"], co.mu["qg"],
+                                 st["lcpk"], st["icpk"], st["cvm"]))
+    sink = jnp.minimum(st["qg"],
+                       jnp.minimum(rate * dts,
+                                   jnp.maximum(tc, 0.0) / st["icpk"]))
+    sink = jnp.where(warm_g, sink, 0.0)
+    st = _update_qt(st, zero, zero, sink, zero, zero, -sink)
+
+    # ---- psaci: snow accretion of cloud ice (psaci:3536) -----------------
+    tc = st["t"] - TICE
+    cold_i = (tc < 0.0) & (st["qi"] > QCMIN)
+    fac = dts * acr2d(st["qs"] * den, co.csaci, denfac,
+                      co.blin["qs"], co.mu["qs"])
+    sink = jnp.where(cold_i & (st["qs"] > QCMIN),
+                     fac / (1.0 + fac) * st["qi"], 0.0)
+    sink = jnp.minimum(cfg.fi2s_fac * st["qi"], sink)
+    st = _update_qt(st, zero, zero, zero, -sink, sink, zero)
+
+    # ---- psaut: ice -> snow autoconversion (psaut:3599) ------------------
+    tc = st["t"] - TICE
     qi0 = cfg.qi0_crt / jnp.maximum(den, 1e-10)
-    saut = jnp.maximum(0.0, qi - qi0) * (1.0 - jnp.exp(-dts / cfg.tau_i2s))
-    qi = qi - saut
-    qs = qs + saut
+    fac_i2s = 1.0 - math.exp(-dts / cfg.tau_i2s)
+    tmp = fac_i2s * jnp.exp(0.025 * tc)
+    sink = jnp.where(tc < 0.0,
+                     tmp * jnp.maximum(0.0, st["qi"] - qi0), 0.0)
+    sink = jnp.minimum(cfg.fi2s_fac * st["qi"], sink)
+    st = _update_qt(st, zero, zero, zero, -sink, sink, zero)
 
-    # psaci: accretion of ice by snow (psaci:3536, acr2d form)
-    a, b = _TV["qs"]
-    qden = jnp.maximum(6.0 * qs * den, 1.0e-20)
-    aci = cfg.c_psaci * qi * dts * a * jnp.exp(b * jnp.log(qden)) * denfac
-    aci = jnp.where(qs > QCMIN, jnp.minimum(aci, qi), 0.0)
-    qi = qi - aci
-    qs = qs + aci
+    # ---- pgaci: graupel accretion of cloud ice (pgaci:3665) --------------
+    tc = st["t"] - TICE
+    fac = dts * acr2d(st["qg"] * den, co.cgaci, denfac,
+                      co.blin["qg"], co.mu["qg"])
+    sink = jnp.where((tc < 0.0) & (st["qi"] > QCMIN) & (st["qg"] > QCMIN),
+                     fac / (1.0 + fac) * st["qi"], 0.0)
+    st = _update_qt(st, zero, zero, zero, -sink, zero, sink)
 
-    # pgaut: snow -> graupel above qs0_crt (pgaut:3854)
+    # ---- psacr + pgfr: snow accretes rain; Bigg rain freezing ------------
+    tc = st["t"] - TICE
+    active = (tc < 0.0) & (st["qr"] > QCMIN)
+    vtr = tvel("qr", st["qr"])
+    vts = tvel("qs", st["qs"])
+    psacr = jnp.where(st["qs"] > QCMIN,
+                      dts * acr3d(vts, vtr, st["qr"], st["qs"], co.csacr, _acco_k(co, 2),
+                                  co.acc[2], co.acc[3], den), 0.0)
+    pgfr = (dts * co.cgfr[0] / jnp.maximum(den, 1e-10)
+            * (jnp.exp(-co.cgfr[1] * tc) - 1.0)
+            * jnp.exp((6 + co.mu["qr"]) / (co.mu["qr"] + 3)
+                      * jnp.log(jnp.maximum(6.0 * st["qr"] * den, 1e-20))))
+    tot = psacr + pgfr
+    factor = jnp.where(active,
+                       jnp.minimum(jnp.minimum(tot, st["qr"]),
+                                   jnp.maximum(-tc, 0.0) / st["icpk"])
+                       / jnp.maximum(tot, QCMIN), 0.0)
+    psacr = factor * psacr
+    pgfr = factor * pgfr
+    sink = jnp.minimum(st["qr"], psacr + pgfr)
+    st = _update_qt(st, zero, zero, -sink, zero, psacr, pgfr)
+
+    # ---- pgacs: graupel accretion of snow (pgacs:3803) -------------------
+    vts = tvel("qs", st["qs"])
+    vtg = tvel("qg", st["qg"])
+    sink = jnp.where((st["t"] < TICE) & (st["qs"] > QCMIN)
+                     & (st["qg"] > QCMIN),
+                     dts * acr3d(vtg, vts, st["qs"], st["qg"], co.cgacs, _acco_k(co, 4),
+                                 co.acc[6], co.acc[7], den), 0.0)
+    sink = jnp.minimum(cfg.fs2g_fac * st["qs"], sink)
+    st = _update_qt(st, zero, zero, zero, zero, -sink, sink)
+
+    # ---- pgaut: snow -> graupel autoconversion (pgaut:3854) --------------
+    tc = st["t"] - TICE
     qs0 = cfg.qs0_crt / jnp.maximum(den, 1e-10)
-    gaut = jnp.maximum(0.0, qs - qs0) * (1.0 - jnp.exp(-dts / cfg.tau_i2s))
-    qs = qs - gaut
-    qg = qg + gaut
+    fac_s2g = 1.0 - math.exp(-dts / cfg.tau_i2s)
+    sink = jnp.where(tc < 0.0,
+                     fac_s2g * jnp.exp(0.09 * tc)
+                     * jnp.maximum(0.0, st["qs"] - qs0), 0.0)
+    sink = jnp.minimum(cfg.fs2g_fac * st["qs"], sink)
+    st = _update_qt(st, zero, zero, zero, zero, -sink, sink)
 
-    # pgacw: accretion of cloud water by graupel -> graupel (freezing)
-    a, b = _TV["qg"]
-    qden = jnp.maximum(6.0 * qg * den, 1.0e-20)
-    gacw = cfg.c_pgacw * ql * dts * a * jnp.exp(b * jnp.log(qden)) * denfac
-    gacw = jnp.where((qg > QCMIN) & (t < TICE), jnp.minimum(gacw, ql), 0.0)
-    ql = ql - gacw
-    qg = qg + gacw
-    t = t + gacw * icpk
+    # ---- pgacw + pgacr: graupel accretes cloud water & rain (freezing) ---
+    tc = st["t"] - TICE
+    active = (tc < 0.0) & (st["qg"] > QCMIN)
+    qden_g = st["qg"] * den
+    fac = dts * acr2d(qden_g, co.cgacw, denfac, co.blin["qg"], co.mu["qg"])
+    pgacw = jnp.where(st["ql"] > QCMIN, fac / (1.0 + fac) * st["ql"], 0.0)
+    vtr = tvel("qr", st["qr"])
+    vtg = tvel("qg", st["qg"])
+    pgacr = jnp.where(st["qr"] > QCMIN,
+                      jnp.minimum(dts * acr3d(vtg, vtr, st["qr"], st["qg"],
+                                              co.cgacr, _acco_k(co, 3),
+                                              co.acc[4], co.acc[5], den),
+                                  st["qr"]), 0.0)
+    tot = pgacr + pgacw
+    factor = jnp.where(active,
+                       jnp.minimum(tot, jnp.maximum(-tc, 0.0) / st["icpk"])
+                       / jnp.maximum(tot, QCMIN), 0.0)
+    pgacw = factor * pgacw
+    pgacr = factor * pgacr
+    st = _update_qt(st, zero, -pgacw, -pgacr, zero, zero, pgacw + pgacr)
 
-    # psacw: accretion of cloud water by snow (psacw:3318, acr2d form);
-    # below freezing the rimed water freezes onto snow (latent heating),
-    # above freezing it sheds to rain
-    a, b = _TV["qs"]
-    qden = jnp.maximum(6.0 * qs * den, 1.0e-20)
-    sacw = cfg.c_psacw * ql * dts * a * jnp.exp(b * jnp.log(qden)) * denfac
-    sacw = jnp.where(qs > QCMIN, jnp.minimum(sacw, ql), 0.0)
-    ql = ql - sacw
-    frz = t < TICE
-    qs = qs + jnp.where(frz, sacw, 0.0)
-    qr = qr + jnp.where(frz, 0.0, sacw)
-    t = t + jnp.where(frz, sacw * icpk, 0.0)
+    # ---- psdep / pssub: snow deposition/sublimation with ventilation -----
+    cold = st["t"] < TICE
+    qsi, disdt = iqs_den(st["t"], den)
+    dqi = st["qv"] - qsi
+    t2 = st["t"] * st["t"]
+    rate = psub(t2, -dqi, st["qs"] * den, qsi, co.cssub, den, denfac,
+                co.blin["qs"], co.mu["qs"], st["tcpk"], st["cvm"])
+    # rate > 0 for subsaturation (sublimation); < 0 for deposition
+    sub = jnp.where(cold & (dqi < 0.0) & (st["qs"] > QCMIN),
+                    jnp.minimum(st["qs"], dts * rate), 0.0)
+    dep = jnp.where(cold & (dqi > 0.0) & (st["qs"] > QCMIN),
+                    jnp.minimum(-dts * rate,
+                                dqi / (1.0 + st["tcpk"] * disdt)), 0.0)
+    sink = dep - sub
+    st = _update_qt(st, -sink, zero, zero, zero, sink, zero)
 
-    # pgaci: accretion of cloud ice by graupel (pgaci:3789)
-    a, b = _TV["qg"]
-    qden = jnp.maximum(6.0 * qg * den, 1.0e-20)
-    gaci = cfg.c_pgaci * qi * dts * a * jnp.exp(b * jnp.log(qden)) * denfac
-    gaci = jnp.where((qg > QCMIN) & (t < TICE), jnp.minimum(gaci, qi), 0.0)
-    qi = qi - gaci
-    qg = qg + gaci
-
-    # pgacr: accretion (freezing) of rain by graupel below TICE (pgacr:3693)
-    gacr = cfg.c_pgacr * qr * dts * a * jnp.exp(b * jnp.log(qden)) * denfac
-    gacr = jnp.where((qg > QCMIN) & (t < TICE), jnp.minimum(gacr, qr), 0.0)
-    gacr = jnp.minimum(gacr, jnp.maximum(0.0, (TICE - t) / icpk))
-    qr = qr - gacr
-    qg = qg + gacr
-    t = t + gacr * icpk
-
-    # pgfr: freezing of rain to graupel below t_wfr (pgfr:3651, tau form)
-    gfr = jnp.where((qr > QCMIN) & (t < cfg.t_wfr),
-                    jnp.minimum(qr * (1.0 - jnp.exp(-dts / cfg.tau_g2r)),
-                                jnp.maximum(0.0, (cfg.t_wfr - t) / icpk)),
-                    0.0)
-    qr = qr - gfr
-    qg = qg + gfr
-    t = t + gfr * icpk
-
-    # psdep / pssub: snow deposition/sublimation toward ice saturation
-    # (psdep_pssub:3406 tau form)
-    qsi, disdt = iqs(t, p_lay)
-    dqi = qv - qsi
-    cold = t < TICE
-    sdep = jnp.where(cold & (dqi > 0.0) & (qs > QCMIN),
-                     dqi / (1.0 + (lcpk + icpk) * disdt)
-                     * (1.0 - jnp.exp(-dts / cfg.tau_i2s)), 0.0)
-    ssub = jnp.where(cold & (dqi < 0.0) & (qs > QCMIN),
-                     jnp.minimum(qs, -dqi / (1.0 + (lcpk + icpk) * disdt))
-                     * (1.0 - jnp.exp(-dts / cfg.tau_i2s)), 0.0)
-    sink = sdep - ssub
-    qv = qv - sink
-    qs = qs + sink
-    t = t + sink * (lcpk + icpk)
-
-    # psmlt / pgmlt: tau-based melting above freezing (psmlt:3362, :3447)
-    smlt = jnp.where((qs > QCMIN) & (t > TICE),
-                     jnp.minimum(qs, jnp.minimum(
-                         dts / cfg.tau_smlt * qs, (t - TICE) / icpk)), 0.0)
-    qs = qs - smlt
-    qr = qr + smlt
-    t = t - smlt * icpk
-    gmlt = jnp.where((qg > QCMIN) & (t > TICE),
-                     jnp.minimum(qg, jnp.minimum(
-                         dts / cfg.tau_gmlt * qg, (t - TICE) / icpk)), 0.0)
-    qg = qg - gmlt
-    qr = qr + gmlt
-    t = t - gmlt * icpk
-    return t, qv, ql, qr, qi, qs, qg
+    return (st["t"], st["qv"], st["ql"], st["qr"], st["qi"], st["qs"],
+            st["qg"])
 
 
 def sat_adjust(t, qv, ql, qr, qi, qs, qg, p_lay, dts, cfg: MPConfig):

@@ -72,18 +72,13 @@ def remap_hydro(delp, ptv, u, v, q, pe_pad, peln_pad, pkz, ak, bk, g, cfg,
     q_new = {}
     if q:
         names_q = list(q.keys())
-        # serialize over tracers (lax.map) so the remap's fused
-        # [.., K+1, K] overlap-integral pass peaks at one tracer's
-        # footprint (~0.7 GB at C192L79) instead of nq of them at once
+        # single-pass all-tracer remap: shared overlap-weight matrices,
+        # batched matmul contraction (fv_operators.F90 mapn_tracer:234)
         qs_stack = jnp.stack([_k_last(q[k]) for k in names_q], axis=0)
-        qk = jax.lax.map(
-            lambda qq: fv_mapz.map1_ppm(qq, pe1, pe2, iv=0,
-                                        kord=cfg.kord_tr), qs_stack)
-        qk = jnp.moveaxis(qk, 0, 1)
-        if cfg.fill:
-            qk = fv_mapz.fillz(qk, (pe2[..., 1:] - pe2[..., :-1])[:, None])
+        qk = fv_mapz.mapn_tracer(qs_stack, pe1, pe2, kord=cfg.kord_tr,
+                                 fill=cfg.fill)
         for i, name in enumerate(names_q):
-            q_new[name] = _k_lev(qk[:, i])
+            q_new[name] = _k_lev(qk[i])
 
     # winds: u at y-walls uses the average of the adjacent cell rows' edges
     pe_u0 = 0.5 * (pe_pad[..., wsl, ctr] + _rl(pe_pad)[..., wsl, ctr])
@@ -341,16 +336,12 @@ def remap_nh(delp, ptv, u, v, w, delz, ws, q, pe_pad, peln_pad, ak, bk, g,
     q_new = {}
     if q:
         names_q = list(q.keys())
-        # serialized per-tracer remap (memory cap; see remap_hydro)
+        # single-pass all-tracer remap (mapn_tracer, shared weights)
         qs_stack = jnp.stack([_k_last(q[k]) for k in names_q], axis=0)
-        qk = jax.lax.map(
-            lambda qq: fv_mapz.map1_ppm(qq, pe1, pe2, iv=0,
-                                        kord=cfg.kord_tr), qs_stack)
-        qk = jnp.moveaxis(qk, 0, 1)
-        if cfg.fill:
-            qk = fv_mapz.fillz(qk, dp2[:, None])
+        qk = fv_mapz.mapn_tracer(qs_stack, pe1, pe2, kord=cfg.kord_tr,
+                                 fill=cfg.fill)
         for i, name in enumerate(names_q):
-            q_new[name] = _k_lev(qk[:, i])
+            q_new[name] = _k_lev(qk[i])
 
     pe_u0 = _k_last(0.5 * (pe_pad[..., wsl, ctr] + _rl(pe_pad)[..., wsl, ctr]))
     pe_u1 = akl + bkl * pe_u0[..., -1:]

@@ -381,6 +381,39 @@ def map1_ppm_ext(q, pe1, pe2, qs=None, iv=1, kord=8, qmin=None):
     return (q2 * w + q[..., :1] * miss_top + q[..., -1:] * miss_bot) / w
 
 
+def mapn_tracer(qstack, pe1, pe2, kord=8, fill=False, qmin=None):
+    """Single-pass multi-tracer remap (fv_operators.F90 mapn_tracer:234).
+
+    qstack: [nq, ..., km] all tracers stacked; pe1/pe2: [..., km+1] shared
+    source/target edges. TPU-native formulation: the per-(tracer) PPM
+    reconstructions run vectorized over the stacked axis, and the
+    conservative overlap integration becomes THREE shared weight matrices
+    W1/W2/W3 [..., kn+1, km] contracted against the (al, ar-al, a6)
+    coefficient stacks — batched matmuls (MXU) instead of nq separate
+    [.., kn+1, km] elementwise/reduce passes. Exactly conservative by the
+    same telescoping argument as remap_ppm.
+    """
+    dp1 = pe1[..., 1:] - pe1[..., :-1]
+    al, ar, a6 = cs_profile(qstack, dp1, iv=0, kord=abs(kord), qmin=qmin)
+
+    s = jnp.clip((pe2[..., :, None] - pe1[..., None, :-1])
+                 / dp1[..., None, :], 0.0, 1.0)
+    s2 = s * s
+    w1 = dp1[..., None, :] * s
+    w2 = dp1[..., None, :] * 0.5 * s2
+    w3 = dp1[..., None, :] * (0.5 * s2 - R3 * s2 * s)
+    # Q[q, ..., n] = sum_k W[..., n, k] * coeff[q, ..., k]
+    Q = (jnp.einsum("...nk,q...k->q...n", w1, al)
+         + jnp.einsum("...nk,q...k->q...n", w2, ar - al)
+         + jnp.einsum("...nk,q...k->q...n", w3, a6))
+    dq = Q[..., 1:] - Q[..., :-1]
+    q2 = dq / (pe2[..., 1:] - pe2[..., :-1])
+    if fill:
+        q2 = fillz(q2, jnp.broadcast_to(pe2[..., 1:] - pe2[..., :-1],
+                                        q2.shape))
+    return q2
+
+
 def map_scalar_logp(q, peln1, peln2, iv=1, kord=8, qmin=T_MIN):
     """map_scalar on log-p edges (temperature remap, kord_tm < 0)."""
     return map1_ppm(q, peln1, peln2, iv=iv, kord=abs(kord), qmin=qmin)

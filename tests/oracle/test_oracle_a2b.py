@@ -40,3 +40,30 @@ def test_a2b_ord4_vs_oracle():
                 got[t, k][wsl, wsl], want[wsl, wsl],
                 rtol=1e-12, atol=1e-12,
                 err_msg=f"tile {t} level {k}")
+
+
+def test_mapn_tracer_matches_map1_ppm():
+    """mapn_tracer's shared-weight batched-matmul remap must equal the
+    per-tracer map1_ppm path (fv_operators.F90 mapn_tracer:234 vs
+    map1_q2)."""
+    import jax
+    from gfdl_atmos_cubed_sphere_tpu.ops import fv_mapz
+    rng = np.random.default_rng(5)
+    B, km, nq = 7, 20, 4
+    dp1 = rng.uniform(0.5, 2.0, (B, km))
+    pe1 = np.concatenate([np.zeros((B, 1)), np.cumsum(dp1, -1)], -1) + 10.0
+    w2 = rng.uniform(0.5, 2.0, (B, km))
+    pe2 = np.concatenate([np.zeros((B, 1)), np.cumsum(w2, -1)], -1)
+    pe2 = pe1[:, :1] + (pe2 / pe2[:, -1:]) * (pe1[:, -1:] - pe1[:, :1])
+    qs = np.abs(rng.standard_normal((nq, B, km))) + 0.01
+    got = np.asarray(fv_mapz.mapn_tracer(jnp.asarray(qs), jnp.asarray(pe1),
+                                         jnp.asarray(pe2), kord=8))
+    for i in range(nq):
+        want = np.asarray(fv_mapz.map1_ppm(jnp.asarray(qs[i]),
+                                           jnp.asarray(pe1),
+                                           jnp.asarray(pe2), iv=0, kord=8))
+        np.testing.assert_allclose(got[i], want, rtol=1e-12, atol=1e-12)
+    # conservation: total mass per column preserved
+    m1 = (qs * dp1[None]).sum(-1)
+    m2 = (got * (pe2[:, 1:] - pe2[:, :-1])[None]).sum(-1)
+    np.testing.assert_allclose(m1, m2, rtol=1e-12)

@@ -52,7 +52,7 @@ _METRICS = (
     "f0", "rsin2", "cosa_s",
 )
 
-_PALLAS_DSW = os.environ.get("GFDL_TPU_PALLAS_DSW", "1") != "0"
+_PALLAS_DSW = os.environ.get("GFDL_TPU_PALLAS_DSW", "0") != "0"
 
 
 def use_pallas_dsw(q, edges, dddmp, advection_only, sw_mode):

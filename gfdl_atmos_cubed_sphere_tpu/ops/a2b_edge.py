@@ -94,6 +94,11 @@ def a2b_ord4(qin, g):
     """
     if getattr(g, "grid_type", 0) >= 3:
         return _a2b_ord4_dp(qin)
+    from .pallas_a2b import use_pallas_a2b
+    if use_pallas_a2b(qin, g):
+        # TPU fast path: whole face per (tile, interface-block) in VMEM
+        from .pallas_a2b import a2b_ord4_pallas
+        return a2b_ord4_pallas(qin, g)
     f = fi
     n = qin.shape[-1] - 2 * H
     npx = npy = n + 1

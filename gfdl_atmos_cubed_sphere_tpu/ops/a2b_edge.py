@@ -181,24 +181,32 @@ def a2b_ord4(qin, g):
     q2w = ((qin[..., rj, f(0):f(0) + 1] * dxa[..., rj, f(1):f(1) + 1]
             + qin[..., rj, f(1):f(1) + 1] * dxa[..., rj, f(0):f(0) + 1])
            / (dxa[..., rj, f(0):f(0) + 1] + dxa[..., rj, f(1):f(1) + 1]))
-    ew = g.edge_w[..., 1:npy - 1][..., None]
+    ew = getattr(g, "edge_w_col", None)          # pre-shaped (Pallas body)
+    if ew is None:
+        ew = g.edge_w[..., 1:npy - 1][..., None]
     wcol = ew * q2w[..., :-1, :] + (1.0 - ew) * q2w[..., 1:, :]
     q2e = ((qin[..., rj, f(npx - 1):f(npx - 1) + 1] * dxa[..., rj, f(npx):f(npx) + 1]
             + qin[..., rj, f(npx):f(npx) + 1] * dxa[..., rj, f(npx - 1):f(npx - 1) + 1])
            / (dxa[..., rj, f(npx - 1):f(npx - 1) + 1]
               + dxa[..., rj, f(npx):f(npx) + 1]))
-    ee = g.edge_e[..., 1:npy - 1][..., None]
+    ee = getattr(g, "edge_e_col", None)
+    if ee is None:
+        ee = g.edge_e[..., 1:npy - 1][..., None]
     ecol = ee * q2e[..., :-1, :] + (1.0 - ee) * q2e[..., 1:, :]
     q1s = ((qin[..., f(0):f(0) + 1, ri] * dya[..., f(1):f(1) + 1, ri]
             + qin[..., f(1):f(1) + 1, ri] * dya[..., f(0):f(0) + 1, ri])
            / (dya[..., f(0):f(0) + 1, ri] + dya[..., f(1):f(1) + 1, ri]))
-    es = g.edge_s[..., 1:npx - 1][..., None, :]
+    es = getattr(g, "edge_s_row", None)
+    if es is None:
+        es = g.edge_s[..., 1:npx - 1][..., None, :]
     srow = es * q1s[..., :, :-1] + (1.0 - es) * q1s[..., :, 1:]
     q1n = ((qin[..., f(npy - 1):f(npy - 1) + 1, ri] * dya[..., f(npy):f(npy) + 1, ri]
             + qin[..., f(npy):f(npy) + 1, ri] * dya[..., f(npy - 1):f(npy - 1) + 1, ri])
            / (dya[..., f(npy - 1):f(npy - 1) + 1, ri]
               + dya[..., f(npy):f(npy) + 1, ri]))
-    en = g.edge_n[..., 1:npx - 1][..., None, :]
+    en = getattr(g, "edge_n_row", None)
+    if en is None:
+        en = g.edge_n[..., 1:npx - 1][..., None, :]
     nrow = en * q1n[..., :, :-1] + (1.0 - en) * q1n[..., :, 1:]
 
     # ---- qxx: y-interp of qx to corners (block form, no zero frame) -------

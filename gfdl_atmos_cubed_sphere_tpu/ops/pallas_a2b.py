@@ -61,9 +61,13 @@ def a2b_ord4_pallas(qin, g, interpret=False):
     dxa = jnp.asarray(g.dxa, dtype)                      # [6, 1, P, P]
     dya = jnp.asarray(g.dya, dtype)
     cw = jnp.asarray(g.a2b_corner_w, dtype)              # [6, 1, 4, 3]
-    edges = [jnp.asarray(getattr(g, nm), dtype)[:, :, None, :]
-             for nm in ("edge_w", "edge_e", "edge_s", "edge_n")]
-    # [6, 1, 1, n+1]
+    # pre-shaped edge factors (in-kernel reshapes are unsupported):
+    # w/e as [6,1,n-1,1] columns, s/n as [6,1,1,n-1] rows
+    ew_ = jnp.asarray(g.edge_w, dtype)[..., 1:n][:, :, :, None]
+    ee_ = jnp.asarray(g.edge_e, dtype)[..., 1:n][:, :, :, None]
+    es_ = jnp.asarray(g.edge_s, dtype)[..., 1:n][:, :, None, :]
+    en_ = jnp.asarray(g.edge_n, dtype)[..., 1:n][:, :, None, :]
+    edges = [ew_, ee_, es_, en_]
 
     def kernel(q_ref, dxa_ref, dya_ref, cw_ref, ew_ref, ee_ref, es_ref,
                en_ref, out_ref):
@@ -71,10 +75,10 @@ def a2b_ord4_pallas(qin, g, interpret=False):
         gg.dxa = dxa_ref[0, 0]
         gg.dya = dya_ref[0, 0]
         gg.a2b_corner_w = cw_ref[0, 0]                   # [4, 3]
-        gg.edge_w = ew_ref[0, 0, 0]                      # [n+1] 1-D
-        gg.edge_e = ee_ref[0, 0, 0]
-        gg.edge_s = es_ref[0, 0, 0]
-        gg.edge_n = en_ref[0, 0, 0]
+        gg.edge_w_col = ew_ref[0, 0]                     # [n-1, 1]
+        gg.edge_e_col = ee_ref[0, 0]
+        gg.edge_s_row = es_ref[0, 0]                     # [1, n-1]
+        gg.edge_n_row = en_ref[0, 0]
         gg.grid_type = 0
         out_ref[0] = a2b_ord4(q_ref[0], gg)
 

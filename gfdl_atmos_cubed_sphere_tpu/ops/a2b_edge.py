@@ -240,6 +240,202 @@ def a2b_ord4(qin, g):
                         cvals["nw"], wcol, ecol, srow, nrow, inter)
 
 
+def a2b_edge_rows(qin, g):
+    """The a2b_ord4 output edge rows/columns and cube-corner values,
+    computed in plain XLA (a2b_edge.F90:105-133 corners, :142-158 edge
+    factors). Returns (srow, nrow [.., 1, NW], wcol, ecol [.., NW, 1],
+    cvals [.., 1, 4] in sw/se/ne/nw order). Fed to the Pallas kernel as
+    inputs: Mosaic rejects the corner-aligning pad/concat on row slices
+    with sub-vreg offsets."""
+    f = fi
+    n = qin.shape[-1] - 2 * H
+    npx = npy = n + 1
+    NW = n + 1 + 2 * H
+    dxa, dya = g.dxa, g.dya
+
+    def qc(jf, if_):
+        return qin[..., f(jf):f(jf) + 1, f(if_):f(if_) + 1]
+
+    cw = g.a2b_corner_w
+    legs = corner_legs(npx)
+    cvals = []
+    for ci, name in enumerate(("sw", "se", "ne", "nw")):
+        acc = 0.0
+        for li, (j1, i1, j2, i2) in enumerate(legs[name]):
+            q1, q2 = qc(j1, i1), qc(j2, i2)
+            w = cw[..., ci:ci + 1, li:li + 1]
+            acc = acc + q1 + w * (q1 - q2)
+        cvals.append(R3 * acc)
+    cvals = jnp.concatenate(cvals, -1)                     # [.., 1, 4]
+
+    q1s = ((qin[..., f(0):f(0) + 1, :] * dya[..., f(1):f(1) + 1, :]
+            + qin[..., f(1):f(1) + 1, :] * dya[..., f(0):f(0) + 1, :])
+           / (dya[..., f(0):f(0) + 1, :] + dya[..., f(1):f(1) + 1, :]))
+    q1n = ((qin[..., f(npy - 1):f(npy - 1) + 1, :] * dya[..., f(npy):f(npy) + 1, :]
+            + qin[..., f(npy):f(npy) + 1, :] * dya[..., f(npy - 1):f(npy - 1) + 1, :])
+           / (dya[..., f(npy - 1):f(npy - 1) + 1, :]
+              + dya[..., f(npy):f(npy) + 1, :]))
+    q2w = ((qin[..., :, f(0):f(0) + 1] * dxa[..., :, f(1):f(1) + 1]
+            + qin[..., :, f(1):f(1) + 1] * dxa[..., :, f(0):f(0) + 1])
+           / (dxa[..., :, f(0):f(0) + 1] + dxa[..., :, f(1):f(1) + 1]))
+    q2e = ((qin[..., :, f(npx - 1):f(npx - 1) + 1] * dxa[..., :, f(npx):f(npx) + 1]
+            + qin[..., :, f(npx):f(npx) + 1] * dxa[..., :, f(npx - 1):f(npx - 1) + 1])
+           / (dxa[..., :, f(npx - 1):f(npx - 1) + 1]
+              + dxa[..., :, f(npx):f(npx) + 1]))
+    cl_ = lambda a: jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(1, 0)])[..., :NW]
+    cr_ = lambda a: jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, 1)])
+    rl_ = lambda a: jnp.pad(a, [(0, 0)] * (a.ndim - 2)
+                            + [(1, 0), (0, 0)])[..., :NW, :]
+    rr_ = lambda a: jnp.pad(a, [(0, 0)] * (a.ndim - 2) + [(0, 1), (0, 0)])
+    srow = g.edge_s_full * cl_(q1s) + (1.0 - g.edge_s_full) * cr_(q1s)
+    nrow = g.edge_n_full * cl_(q1n) + (1.0 - g.edge_n_full) * cr_(q1n)
+    wcol = g.edge_w_full * rl_(q2w) + (1.0 - g.edge_w_full) * rr_(q2w)
+    ecol = g.edge_e_full * rl_(q2e) + (1.0 - g.edge_e_full) * rr_(q2e)
+    return srow, nrow, wcol, ecol, cvals
+
+
+def _a2b_ord4_sel(qin, g, srow, nrow, wcol, ecol, cvals):
+    """Select-based restatement of a2b_ord4 for Pallas kernel bodies:
+    identical numerics, with every strip concat replaced by full-frame
+    stencils + iota-masked row/column/point selects (Mosaic rejects
+    concats whose operands carry mismatched sub-vreg offsets). The output
+    edge rows/cols and corner values (srow/nrow/wcol/ecol/cvals) arrive
+    precomputed from a2b_edge_rows."""
+    import jax
+
+    f = fi
+    n = qin.shape[-1] - 2 * H
+    npx = npy = n + 1
+    P = n + 2 * H
+    NW = P + 1
+    dxa, dya = g.dxa, g.dya
+    dt_ = qin.dtype
+
+    ixw = jax.lax.broadcasted_iota(jnp.int32, (1, NW), 1)
+    iyw = jax.lax.broadcasted_iota(jnp.int32, (NW, 1), 0)
+
+    def sel_col(a, i, val):
+        return jnp.where(ixw[..., :a.shape[-1]] == i, val, a)
+
+    def sel_row(a, j, val):
+        return jnp.where(iyw[:a.shape[-2]] == j, val, a)
+
+    def qc(jf, if_):
+        return qin[..., f(jf):f(jf) + 1, f(if_):f(if_) + 1]
+
+    # ---- qx: full-frame 4th-order + edge column selects -------------------
+    padl = lambda a, lo, hi: jnp.pad(
+        a, [(0, 0)] * (a.ndim - 1) + [(lo, hi)])
+    padr = lambda a, lo, hi: jnp.pad(
+        a, [(0, 0)] * (a.ndim - 2) + [(lo, hi), (0, 0)])
+
+    qx = padl(B2 * (qin[..., :, :-3] + qin[..., :, 3:])
+              + B1 * (qin[..., :, 1:-2] + qin[..., :, 2:-1]), 2, 2)
+
+    def cx(i):
+        return qin[..., :, f(i):f(i) + 1]
+
+    def dx_(i):
+        return dxa[..., :, f(i):f(i) + 1]
+
+    def wx(i):
+        """qx at f-wall i (padded col i + 2), keepdim."""
+        return qx[..., :, i + 2:i + 3]
+
+    g_in = dx_(2) / dx_(1)
+    g_ou = dx_(-1) / dx_(0)
+    qx1 = 0.5 * (((2.0 + g_in) * cx(1) - cx(2)) / (1.0 + g_in)
+                 + ((2.0 + g_ou) * cx(0) - cx(-1)) / (1.0 + g_ou))
+    qx2 = ((3.0 * (g_in * cx(1) + cx(2)) - (g_in * qx1 + wx(3)))
+           / (2.0 + 2.0 * g_in))
+    g_in = dx_(npx - 2) / dx_(npx - 1)
+    g_ou = dx_(npx + 1) / dx_(npx)
+    qxn = 0.5 * (((2.0 + g_in) * cx(npx - 1) - cx(npx - 2)) / (1.0 + g_in)
+                 + ((2.0 + g_ou) * cx(npx) - cx(npx + 1)) / (1.0 + g_ou))
+    qxm = ((3.0 * (cx(npx - 2) + g_in * cx(npx - 1))
+            - (g_in * qxn + wx(npx - 2))) / (2.0 + 2.0 * g_in))
+    qx = sel_col(qx, 1 + 2, qx1)
+    qx = sel_col(qx, 2 + 2, qx2)
+    qx = sel_col(qx, npx - 1 + 2, qxm)
+    qx = sel_col(qx, npx + 2, qxn)
+
+    # ---- qy ----------------------------------------------------------------
+    qy = padr(B2 * (qin[..., :-3, :] + qin[..., 3:, :])
+              + B1 * (qin[..., 1:-2, :] + qin[..., 2:-1, :]), 2, 2)
+
+    def cy(jf):
+        return qin[..., f(jf):f(jf) + 1, :]
+
+    def dy_(jf):
+        return dya[..., f(jf):f(jf) + 1, :]
+
+    def wy(j):
+        return qy[..., j + 2:j + 3, :]
+
+    g_in = dy_(2) / dy_(1)
+    g_ou = dy_(-1) / dy_(0)
+    qy1 = 0.5 * (((2.0 + g_in) * cy(1) - cy(2)) / (1.0 + g_in)
+                 + ((2.0 + g_ou) * cy(0) - cy(-1)) / (1.0 + g_ou))
+    qy2 = ((3.0 * (g_in * cy(1) + cy(2)) - (g_in * qy1 + wy(3)))
+           / (2.0 + 2.0 * g_in))
+    g_in = dy_(npy - 2) / dy_(npy - 1)
+    g_ou = dy_(npy + 1) / dy_(npy)
+    qyn = 0.5 * (((2.0 + g_in) * cy(npy - 1) - cy(npy - 2)) / (1.0 + g_in)
+                 + ((2.0 + g_ou) * cy(npy) - cy(npy + 1)) / (1.0 + g_ou))
+    qym = ((3.0 * (cy(npy - 2) + g_in * cy(npy - 1))
+            - (g_in * qyn + wy(npy - 2))) / (2.0 + 2.0 * g_in))
+    qy = sel_row(qy, 1 + 2, qy1)
+    qy = sel_row(qy, 2 + 2, qy2)
+    qy = sel_row(qy, npy - 1 + 2, qym)
+    qy = sel_row(qy, npy + 2, qyn)
+
+    # ---- qxx / qyy full frames + edge fixes -------------------------------
+    qxx = padr(A2 * (qx[..., :-3, :] + qx[..., 3:, :])
+               + A1 * (qx[..., 1:-2, :] + qx[..., 2:-1, :]), 2, 2)
+    # [.., NW, NW]: corner row r uses qx rows r-2..r+1
+    qxx = sel_row(qxx, f(2), C1 * (wy_row(qx, 1) + wy_row(qx, 2))
+                  + C2 * (srow + qxx[..., f(3):f(3) + 1, :]))
+    qxx = sel_row(qxx, f(npy - 1),
+                  C1 * (wy_row(qx, npy - 2) + wy_row(qx, npy - 1))
+                  + C2 * (nrow + qxx[..., f(npy - 2):f(npy - 2) + 1, :]))
+    qyy = padl(A2 * (qy[..., :, :-3] + qy[..., :, 3:])
+               + A1 * (qy[..., :, 1:-2] + qy[..., :, 2:-1]), 2, 2)
+    qyy = sel_col(qyy, f(2), C1 * (wx_col(qy, 1) + wx_col(qy, 2))
+                  + C2 * (wcol + qyy[..., :, f(3):f(3) + 1]))
+    qyy = sel_col(qyy, f(npx - 1),
+                  C1 * (wx_col(qy, npx - 2) + wx_col(qy, npx - 1))
+                  + C2 * (ecol + qyy[..., :, f(npx - 2):f(npx - 2) + 1]))
+
+    out = 0.5 * (qxx + qyy)
+    # edge rows/cols of the output
+    out = jnp.where(iyw == f(1), srow, out)
+    out = jnp.where(iyw == f(npy), nrow, out)
+    out = jnp.where(ixw == f(1), wcol, out)
+    out = jnp.where(ixw == f(npx), ecol, out)
+    # 4 cube corners (two-stage point selects)
+    zero = jnp.zeros((), dt_)
+    for ci, (jj, ii) in enumerate(((f(1), f(1)), (f(1), f(npx)),
+                                   (f(npy), f(npx)), (f(npy), f(1)))):
+        val = cvals[..., :, ci:ci + 1]
+        row_val = jnp.where(ixw == ii, val, zero)
+        out = jnp.where((iyw == jj) & (ixw == ii), row_val, out)
+    # zero halo rim
+    inside = ((iyw >= f(1)) & (iyw <= f(npy))
+              & (ixw >= f(1)) & (ixw <= f(npx)))
+    return jnp.where(inside, out, zero)
+
+
+def wy_row(qx, jf):
+    """qx at cell row f(jf), keepdim (helper for _a2b_ord4_sel)."""
+    j = jf - 1 + H
+    return qx[..., j:j + 1, :]
+
+
+def wx_col(qy, if_):
+    i = if_ - 1 + H
+    return qy[..., :, i:i + 1]
+
+
 def a2b_ord2(qin, g):
     """a2b_edge.F90 a2b_ord2: 2nd-order cell->corner with edge factors."""
     f = fi

@@ -61,26 +61,53 @@ def a2b_ord4_pallas(qin, g, interpret=False):
     dxa = jnp.asarray(g.dxa, dtype)                      # [6, 1, P, P]
     dya = jnp.asarray(g.dya, dtype)
     cw = jnp.asarray(g.a2b_corner_w, dtype)              # [6, 1, 4, 3]
-    # pre-shaped edge factors (in-kernel reshapes are unsupported):
-    # w/e as [6,1,n-1,1] columns, s/n as [6,1,1,n-1] rows
-    ew_ = jnp.asarray(g.edge_w, dtype)[..., 1:n][:, :, :, None]
-    ee_ = jnp.asarray(g.edge_e, dtype)[..., 1:n][:, :, :, None]
-    es_ = jnp.asarray(g.edge_s, dtype)[..., 1:n][:, :, None, :]
-    en_ = jnp.asarray(g.edge_n, dtype)[..., 1:n][:, :, None, :]
+    # full-width corner-aligned edge factors for the select-based body:
+    # value at padded corner index c = edge_x[c_f - 1] for c_f in
+    # [2, npx-1], zero elsewhere (c = c_f + 2)
+    import numpy as _np
+
+    def _full(nm):
+        e = _np.asarray(getattr(g, nm), _np.float64)     # [6, 1, n+1]
+        out = _np.zeros((6, 1, NW))
+        out[..., 4:n + 3] = e[..., 1:n]                  # c_f 2..npx-1
+        return out
+
+    ew_ = jnp.asarray(_full("edge_w"), dtype)[:, :, :, None]   # [6,1,NW,1]
+    ee_ = jnp.asarray(_full("edge_e"), dtype)[:, :, :, None]
+    es_ = jnp.asarray(_full("edge_s"), dtype)[:, :, None, :]   # [6,1,1,NW]
+    en_ = jnp.asarray(_full("edge_n"), dtype)[:, :, None, :]
     edges = [ew_, ee_, es_, en_]
 
+    from .a2b_edge import _a2b_ord4_sel, a2b_edge_rows
+
+    # the output edge rows/cols + cube-corner values need corner-aligning
+    # pads on offset slices, which Mosaic rejects — compute them in XLA
+    # (thin row/col arrays) and feed the kernel as inputs
+    gg0 = SimpleNamespace(dxa=dxa, dya=dya, a2b_corner_w=cw,
+                          edge_w_full=jnp.asarray(_full("edge_w"),
+                                                  dtype)[:, :, :, None],
+                          edge_e_full=jnp.asarray(_full("edge_e"),
+                                                  dtype)[:, :, :, None],
+                          edge_s_full=jnp.asarray(_full("edge_s"),
+                                                  dtype)[:, :, None, :],
+                          edge_n_full=jnp.asarray(_full("edge_n"),
+                                                  dtype)[:, :, None, :])
+    srow, nrow, wcol, ecol, cvals = a2b_edge_rows(qin_p, gg0)
+    # corner values padded to lane width 128 never hurt; keep [.,1,4]
+
     def kernel(q_ref, dxa_ref, dya_ref, cw_ref, ew_ref, ee_ref, es_ref,
-               en_ref, out_ref):
+               en_ref, sr_ref, nr_ref, wc_ref, ec_ref, cv_ref, out_ref):
         gg = SimpleNamespace()
         gg.dxa = dxa_ref[0, 0]
         gg.dya = dya_ref[0, 0]
         gg.a2b_corner_w = cw_ref[0, 0]                   # [4, 3]
-        gg.edge_w_col = ew_ref[0, 0]                     # [n-1, 1]
-        gg.edge_e_col = ee_ref[0, 0]
-        gg.edge_s_row = es_ref[0, 0]                     # [1, n-1]
-        gg.edge_n_row = en_ref[0, 0]
+        gg.edge_w_full = ew_ref[0, 0]                    # [NW, 1]
+        gg.edge_e_full = ee_ref[0, 0]
+        gg.edge_s_full = es_ref[0, 0]                    # [1, NW]
+        gg.edge_n_full = en_ref[0, 0]
         gg.grid_type = 0
-        out_ref[0] = a2b_ord4(q_ref[0], gg)
+        out_ref[0] = _a2b_ord4_sel(q_ref[0], gg, sr_ref[0], nr_ref[0],
+                                   wc_ref[0], ec_ref[0], cv_ref[0])
 
     fspec = pl.BlockSpec((1, kb, qin.shape[-2], qin.shape[-1]),
                          (lambda t, k: (t, k, 0, 0)),
@@ -89,11 +116,15 @@ def a2b_ord4_pallas(qin, g, interpret=False):
                                    (lambda t, k: (t, 0, 0, 0)),
                                    memory_space=pltpu.VMEM)
 
+    kspec = lambda a: pl.BlockSpec((1, kb) + a.shape[-2:],
+                                    (lambda t, k: (t, k, 0, 0)),
+                                    memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         grid=(T, Kp // kb),
         in_specs=[fspec, mspec(dxa), mspec(dya), mspec(cw)]
-                 + [mspec(e) for e in edges],
+                 + [mspec(e) for e in edges]
+                 + [kspec(a) for a in (srow, nrow, wcol, ecol, cvals)],
         out_specs=pl.BlockSpec((1, kb, NW, NW), (lambda t, k: (t, k, 0, 0)),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, Kp, NW, NW), dtype),
@@ -101,5 +132,5 @@ def a2b_ord4_pallas(qin, g, interpret=False):
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(qin_p, dxa, dya, cw, *edges)
+    )(qin_p, dxa, dya, cw, *edges, srow, nrow, wcol, ecol, cvals)
     return out if Kp == KI else out[:, :KI]

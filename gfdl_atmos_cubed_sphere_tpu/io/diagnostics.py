@@ -40,6 +40,55 @@ def range_check(name, field, lo=None, hi=None):
     return ok, fmin, fmax
 
 
+def range_check_jit(name, field, lo=None, hi=None):
+    """Jit-internal bounds audit: returns DEVICE scalars (ok, fmin, fmax)
+    with no host sync, so the step function can carry audit flags through
+    jit (the reference runs range_check every step, fv_dynamics.F90:
+    817-827; host-side float() would serialize the dispatch pipeline)."""
+    if lo is None or hi is None:
+        lo, hi = RANGE_LIMITS.get(name, (-np.inf, np.inf))
+    fmin = jnp.min(field)
+    fmax = jnp.max(field)
+    ok = ((fmin >= lo) & (fmax <= hi)
+          & jnp.isfinite(fmin) & jnp.isfinite(fmax))
+    return ok, fmin, fmax
+
+
+def audit_state(fields):
+    """Jit-safe audit of a dict of named fields -> dict of (ok, min, max)
+    device scalars; reduce with audit_ok() for a single step-health flag."""
+    return {k: range_check_jit(k, v) for k, v in fields.items()
+            if v is not None}
+
+
+def audit_ok(audit):
+    """Fold an audit_state result into one boolean device scalar."""
+    flags = [v[0] for v in audit.values()]
+    out = flags[0]
+    for f in flags[1:]:
+        out = out & f
+    return out
+
+
+def coarse_diag(dm, fields, factor, strategy="area", area=None, prefix="crs_"):
+    """Coarse-grained diagnostics mirror (coarse_grained_diagnostics.F90:78):
+    send block-coarsened copies of `fields` to the DiagManager under
+    prefix+name, auto-registering on first use."""
+    from ..utils import coarse_graining as cg
+    for name, f in fields.items():
+        if f is None:
+            continue
+        cname = prefix + name
+        if cname not in dm._fields:
+            dm.register(cname, long_name=f"coarse {name}", units="")
+        fa = np.asarray(f)
+        if strategy == "area" and area is not None:
+            c = cg.block_area_weighted_mean(fa, np.asarray(area), factor)
+        else:
+            c = cg.block_mean(fa, factor)
+        dm.send(cname, c)
+
+
 def nan_check(tree):
     """Names of fields containing NaN (the fv_debug NaN hunt,
     fv_dynamics.F90:592-604)."""
@@ -54,22 +103,55 @@ def nan_check(tree):
 
 class DiagManager:
     """register_diag_field/send_data analog: named fields accumulated per
-    step, flushed to a NetCDF3 history file or kept in memory."""
+    step, flushed to a NetCDF3 history file or kept in memory.
+
+    Time-interval averaging (diag_manager_mod's time_avg output semantics,
+    diag_data freq handling): register with avg_interval=N to average every
+    N sends into one output record instead of storing each send. Static
+    (time-invariant) fields register with static=True and store once."""
 
     def __init__(self):
         self._fields = {}
         self._store = {}
+        self._acc = {}
 
-    def register(self, name, long_name="", units=""):
-        self._fields[name] = dict(long_name=long_name, units=units)
+    def register(self, name, long_name="", units="", avg_interval=0,
+                 static=False):
+        self._fields[name] = dict(long_name=long_name, units=units,
+                                  avg=int(avg_interval), static=static)
         self._store[name] = []
+        if avg_interval:
+            self._acc[name] = [None, 0.0]   # running sum, weight
         return name
 
-    def send(self, name, data):
-        if name in self._store:
-            self._store[name].append(np.asarray(data))
+    def send(self, name, data, weight=1.0):
+        if name not in self._store:
+            return False
+        meta = self._fields[name]
+        if meta.get("static"):
+            if not self._store[name]:
+                self._store[name].append(np.asarray(data))
             return True
-        return False
+        if meta.get("avg"):
+            s, w = self._acc[name]
+            d = np.asarray(data, np.float64) * weight
+            self._acc[name] = [d if s is None else s + d, w + weight]
+            if self._acc[name][1] >= meta["avg"] - 1e-12:
+                s, w = self._acc[name]
+                self._store[name].append((s / w))
+                self._acc[name] = [None, 0.0]
+            return True
+        self._store[name].append(np.asarray(data))
+        return True
+
+    def flush_avg(self, name=None):
+        """Emit any partial averaging interval as a record (end-of-run)."""
+        names = [name] if name else list(self._acc)
+        for nm in names:
+            s, w = self._acc.get(nm, (None, 0.0))
+            if s is not None and w > 0:
+                self._store[nm].append(s / w)
+                self._acc[nm] = [None, 0.0]
 
     def series(self, name):
         return np.stack(self._store[name]) if self._store[name] else None

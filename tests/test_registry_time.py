@@ -70,3 +70,53 @@ def test_alarm():
     a.reset(set_time(seconds=3600))
     assert not a.is_ringing(set_time(seconds=7199))
     assert a.is_ringing(set_time(seconds=7200))
+
+
+def test_diag_time_interval_averaging():
+    """diag_manager time_avg semantics: avg_interval=N sends -> one
+    averaged record; flush_avg emits partial tails."""
+    import numpy as np
+    from gfdl_atmos_cubed_sphere_tpu.io.diagnostics import DiagManager
+    dm = DiagManager()
+    dm.register("t_avg", avg_interval=3)
+    dm.register("t_inst")
+    dm.register("oro", static=True)
+    for v in (1.0, 2.0, 3.0, 10.0):
+        dm.send("t_avg", np.full((2, 2), v))
+        dm.send("t_inst", np.full((2, 2), v))
+        dm.send("oro", np.full((2, 2), 7.0))
+    s = dm.series("t_avg")
+    assert s.shape[0] == 1 and np.allclose(s[0], 2.0)   # (1+2+3)/3
+    dm.flush_avg()
+    s = dm.series("t_avg")
+    assert s.shape[0] == 2 and np.allclose(s[1], 10.0)
+    assert dm.series("t_inst").shape[0] == 4
+    assert dm.series("oro").shape[0] == 1
+
+
+def test_jit_internal_audit():
+    import jax, jax.numpy as jnp
+    from gfdl_atmos_cubed_sphere_tpu.io.diagnostics import (
+        audit_state, audit_ok)
+
+    @jax.jit
+    def step(t, delp):
+        aud = audit_state({"pt": t, "delp": delp})
+        return audit_ok(aud)
+
+    ok = step(jnp.full((4, 4), 250.0), jnp.full((4, 4), 500.0))
+    assert bool(ok)
+    bad = step(jnp.full((4, 4), 5.0), jnp.full((4, 4), 500.0))  # pt < 104K
+    assert not bool(bad)
+
+
+def test_coarse_diag_mirror():
+    import numpy as np
+    from gfdl_atmos_cubed_sphere_tpu.io.diagnostics import (
+        DiagManager, coarse_diag)
+    dm = DiagManager()
+    f = np.arange(64.0).reshape(8, 8)
+    coarse_diag(dm, {"ps": f}, 2, strategy="mean")
+    s = dm.series("crs_ps")
+    assert s.shape == (1, 4, 4)
+    assert np.isclose(s[0, 0, 0], f[:2, :2].mean())

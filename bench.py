@@ -12,7 +12,8 @@ def main():
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from gfdl_atmos_cubed_sphere_tpu.model.grid_ops import build_grid_ops
+    from gfdl_atmos_cubed_sphere_tpu.model.grid_ops import (
+        build_grid_ops, split_metrics, merge_metrics)
     from gfdl_atmos_cubed_sphere_tpu.model.dyn_core import DynConfig
     from gfdl_atmos_cubed_sphere_tpu.model.fv_dynamics import fv_dynamics_hydro
     from gfdl_atmos_cubed_sphere_tpu.model.sw_dynamics import prepare_phis
@@ -34,21 +35,26 @@ def main():
     for nm in ("liq_wat", "rainwat", "ice_wat", "snowwat", "graupel"):
         q[nm] = jnp.full(q["sphum"].shape, 1e-6, jnp.float32)
 
-    def step(delp, pt, u, v, q):
-        r = fv_dynamics_hydro(delp, pt, u, v, q, g, cfg, akj, bkj, ptop,
+    # metrics ride as jit arguments (not embedded constants): cuts the
+    # serialized program from >100 MB to a few MB (see grid_ops.split_metrics)
+    garrs, grest = split_metrics(g)
+
+    def step(garrs, delp, pt, u, v, q):
+        gg = merge_metrics(garrs, grest)
+        r = fv_dynamics_hydro(delp, pt, u, v, q, gg, cfg, akj, bkj, ptop,
                               mp_cfg=mpc)
         return r.delp, r.pt, r.u, r.v, r.q
 
     fn = jax.jit(step)
     st = [jnp.asarray(ic[k], jnp.float32)
           for k in ("delp", "pt", "u", "v")] + [q]
-    out = fn(*st)
+    out = fn(garrs, *st)
     jax.block_until_ready(out)
     st = list(out)
     t0 = time.perf_counter()
     nsteps = 5
     for _ in range(nsteps):
-        st = list(fn(*st))
+        st = list(fn(garrs, *st))
     jax.block_until_ready(st[0])
     dt_step = (time.perf_counter() - t0) / nsteps
     points = 6 * (npx - 1) ** 2 * npz

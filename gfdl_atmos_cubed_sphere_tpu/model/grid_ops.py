@@ -174,3 +174,27 @@ def build_grid_ops_dp(n, dx_const, dy_const, dtype=jnp.float32,
     g.global_area = float(T * n * n * area)
     g.a2b_corner_w = None      # no cube corners on the periodic plane
     return g
+
+
+def split_metrics(g):
+    """Split the metric namespace into (device-array dict, static dict).
+
+    Captured concrete arrays become embedded HLO constants under jit — at
+    C192 the metric pack serializes to >100 MB of dense constants, which
+    slows every compile and overflows the axon remote-compile request cap
+    (PERFORMANCE.md round 3). Pass the array dict as a jit ARGUMENT and
+    rebuild with merge_metrics inside the traced function instead."""
+    arrs, rest = {}, {}
+    for k, v in vars(g).items():
+        if isinstance(v, jnp.ndarray):
+            arrs[k] = v
+        else:
+            rest[k] = v
+    return arrs, rest
+
+
+def merge_metrics(arrs, rest):
+    g = SimpleNamespace(**rest)
+    for k, v in arrs.items():
+        setattr(g, k, v)
+    return g

@@ -64,18 +64,16 @@ def a2b_ord4_pallas(qin, g, interpret=False):
     # full-width corner-aligned edge factors for the select-based body:
     # value at padded corner index c = edge_x[c_f - 1] for c_f in
     # [2, npx-1], zero elsewhere (c = c_f + 2)
-    import numpy as _np
-
     def _full(nm):
-        e = _np.asarray(getattr(g, nm), _np.float64)     # [6, 1, n+1]
-        out = _np.zeros((6, 1, NW))
-        out[..., 4:n + 3] = e[..., 1:n]                  # c_f 2..npx-1
-        return out
+        # [6,1,n+1] -> [6,1,NW] with edge_x[c_f-1] at padded corner index
+        # c = c_f + 2 for c_f in [2, npx-1], zero elsewhere (traced-safe)
+        e = jnp.asarray(getattr(g, nm), dtype)
+        return jnp.pad(e[..., 1:n], ((0, 0), (0, 0), (4, 4)))
 
-    ew_ = jnp.asarray(_full("edge_w"), dtype)[:, :, :, None]   # [6,1,NW,1]
-    ee_ = jnp.asarray(_full("edge_e"), dtype)[:, :, :, None]
-    es_ = jnp.asarray(_full("edge_s"), dtype)[:, :, None, :]   # [6,1,1,NW]
-    en_ = jnp.asarray(_full("edge_n"), dtype)[:, :, None, :]
+    ew_ = _full("edge_w")[:, :, :, None]                 # [6,1,NW,1]
+    ee_ = _full("edge_e")[:, :, :, None]
+    es_ = _full("edge_s")[:, :, None, :]                 # [6,1,1,NW]
+    en_ = _full("edge_n")[:, :, None, :]
     edges = [ew_, ee_, es_, en_]
 
     from .a2b_edge import _a2b_ord4_sel, a2b_edge_rows

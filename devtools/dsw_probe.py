@@ -69,13 +69,20 @@ def main():
     g, args, kw = build(npx, npz)
     names = ("u", "v", "delp", "pt", "fx", "fy", "crx", "cry")
 
-    def run_xla():
-        _os.environ["GFDL_TPU_PALLAS_DSW"] = "0"
-        ds = sw_core.d_sw(*args, **kw)
+    from gfdl_atmos_cubed_sphere_tpu.model.grid_ops import (
+        split_metrics, merge_metrics)
+    garrs, grest = split_metrics(g)
+
+    def run_xla(garrs):
+        gg = merge_metrics(garrs, grest)
+        a2 = list(args); a2[-1] = gg
+        ds = sw_core.d_sw(*a2, **kw)
         return tuple(getattr(ds, nm) for nm in names)
 
-    def run_pl():
-        ds = d_sw_pallas(*args, **kw)
+    def run_pl(garrs):
+        gg = merge_metrics(garrs, grest)
+        a2 = list(args); a2[-1] = gg
+        ds = d_sw_pallas(*a2, **kw)
         return tuple(getattr(ds, nm) for nm in names)
 
     mode = _sys.argv[3] if len(_sys.argv) > 3 else "both"
@@ -84,13 +91,13 @@ def main():
     if mode in ("both", "pl"):
         t1 = time.time()
         fp = jax.jit(run_pl)
-        rp = jax.block_until_ready(fp())
+        rp = jax.block_until_ready(fp(garrs))
         print(f"pallas compiled {time.time()-t1:.1f}s", flush=True)
         todo.append(("pallas", fp, rp))
     if mode in ("both", "xla"):
         t0 = time.time()
         fx = jax.jit(run_xla)
-        rx = jax.block_until_ready(fx())
+        rx = jax.block_until_ready(fx(garrs))
         print(f"xla compiled {time.time()-t0:.1f}s", flush=True)
         todo.insert(0, ("xla", fx, rx))
     if mode == "both":
@@ -104,10 +111,10 @@ def main():
     # timing loop (serialized by output dependency)
     for label, fn, r0 in todo:
         reps = 30
-        jax.block_until_ready(fn())
+        jax.block_until_ready(fn(garrs))
         t0 = time.time()
         for _ in range(reps):
-            r = fn()
+            r = fn(garrs)
         jax.block_until_ready(r)
         dt = (time.time() - t0) / reps * 1e3
         print(f"{label:7s} {dt:8.2f} ms/call  (C{npx-1}L{npz})")

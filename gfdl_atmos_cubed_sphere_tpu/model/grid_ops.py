@@ -186,7 +186,10 @@ def split_metrics(g):
     rebuild with merge_metrics inside the traced function instead."""
     arrs, rest = {}, {}
     for k, v in vars(g).items():
-        if isinstance(v, jnp.ndarray):
+        # 0-d scalars (da_min etc.) stay static: several call sites fold
+        # them to Python floats at trace time, and as constants they are
+        # a few bytes each
+        if isinstance(v, jnp.ndarray) and v.ndim >= 1:
             arrs[k] = v
         else:
             rest[k] = v

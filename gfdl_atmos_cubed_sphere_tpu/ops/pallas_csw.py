@@ -38,7 +38,7 @@ _METRICS = (
     "rarea", "rarea_c", "fC",
 )
 
-_PALLAS_CSW = os.environ.get("GFDL_TPU_PALLAS_CSW", "0") != "0"
+_PALLAS_CSW = os.environ.get("GFDL_TPU_PALLAS_CSW", "1") != "0"
 
 
 def use_pallas_csw(q, edges, sw_mode):

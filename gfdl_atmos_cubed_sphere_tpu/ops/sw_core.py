@@ -1113,7 +1113,7 @@ def d_sw(delp, pt, w, u, v, uc, vc, ua, va, divg_d, g, *,
          damp_w=0.0, nord_w=0, hydrostatic=True, sw_mode=False,
          advection_only=False, lim_fac=1.0,
          nord_mask=None, damp_v2=None, nord_v2=0,
-         damp_w2=None, nord_w2=0, in_kernel=False):
+         damp_w2=None, nord_w2=0, in_kernel=False, stage="all", pre=None):
     """All inputs padded. Returns SimpleNamespace of interior (compute-domain)
     updated fields + fluxes:
       u [*, n+1, n], v [*, n, n+1], delp/pt/w [*, n, n],
@@ -1125,7 +1125,13 @@ def d_sw(delp, pt, w, u, v, uc, vc, ua, va, divg_d, g, *,
     [K] bool profile, selects levels that use the del-2 (nord==0)
     divergence-damping branch when nord > 0; (damp_v2, nord_v2) and
     (damp_w2, nord_w2) are a second vorticity/w damping combo whose fluxes
-    add (used for the nord=0 sponge levels)."""
+    add (used for the nord=0 sponge levels).
+
+    stage: "all" (default) | "fluxes" (stop after the delp/pt/w transport,
+    returning fluxes + contravariant winds) | "winds" (skip the transport,
+    taking its products from `pre`). The two-stage split lets the TPU
+    Pallas path run d_sw as two compile-sized kernels
+    (ops/pallas_dsw.py)."""
     npx = g.npx
     n = g.n
     f = fi
@@ -1134,6 +1140,22 @@ def d_sw(delp, pt, w, u, v, uc, vc, ua, va, divg_d, g, *,
     wsl = slice(f(1), f(npx) + 1)
     d2_bg_b = _pl(d2_bg, delp.dtype)
     d_con_b = _pl(d_con, delp.dtype)
+
+    if stage == "winds":
+        (crx, cry, xfx, yfx, ra_x, ra_y, ut, vt, fx, fy, delp_new, pt_new,
+         w_new, heat_source) = (
+            pre["crx"], pre["cry"], pre["xfx"], pre["yfx"], pre["ra_x"],
+            pre["ra_y"], pre["ut"], pre["vt"], pre["fx"], pre["fy"],
+            pre["delp_new"], pre["pt_new"], pre.get("w_new"),
+            pre.get("heat_source"))
+        return _dsw_winds_stage(
+            delp, u, v, uc, vc, ua, va, divg_d, g, crx, cry, xfx, yfx,
+            ra_x, ra_y, ut, vt, fx, fy, delp_new, pt_new, w_new,
+            heat_source, dt=dt, hord_mt=hord_mt, hord_vt=hord_vt,
+            nord=nord, nord_v=nord_v, dddmp=dddmp, d2_bg_b=d2_bg_b,
+            d4_bg=d4_bg, damp_v=damp_v, d_con=d_con, d_con_b=d_con_b,
+            hydrostatic=hydrostatic, lim_fac=lim_fac, nord_mask=nord_mask,
+            damp_v2=damp_v2, nord_v2=nord_v2, in_kernel=in_kernel)
 
     # ---- advective C-grid winds -> courant / area fluxes ------------------
     if advection_only:
@@ -1290,6 +1312,40 @@ def d_sw(delp, pt, w, u, v, uc, vc, ua, va, divg_d, g, *,
             delp=delp_new, pt=pt_new, w=w_new,
             fx=fx, fy=fy, crx=crx, cry=cry, xfx=xfx, yfx=yfx,
             ra_x=ra_x, ra_y=ra_y, divg_d=divg_d, heat_source=heat_source)
+
+    if stage == "fluxes":
+        return SimpleNamespace(
+            delp=delp_new, pt=pt_new, w=w_new, fx=fx, fy=fy,
+            crx=crx, cry=cry, xfx=xfx, yfx=yfx, ra_x=ra_x, ra_y=ra_y,
+            ut=ut, vt=vt, heat_source=heat_source)
+
+    return _dsw_winds_stage(
+        delp, u, v, uc, vc, ua, va, divg_d, g, crx, cry, xfx, yfx,
+        ra_x, ra_y, ut, vt, fx, fy, delp_new, pt_new, w_new, heat_source,
+        dt=dt, hord_mt=hord_mt, hord_vt=hord_vt, nord=nord, nord_v=nord_v,
+        dddmp=dddmp, d2_bg_b=d2_bg_b, d4_bg=d4_bg, damp_v=damp_v,
+        d_con=d_con, d_con_b=d_con_b, hydrostatic=hydrostatic,
+        lim_fac=lim_fac, nord_mask=nord_mask, damp_v2=damp_v2,
+        nord_v2=nord_v2, in_kernel=in_kernel)
+
+
+def _dsw_winds_stage(delp, u, v, uc, vc, ua, va, divg_d, g, crx, cry,
+                     xfx, yfx, ra_x, ra_y, ut, vt, fx, fy, delp_new,
+                     pt_new, w_new, heat_source, *, dt, hord_mt, hord_vt,
+                     nord, nord_v, dddmp, d2_bg_b, d4_bg, damp_v, d_con,
+                     d_con_b, hydrostatic, lim_fac, nord_mask, damp_v2,
+                     nord_v2, in_kernel):
+    """d_sw's KE / vorticity / damping / wind-update half (sw_core.F90:
+    1063-1529), split out so the Pallas path can run it as its own
+    compile-sized kernel."""
+    npx = g.npx
+    n = g.n
+    f = fi
+    edges = getattr(g, "grid_type", 0) < 3
+    ctr = slice(H, H + n)
+    wsl = slice(f(1), f(npx) + 1)
+    catx = lambda ps: jnp.concatenate(ps, -1)
+    caty = lambda ps: jnp.concatenate(ps, -2)
 
     # ---- kinetic energy (sw_core.F90:1063-1225) ---------------------------
     import os

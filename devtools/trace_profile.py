@@ -23,7 +23,8 @@ LOGDIR = "/tmp/fv3_trace"
 
 
 def build_step():
-    from gfdl_atmos_cubed_sphere_tpu.model.grid_ops import build_grid_ops
+    from gfdl_atmos_cubed_sphere_tpu.model.grid_ops import (
+        build_grid_ops, split_metrics, merge_metrics)
     from gfdl_atmos_cubed_sphere_tpu.model.dyn_core import DynConfig
     from gfdl_atmos_cubed_sphere_tpu.model.fv_dynamics import fv_dynamics_hydro
     from gfdl_atmos_cubed_sphere_tpu.model.sw_dynamics import prepare_phis
@@ -45,12 +46,17 @@ def build_step():
     for nm in ("liq_wat", "rainwat", "ice_wat", "snowwat", "graupel"):
         q[nm] = jnp.full(q["sphum"].shape, 1e-6, jnp.float32)
 
-    def step(delp, pt, u, v, q):
-        r = fv_dynamics_hydro(delp, pt, u, v, q, g, cfg, akj, bkj, ptop,
+    # metrics as jit arguments, exactly like bench.py (split_metrics)
+    garrs, grest = split_metrics(g)
+
+    def step(garrs, delp, pt, u, v, q):
+        gg = merge_metrics(garrs, grest)
+        r = fv_dynamics_hydro(delp, pt, u, v, q, gg, cfg, akj, bkj, ptop,
                               mp_cfg=mpc)
         return r.delp, r.pt, r.u, r.v, r.q
 
-    fn = jax.jit(step)
+    jf = jax.jit(step)
+    fn = lambda *st: jf(garrs, *st)
     st = [jnp.asarray(ic[k], jnp.float32)
           for k in ("delp", "pt", "u", "v")] + [q]
     return fn, st

@@ -21,7 +21,7 @@ from .. import constants as con
 from ..ops import sw_core
 from ..ops.sw_core import _cl, _cr, _rl, _rr
 from ..ops.a2b_edge import a2b_ord4
-from ..ops.fill_corners import fi
+from ..ops.fill_corners import fi, cube_edges
 
 H = 3
 
@@ -447,13 +447,13 @@ def dyn_core_hydro(delp, pt, u, v, phis, g, cfg: DynConfig, akap, ptop,
         # mass conserves to ~1e-14/step (cf. dyn_core.F90:1152-1170, which
         # reconciles only at it==n_split for comm cost).
         u, v = halo.reconcile_dgrid(u, v)
-        delp_p = halo.pad_cell(delp)
-        pt_p = halo.pad_cell(pt)
-        u_p, v_p = halo.pad_dgrid(u, v)
+        delp_p = halo.pad_cell(delp, name="delp")
+        pt_p = halo.pad_cell(pt, name="pt")
+        u_p, v_p = halo.pad_dgrid(u, v, names=("u", "v"))
 
         from ..ops import pallas_csw
         if pallas_csw.use_pallas_csw(delp_p,
-                                     getattr(g, "grid_type", 0) < 3, False):
+                                     cube_edges(g), False):
             # one Pallas program per (tile, level): whole C-grid half-step
             # in VMEM (ops/pallas_csw.py)
             cs = pallas_csw.c_sw_pallas(delp_p, pt_p, None, u_p, v_p, g,
@@ -463,10 +463,11 @@ def dyn_core_hydro(delp, pt, u, v, phis, g, cfg: DynConfig, akap, ptop,
                               hydrostatic=True, nord=cfg.nord, sw_mode=False)
         _, _, pkc, gzc, _ = geopk(cs.delpc, cs.ptc, phis_p, akap, ptop)
         uc, vc = p_grad_c(cs.uc, cs.vc, cs.delpc, pkc, gzc, g, dt2, npx)
-        uc_p, vc_p = halo.pad_cgrid(uc[..., ctr, wsl], vc[..., wsl, ctr])
+        uc_p, vc_p = halo.pad_cgrid(uc[..., ctr, wsl], vc[..., wsl, ctr],
+                                    names=("uc", "vc"))
         divg_p = None
         if cfg.nord > 0:
-            divg_p = halo.pad_corner(cs.divg_d[..., wsl, wsl])
+            divg_p = halo.pad_corner(cs.divg_d[..., wsl, wsl], name="divg")
 
         # merged d_sw: the reference's per-sponge-group dispatch collapsed
         # into one full-K call with per-level damping profiles
@@ -479,7 +480,7 @@ def dyn_core_hydro(delp, pt, u, v, phis, g, cfg: DynConfig, akap, ptop,
             **{k: pl[k] for k in ("nord", "nord_v", "d2_bg", "d_con",
                                   "nord_mask", "damp_v", "damp_v2",
                                   "nord_v2")})
-        if pallas_dsw.use_pallas_dsw(delp_p, getattr(g, "grid_type", 0) < 3,
+        if pallas_dsw.use_pallas_dsw(delp_p, cube_edges(g),
                                      cfg.dddmp, False, False):
             # whole D-grid step per (tile, level) in VMEM (ops/pallas_dsw.py)
             ds = pallas_dsw.d_sw_pallas(
@@ -502,8 +503,8 @@ def dyn_core_hydro(delp, pt, u, v, phis, g, cfg: DynConfig, akap, ptop,
         mfx, mfy = mfx + ds.fx, mfy + ds.fy
         cx, cy = cx + ds.crx, cy + ds.cry
 
-        delp_p2 = halo.pad_cell(delp)
-        pt_p2 = halo.pad_cell(pt)
+        delp_p2 = halo.pad_cell(delp, name="delp")
+        pt_p2 = halo.pad_cell(pt, name="pt")
         _, _, pk, gz, _ = geopk(delp_p2, pt_p2, phis_p, akap, ptop)
         if cfg.beta > 0.0:
             beta_eff = jnp.where(it == 0, 0.0, cfg.beta)
@@ -537,7 +538,8 @@ def dyn_core_hydro(delp, pt, u, v, phis, g, cfg: DynConfig, akap, ptop,
     # prevent accumulation of rounding/one-sided-stencil differences at the
     # duplicated tile-edge walls (dyn_core.F90:1152-1170)
     u, v = halo.reconcile_dgrid(u, v)
-    pe, peln, pk, gz, pkz = geopk(halo.pad_cell(delp), halo.pad_cell(pt),
+    pe, peln, pk, gz, pkz = geopk(halo.pad_cell(delp, name="delp"),
+                                  halo.pad_cell(pt, name="pt"),
                                   phis_p, akap, ptop)
     return SimpleNamespace(delp=delp, pt=pt, u=u, v=v,
                            mfx=mfx, mfy=mfy, cx=cx, cy=cy,
@@ -710,15 +712,15 @@ def dyn_core_nh(delp, pt, u, v, w, delz, phis, g, cfg: DynConfig, akap, ptop,
         (delp, pt, u, v, w, zh, ws_c, mfx, mfy, cx, cy, it,
          dup, dvp, qv_t) = carry
         u, v = halo.reconcile_dgrid(u, v)
-        delp_p = halo.pad_cell(delp)
-        pt_p = halo.pad_cell(pt)
-        w_p = halo.pad_cell(w)
-        zh_p = halo.pad_cell(zh)
-        u_p, v_p = halo.pad_dgrid(u, v)
+        delp_p = halo.pad_cell(delp, name="delp")
+        pt_p = halo.pad_cell(pt, name="pt")
+        w_p = halo.pad_cell(w, name="w")
+        zh_p = halo.pad_cell(zh, name="zh")
+        u_p, v_p = halo.pad_dgrid(u, v, names=("u", "v"))
 
         from ..ops import pallas_csw, pallas_dsw
         if pallas_csw.use_pallas_csw(delp_p,
-                                     getattr(g, "grid_type", 0) < 3, False):
+                                     cube_edges(g), False):
             cs = pallas_csw.c_sw_pallas(delp_p, pt_p, w_p, u_p, v_p, g, dt2,
                                         hydrostatic=False, nord=cfg.nord)
         else:
@@ -732,10 +734,11 @@ def dyn_core_nh(delp, pt, u, v, w, delz, phis, g, cfg: DynConfig, akap, ptop,
                                          a_imp=cfg.a_imp, ms=ms)
         uc, vc = p_grad_c(cs.uc, cs.vc, cs.delpc, pkc, gzc, g, dt2, npx,
                           hydrostatic=False)
-        uc_p, vc_p = halo.pad_cgrid(uc[..., ctr, wsl], vc[..., wsl, ctr])
+        uc_p, vc_p = halo.pad_cgrid(uc[..., ctr, wsl], vc[..., wsl, ctr],
+                                    names=("uc", "vc"))
         divg_p = None
         if cfg.nord > 0:
-            divg_p = halo.pad_corner(cs.divg_d[..., wsl, wsl])
+            divg_p = halo.pad_corner(cs.divg_d[..., wsl, wsl], name="divg")
 
         dsw_kw = dict(
             dt=dt, hord_mt=cfg.hord_mt, hord_vt=cfg.hord_vt,
@@ -743,7 +746,7 @@ def dyn_core_nh(delp, pt, u, v, w, delz, phis, g, cfg: DynConfig, akap, ptop,
             dddmp=cfg.dddmp, d4_bg=cfg.d4_bg,
             ke_bg=cfg.ke_bg, hydrostatic=False,
             lim_fac=cfg.lim_fac, **pl)
-        if pallas_dsw.use_pallas_dsw(delp_p, getattr(g, "grid_type", 0) < 3,
+        if pallas_dsw.use_pallas_dsw(delp_p, cube_edges(g),
                                      cfg.dddmp, False, False):
             ds = pallas_dsw.d_sw_pallas(
                 delp_p, pt_p, w_p, u_p, v_p, uc_p, vc_p, cs.ua, cs.va,
@@ -770,13 +773,13 @@ def dyn_core_nh(delp, pt, u, v, w, delz, phis, g, cfg: DynConfig, akap, ptop,
                                         cfg.hord_tm, npx,
                                         damp_zh, min(2, cfg.nord),
                                         lim_fac=cfg.lim_fac)
-        zh_p2 = halo.pad_cell(zh_int)
+        zh_p2 = halo.pad_cell(zh_int, name="zh")
         rdt = 1.0 / dt
         ws_full = (zs_p - zh_p2[:, -1]) * rdt
 
-        delp_p2 = halo.pad_cell(delp)
-        pt_p2 = halo.pad_cell(pt)
-        w_p2 = halo.pad_cell(w)
+        delp_p2 = halo.pad_cell(delp, name="delp")
+        pt_p2 = halo.pad_cell(pt, name="pt")
+        w_p2 = halo.pad_cell(w, name="w")
         rs = nh_core.riem_solver3(dt, delp_p2, pt_p2, w_p2, zh_p2, zs_p,
                                   ws_full, akap, ptop, cfg.p_fac,
                                   a_imp=cfg.a_imp, scale_m=cfg.scale_m,
@@ -834,7 +837,7 @@ def dyn_core_nh(delp, pt, u, v, w, delz, phis, g, cfg: DynConfig, akap, ptop,
     u, v = halo.reconcile_dgrid(u, v)
     delz = zh[:, 1:] - zh[:, :-1]
     # final pressures for the remap (pe from updated delp)
-    delp_p = halo.pad_cell(delp)
+    delp_p = halo.pad_cell(delp, name="delp")
     pe = ptop + jnp.concatenate(
         [jnp.zeros_like(delp_p[:, :1]), jnp.cumsum(delp_p, axis=1)], axis=1)
     peln = jnp.log(pe)

@@ -149,7 +149,8 @@ def del2_phys(qdt, delp, g, cd):
     qN = qp[..., H:H + n + 1, H:H + n]
     fy = mask_y * dx * sina_v * (qS - qN) * rdyc
 
-    if getattr(g, "grid_type", 0) < 3:
+    from ..ops.fill_corners import cube_edges
+    if cube_edges(g):
         # one-sided sin_sg factors at the cube panel edges (del2_phys
         # :843-862); sin_sg components on the padded cell frame
         sg1, sg2 = g.sin_sg1, g.sin_sg2          # [6, 1, NC, NC] padded

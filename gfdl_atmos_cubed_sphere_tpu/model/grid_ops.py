@@ -101,6 +101,45 @@ def build_grid_ops(npx, dtype=jnp.float32, geom: GridGeometry = None,
     return g
 
 
+def build_grid_ops_patch(geom, dtype=jnp.float32):
+    """Metric pack for a bounded gnomonic patch (nested / regional grid,
+    grid.patch.build_patch_geometry). Same array inventory as
+    build_grid_ops minus the cube-edge factors (no one-sided stencils on a
+    bounded domain); g.bounded = True routes every kernel through its
+    regular-stencil (`bounded_domain`) path and g.halo is a NestBCHalo
+    whose frames the driver swaps in per step."""
+    from ..parallel.nest_halo import NestBCHalo
+    a = geom.arrays
+    g = SimpleNamespace()
+    g.npx = geom.npx
+    g.n = geom.n
+    g.geom = geom
+    g.dtype = dtype
+    g.bounded = True
+    g.grid_type = 0
+    g.halo = NestBCHalo(geom.n, H)
+
+    for name in ("dx", "dy", "dxa", "dya", "dxc", "dyc",
+                 "rdx", "rdy", "rdxa", "rdya", "rdxc", "rdyc",
+                 "area", "rarea", "area_c", "rarea_c",
+                 "cosa", "sina", "rsina", "cosa_u", "sina_u", "rsin_u",
+                 "cosa_v", "sina_v", "rsin_v", "cosa_s", "rsin2",
+                 "divg_u", "divg_v", "del6_u", "del6_v",
+                 "a11", "a12", "a21", "a22", "z11", "z12", "z21", "z22",
+                 "l2c_u", "l2c_v", "fC", "f0"):
+        setattr(g, name, _w(a[name], dtype))
+    for c in range(9):
+        setattr(g, f"sin_sg{c + 1}", _w(a["sin_sg"][..., c], dtype))
+        setattr(g, f"cos_sg{c + 1}", _w(a["cos_sg"][..., c], dtype))
+    g.da_min = jnp.asarray(geom.da_min, dtype)
+    g.da_max = jnp.asarray(geom.da_max, dtype)
+    g.da_min_c = jnp.asarray(geom.da_min_c, dtype)
+    g.da_max_c = jnp.asarray(geom.da_max_c, dtype)
+    g.global_area = float(geom.global_area)
+    g.a2b_corner_w = None
+    return g
+
+
 def build_grid_ops_dp(n, dx_const, dy_const, dtype=jnp.float32,
                       deglat=0.0, ntiles=1):
     """Metric pack for the doubly-periodic cartesian domain (grid_type 4,

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from ..ops.sw_core import _cl, _cr, _rl, _rr
 from ..ops.tp_core import fv_tp_2d
+from ..ops.fill_corners import cube_edges
 
 H = 3
 
@@ -70,7 +71,7 @@ def tracer_2d(q, dp1, mfx, mfy, cx, cy, g, hord_tr, q_split=0,
         fx, fy = fv_tp_2d(qp, e(cxi), e(cyi), hord_tr, e(xfxi), e(yfxi),
                           e(g.area), e(ra_x), e(ra_y), e(g.dxa), e(g.dya),
                           lim_fac=lim_fac, mfx=e(mfxi), mfy=e(mfyi),
-                          edges=getattr(g, "grid_type", 0) < 3)
+                          edges=cube_edges(g))
         qs_out = (qs_in * dp_in[:, None]
                   + (fx[..., :, :-1] - fx[..., :, 1:]
                      + fy[..., :-1, :] - fy[..., 1:, :]) * e(rarea)) / dp2[:, None]

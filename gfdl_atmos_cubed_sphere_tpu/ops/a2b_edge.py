@@ -92,7 +92,10 @@ def a2b_ord4(qin, g):
     Internal arrays (qx/qy/qxx/qyy) and the output are assembled by strip
     concatenation instead of .at[].set chains — one HBM pass per array.
     """
-    if getattr(g, "grid_type", 0) >= 3:
+    if getattr(g, "grid_type", 0) >= 3 or getattr(g, "bounded", False):
+        # orthogonal plane OR bounded gnomonic patch: regular interior
+        # stencils everywhere (a2b_edge.F90 bounded_domain ranges :52-56),
+        # halos carry valid (BC) data
         return _a2b_ord4_dp(qin)
     from .pallas_a2b import use_pallas_a2b
     if use_pallas_a2b(qin, g):
@@ -438,6 +441,12 @@ def wx_col(qy, if_):
 
 def a2b_ord2(qin, g):
     """a2b_edge.F90 a2b_ord2: 2nd-order cell->corner with edge factors."""
+    if getattr(g, "grid_type", 0) >= 3 or getattr(g, "bounded", False):
+        # plain 4-cell average on every corner (bounded_domain ranges)
+        q4 = 0.25 * (qin[..., :-1, :-1] + qin[..., 1:, :-1]
+                     + qin[..., :-1, 1:] + qin[..., 1:, 1:])
+        pad = [(0, 0)] * (qin.ndim - 2) + [(1, 1), (1, 1)]
+        return jnp.pad(q4, pad, mode="edge")
     f = fi
     n = qin.shape[-1] - 2 * H
     npx = npy = n + 1

@@ -27,6 +27,17 @@ def fi(i):
     return i - 1 + H
 
 
+def cube_edges(g):
+    """True when the grid has real cube-face edges (one-sided edge stencils
+    + corner fills apply). False for the orthogonal doubly-periodic plane
+    (grid_type >= 3) AND for bounded gnomonic patches (nested / regional
+    domains, the reference's `bounded_domain` flag — e.g.
+    sw_core.F90:3055/3190, tp_core.F90 bounded branches), whose halos carry
+    externally supplied BC data through regular interior stencils."""
+    return (getattr(g, "grid_type", 0) < 3
+            and not getattr(g, "bounded", False))
+
+
 def _flip(a):
     return jnp.flip(a, axis=-1)
 

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import constants as con
-from .fill_corners import fi, fill_4corners_cell
+from .fill_corners import fi, fill_4corners_cell, cube_edges
 from .tp_core import fv_tp_2d, deln_damp_fluxes
 
 H = 3
@@ -724,7 +724,7 @@ def update_dz_c(g, ut, vt, gz, zs, dp0, dt2, npx):
     yfx = interface_wind(vt)
 
     from .sw_core import _cl, _cr, _rl, _rr
-    edges = getattr(g, "grid_type", 0) < 3
+    edges = cube_edges(g)
     gx = fill_4corners_cell(gz, 1, npx) if edges else gz
     fx = xfx * jnp.where(xfx > 0.0, _cl(gx), _cr(gx))
     gy = fill_4corners_cell(gz, 2, npx) if edges else gz
@@ -815,7 +815,7 @@ def update_dz_d(g, zh, crx, cry, xfx, yfx, zs, dp0, dt, hord, npx,
     ra_x = g.area + xfx_a[..., :, :-1] - xfx_a[..., :, 1:]
     ra_y = g.area + yfx_a[..., :-1, :] - yfx_a[..., 1:, :]
 
-    edges = getattr(g, "grid_type", 0) < 3
+    edges = cube_edges(g)
     fx, fy = fv_tp_2d(zh, crx_a, cry_a, hord, xfx_a, yfx_a, g.area,
                       ra_x, ra_y, g.dxa, g.dya, lim_fac=lim_fac,
                       edges=edges)

@@ -42,12 +42,17 @@ _PALLAS_CSW = os.environ.get("GFDL_TPU_PALLAS_CSW", "1") != "0"
 
 
 def use_pallas_csw(q, edges, sw_mode):
-    if not (_PALLAS_CSW and edges and q.ndim == 4 and not sw_mode):
-        return False
     try:
-        return jax.default_backend() == "tpu"
+        on_tpu = jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover
         return False
+    ok = _PALLAS_CSW and edges and q.ndim == 4 and not sw_mode
+    if on_tpu and _PALLAS_CSW and not ok:
+        import warnings
+        warnings.warn("pallas c_sw falling back to the XLA path "
+                      f"(edges={edges}, ndim={q.ndim}, sw_mode={sw_mode})",
+                      stacklevel=2)
+    return ok and on_tpu
 
 
 def c_sw_pallas(delp, pt, w, u, v, g, dt2, hydrostatic=True, nord=0,

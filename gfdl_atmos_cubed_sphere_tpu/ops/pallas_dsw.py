@@ -39,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 from . import sw_core
 
 H = 3
-KB = 4          # levels per program
+KB = int(os.environ.get("GFDL_TPU_DSW_KB", "4"))   # levels per program
 
 _METRICS_FLUX = (
     "cosa_u", "cosa_v", "rsin_u", "rsin_v",
@@ -60,16 +60,24 @@ _PALLAS_DSW = os.environ.get("GFDL_TPU_PALLAS_DSW", "1") != "0"
 
 
 def use_pallas_dsw(q, edges, dddmp, advection_only, sw_mode):
-    """Gate: TPU backend, cube-edge mode, [6, K, P, P] operands, no
-    divergence-damping dddmp term (needs a2b_ord4 metrics — falls back),
-    full d_sw (not the advection-only / SW-mode reduced paths)."""
-    if not (_PALLAS_DSW and edges and q.ndim == 4
-            and not advection_only and not sw_mode and dddmp < 1.0e-5):
-        return False
+    """Gate: TPU backend, cube-edge mode, [6, K, P, P] operands, full d_sw
+    (not the advection-only / SW-mode reduced paths). The Smagorinsky
+    dddmp term is supported: its a2b_ord4(vorticity) operand is computed
+    outside the winds kernel and fed in (sw_core.F90:1466-1473)."""
+    del dddmp
     try:
-        return jax.default_backend() == "tpu"
+        on_tpu = jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover
         return False
+    ok = (_PALLAS_DSW and edges and q.ndim == 4
+          and not advection_only and not sw_mode)
+    if on_tpu and _PALLAS_DSW and not ok:
+        import warnings
+        warnings.warn(
+            "pallas d_sw falling back to the XLA path "
+            f"(edges={edges}, ndim={q.ndim}, advection_only="
+            f"{advection_only}, sw_mode={sw_mode})", stacklevel=2)
+    return ok and on_tpu
 
 
 def _classify(p, Kp, dtype):
@@ -275,6 +283,19 @@ def d_sw_pallas(delp, pt, w, u, v, uc, vc, ua, va, divg_d, g, *,
                    ("ut", f_out["ut"]), ("vt", f_out["vt"])]
     if nord > 0:
         wind_fields.append(("divg_d", padk(divg_d)))
+    if nord > 0 and dddmp >= 1.0e-5:
+        # Smagorinsky-modulated damping (sw_core.F90:1466-1473): the
+        # B-grid |vorticity| operand needs a2b_ord4's edge-row assembly,
+        # which cannot live inside the winds kernel body — compute the
+        # cell-mean relative vorticity and its corner interpolation
+        # outside (the a2b itself goes through ops/pallas_a2b.py)
+        from .a2b_edge import a2b_ord4
+        vt_w = u * jnp.asarray(g.dx, dtype)
+        ut_w = v * jnp.asarray(g.dy, dtype)
+        wk_pre = jnp.asarray(g.rarea, dtype) * (
+            vt_w[..., :-1, :] - vt_w[..., 1:, :]
+            - ut_w[..., :, :-1] + ut_w[..., :, 1:])
+        wind_fields.append(("vortS", padk(a2b_ord4(wk_pre, g))))
     if nh_heat:
         wind_fields.append(("heat_w", f_out["heat"]))
     wind_profs = [(nm, all_profs[nm]) for nm in
@@ -291,7 +312,8 @@ def d_sw_pallas(delp, pt, w, u, v, uc, vc, ua, va, divg_d, g, *,
                    fx=jnp.zeros((1, 1), fr["delp"].dtype),
                    fy=jnp.zeros((1, 1), fr["delp"].dtype),
                    delp_new=None, pt_new=None, w_new=None,
-                   heat_source=fr.get("heat_w"))
+                   heat_source=fr.get("heat_w"), vortS=fr.get("vortS"))
+        wind_kw = dict(base_kw, dddmp=float(dddmp))
         with in_kernel_corners():
             ds = sw_core.d_sw(
                 fr["delp"], None, None, fr["u"], fr["v"],
@@ -303,7 +325,7 @@ def d_sw_pallas(delp, pt, w, u, v, uc, vc, ua, va, divg_d, g, *,
                 damp_v=param("damp_v", pr, fr["delp"]),
                 damp_v2=param("damp_v2", pr, fr["delp"]),
                 damp_w=None, damp_w2=None,
-                stage="winds", pre=pre, **base_kw)
+                stage="winds", pre=pre, **wind_kw)
         out = dict(u_new=ds.u, v_new=ds.v)
         if do_heat or nh_heat:
             out["heat"] = ds.heat_source

@@ -23,7 +23,7 @@ import numpy as np
 from .tp_core import fv_tp_2d, deln_damp_fluxes, _pert_ppm_iv1
 from .a2b_edge import a2b_ord4, a2b_ord2
 from .fill_corners import (fill_4corners_cell, fill_corners_bgrid,
-                           fill_corners_dgrid_vector, fi)
+                           fill_corners_dgrid_vector, fi, cube_edges)
 from ..parallel.halo import copy_corners
 
 H = 3
@@ -163,6 +163,8 @@ def d2a2c_vect(u, v, g, in_kernel=False):
     """
     if getattr(g, "grid_type", 0) >= 3:
         return _d2a2c_vect_dp(u, v, g)
+    if getattr(g, "bounded", False):
+        return _d2a2c_vect_bounded(u, v, g)
     if in_kernel:
         return _d2a2c_vect_sel(u, v, g)
     npx = g.npx
@@ -298,6 +300,45 @@ def d2a2c_vect(u, v, g, in_kernel=False):
     vt = (vc - u * g.cosa_v) * g.rsin_v
     vt = vt.at[..., f(1), :].set(vt1)
     vt = vt.at[..., f(npx), :].set(vtn)
+    return ua, va, uc, vc, ut, vt
+
+
+def _d2a2c_vect_bounded(u, v, g):
+    """bounded_domain variant of d2a2c_vect (sw_core.F90:3065-3096 utmp/vtmp,
+    :3199 uc/ut, :3310 vc/vt with every `.not. bounded_domain` edge block
+    skipped): regular interior stencils everywhere on a gnomonic patch whose
+    halo ring carries externally supplied (nest/regional) BC data. The
+    outermost row/column falls back to 2nd-order averaging exactly as the
+    reference's jsd/jed rows; the outermost walls (never consumed by the
+    interior dynamics) are edge-clamped."""
+    # D -> A: 4th order on interior rows/cols, 2nd order at the frame edge
+    utmp2 = 0.5 * (u[..., :-1, :] + u[..., 1:, :])
+    u4 = (A2 * (u[..., :-3, :] + u[..., 3:, :])
+          + A1 * (u[..., 1:-2, :] + u[..., 2:-1, :]))
+    utmp = jnp.concatenate([utmp2[..., :1, :], u4, utmp2[..., -1:, :]], -2)
+    vtmp2 = 0.5 * (v[..., :, :-1] + v[..., :, 1:])
+    v4 = (A2 * (v[..., :, :-3] + v[..., :, 3:])
+          + A1 * (v[..., :, 1:-2] + v[..., :, 2:-1]))
+    vtmp = jnp.concatenate([vtmp2[..., :, :1], v4, vtmp2[..., :, -1:]], -1)
+
+    ua = (utmp - vtmp * g.cosa_s) * g.rsin2
+    va = (vtmp - utmp * g.cosa_s) * g.rsin2
+
+    # A -> C: 4th order where the stencil fits, 2nd order one wall in,
+    # clamp at the outermost walls
+    uc_i = (A2 * (utmp[..., :, :-3] + utmp[..., :, 3:])
+            + A1 * (utmp[..., :, 1:-2] + utmp[..., :, 2:-1]))
+    uw2 = 0.5 * (utmp[..., :, :-1] + utmp[..., :, 1:])
+    uc = jnp.concatenate([utmp[..., :, :1], uw2[..., :, :1], uc_i,
+                          uw2[..., :, -1:], utmp[..., :, -1:]], -1)
+    ut = (uc - v * g.cosa_u) * g.rsin_u
+
+    vc_i = (A2 * (vtmp[..., :-3, :] + vtmp[..., 3:, :])
+            + A1 * (vtmp[..., 1:-2, :] + vtmp[..., 2:-1, :]))
+    vw2 = 0.5 * (vtmp[..., :-1, :] + vtmp[..., 1:, :])
+    vc = jnp.concatenate([vtmp[..., :1, :], vw2[..., :1, :], vc_i,
+                          vw2[..., -1:, :], vtmp[..., -1:, :]], -2)
+    vt = (vc - u * g.cosa_v) * g.rsin_v
     return ua, va, uc, vc, ut, vt
 
 
@@ -447,7 +488,7 @@ def _d2a2c_vect_sel(u, v, g):
 def divergence_corner(u, v, ua, va, g, in_kernel=False):
     npx = g.npx
     f = fi
-    edges = getattr(g, "grid_type", 0) < 3
+    edges = cube_edges(g)
     uf = ((u - 0.25 * (_rl(va) + _rr(va)) * (_rl(g.cos_sg4) + _rr(g.cos_sg2)))
           * g.dyc * 0.5 * (_rl(g.sin_sg4) + _rr(g.sin_sg2)))
     if in_kernel and edges:
@@ -501,7 +542,7 @@ def c_sw(delp, pt, w, u, v, g, dt2, hydrostatic=True, nord=0, sw_mode=False,
     edge handling for Pallas kernel bodies (ops/pallas_csw.py)."""
     npx = g.npx
     f = fi
-    edges = getattr(g, "grid_type", 0) < 3
+    edges = cube_edges(g)
     f4 = fill_4corners_cell if edges else (lambda q, d, npx_: q)
     ua, va, uc, vc, ut, vt = d2a2c_vect(u, v, g, in_kernel=in_kernel)
     divg_d = (divergence_corner(u, v, ua, va, g, in_kernel=in_kernel)
@@ -678,7 +719,11 @@ def xtp_u(c, u, dx, rdx, iord, lim_fac=1.0, edges=True, axis=-1):
     """
     npx = c.shape[-1] - 2 * H
     if not edges:
-        # periodic interior: identical interior scheme via the generic xppm
+        # bounded/periodic interior: identical interior scheme via the
+        # generic xppm. c is a DISTANCE (sw_core.F90 xtp_u's c); xppm wants
+        # the dimensionless Courant number, so apply the upwind-cell rdx
+        # first (the cfl = c * rdx of the edges path below; on the uniform
+        # doubly-periodic grid the two rdx branches are equal)
         from .tp_core import xppm
         f_ = fi
         if axis == -2:
@@ -687,7 +732,10 @@ def xtp_u(c, u, dx, rdx, iord, lim_fac=1.0, edges=True, axis=-1):
                         jnp.swapaxes(rdx, -1, -2), iord, lim_fac, edges=False)
             return jnp.swapaxes(out, -1, -2)
         cw = c[..., :, f_(1):f_(npx) + 1]
-        flux = xppm(u, cw, dx, iord, lim_fac, edges=False)
+        rdx_l = rdx[..., :, f_(0):f_(npx - 1) + 1]     # upwind cell i-1
+        rdx_r = rdx[..., :, f_(1):f_(npx) + 1]         # upwind cell i
+        cfl_w = cw * jnp.where(cw > 0.0, rdx_l, rdx_r)
+        flux = xppm(u, cfl_w, dx, iord, lim_fac, edges=False)
         out = jnp.zeros_like(c)
         return out.at[..., :, f_(1):f_(npx) + 1].set(flux)
     n = npx - 1
@@ -1135,7 +1183,7 @@ def d_sw(delp, pt, w, u, v, uc, vc, ua, va, divg_d, g, *,
     npx = g.npx
     n = g.n
     f = fi
-    edges = getattr(g, "grid_type", 0) < 3
+    edges = cube_edges(g)
     ctr = slice(H, H + n)
     wsl = slice(f(1), f(npx) + 1)
     d2_bg_b = _pl(d2_bg, delp.dtype)
@@ -1155,7 +1203,8 @@ def d_sw(delp, pt, w, u, v, uc, vc, ua, va, divg_d, g, *,
             nord=nord, nord_v=nord_v, dddmp=dddmp, d2_bg_b=d2_bg_b,
             d4_bg=d4_bg, damp_v=damp_v, d_con=d_con, d_con_b=d_con_b,
             hydrostatic=hydrostatic, lim_fac=lim_fac, nord_mask=nord_mask,
-            damp_v2=damp_v2, nord_v2=nord_v2, in_kernel=in_kernel)
+            damp_v2=damp_v2, nord_v2=nord_v2, in_kernel=in_kernel,
+            vortS_pre=pre.get("vortS"))
 
     # ---- advective C-grid winds -> courant / area fluxes ------------------
     if advection_only:
@@ -1334,14 +1383,14 @@ def _dsw_winds_stage(delp, u, v, uc, vc, ua, va, divg_d, g, crx, cry,
                      pt_new, w_new, heat_source, *, dt, hord_mt, hord_vt,
                      nord, nord_v, dddmp, d2_bg_b, d4_bg, damp_v, d_con,
                      d_con_b, hydrostatic, lim_fac, nord_mask, damp_v2,
-                     nord_v2, in_kernel):
+                     nord_v2, in_kernel, vortS_pre=None):
     """d_sw's KE / vorticity / damping / wind-update half (sw_core.F90:
     1063-1529), split out so the Pallas path can run it as its own
     compile-sized kernel."""
     npx = g.npx
     n = g.n
     f = fi
-    edges = getattr(g, "grid_type", 0) < 3
+    edges = cube_edges(g)
     ctr = slice(H, H + n)
     wsl = slice(f(1), f(npx) + 1)
     catx = lambda ps: jnp.concatenate(ps, -1)
@@ -1465,6 +1514,10 @@ def _dsw_winds_stage(delp, u, v, uc, vc, ua, va, divg_d, g, crx, cry,
             dd = dd * g.rarea_c
         if dddmp < 1.0e-5:
             vortS = jnp.zeros_like(dd)
+        elif vortS_pre is not None:
+            # Smagorinsky operand precomputed outside a Pallas kernel body
+            # (a2b_ord4 of the cell-mean vorticity; ops/pallas_dsw.py)
+            vortS = jnp.abs(dt) * jnp.sqrt(delpc_d ** 2 + vortS_pre ** 2)
         else:
             vortS = a2b_ord4(wk, g)
             vortS = jnp.abs(dt) * jnp.sqrt(delpc_d ** 2 + vortS ** 2)

@@ -143,14 +143,14 @@ class HaloExchanger:
 
     # -- scalar pads ---------------------------------------------------
 
-    def pad_cell(self, q):
+    def pad_cell(self, q, name=None):
         """[6, ..., n, n] -> [6, ..., n+2h, n+2h] (corner blocks garbage)."""
         if self._cell_strips is not None and not self.GSPMD_SAFE:
             return self._gather_strips(q, self._cell_strips,
                                        self.n * self.n, q)
         return self._gather(q, self._cell_flat, self.n * self.n)
 
-    def pad_corner(self, q):
+    def pad_corner(self, q, name=None):
         m = self.n + 1
         if self._corner_strips is not None and not self.GSPMD_SAFE:
             return self._gather_strips(q, self._corner_strips, m * m, q)
@@ -251,12 +251,12 @@ class HaloExchanger:
             v = v.at[:, :, n].set(ve)
         return u, v
 
-    def pad_dgrid(self, u, v):
+    def pad_dgrid(self, u, v, names=None):
         """D-grid winds: u [6,...,n+1,n], v [6,...,n,n+1] ->
         padded [6,...,n+1+2h,n+2h], [6,...,n+2h,n+1+2h]."""
         return self._pad_vector(u, v, self._dgrid, gname="D")
 
-    def pad_cgrid(self, uc, vc):
+    def pad_cgrid(self, uc, vc, names=None):
         """C-grid winds: uc x-wall [6,...,n,n+1], vc y-wall [6,...,n+1,n]."""
         # internal spec convention (topology.vector_halo_spec grid="C"):
         # 'u' output = uc (x-wall), 'v' output = vc (y-wall); source comp 0 is

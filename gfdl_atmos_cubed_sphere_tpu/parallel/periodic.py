@@ -18,13 +18,13 @@ class PeriodicHalo:
 
     # -- scalars -----------------------------------------------------------
 
-    def pad_cell(self, q):
+    def pad_cell(self, q, name=None):
         h = self.h
         q = jnp.concatenate([q[..., -h:, :], q, q[..., :h, :]], axis=-2)
         q = jnp.concatenate([q[..., :, -h:], q, q[..., :, :h]], axis=-1)
         return q
 
-    def pad_corner(self, q):
+    def pad_corner(self, q, name=None):
         """Corner-point field [.., n+1, n+1] where row/col n duplicates 0:
         pad periodically using the unique n interior walls."""
         h = self.h
@@ -50,11 +50,11 @@ class PeriodicHalo:
         vv = jnp.concatenate([vv[..., -h:, :], vv, vv[..., :h, :]], -2)
         return vv
 
-    def pad_dgrid(self, u, v):
+    def pad_dgrid(self, u, v, names=None):
         """u [.., n+1, n] y-walls; v [.., n, n+1] x-walls."""
         return self._pad_wall_y(u), self._pad_wall_x(v)
 
-    def pad_cgrid(self, uc, vc):
+    def pad_cgrid(self, uc, vc, names=None):
         """uc x-walls [.., n, n+1]; vc y-walls [.., n+1, n]."""
         return self._pad_wall_x(uc), self._pad_wall_y(vc)
 

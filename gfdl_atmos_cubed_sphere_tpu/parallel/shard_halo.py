@@ -205,10 +205,10 @@ class ShardHalo:
             padded = padded.at[(Ellipsis,) + R].set(recv)
         return padded
 
-    def pad_cell(self, q):
+    def pad_cell(self, q, name=None):
         return self._exchange_scalar(q, self._cell)
 
-    def pad_corner(self, q):
+    def pad_corner(self, q, name=None):
         return self._exchange_scalar(q, self._corner)
 
     def _exchange_vector(self, ysrc, xsrc, packs, bases):
@@ -236,12 +236,12 @@ class ShardHalo:
             outs.append(padded)
         return tuple(outs)
 
-    def pad_dgrid(self, u, v):
+    def pad_dgrid(self, u, v, names=None):
         """u: [..., n+1, n] y-wall winds; v: [..., n, n+1]."""
         return self._exchange_vector(u, v, self._dgrid,
                                      {"u": u, "v": v})
 
-    def pad_cgrid(self, uc, vc):
+    def pad_cgrid(self, uc, vc, names=None):
         """uc: [..., n, n+1] x-wall winds; vc: [..., n+1, n]. The C-grid
         spec's 'u' output is the x-wall field (uc); comp 0 sources the
         neighbor's y-wall field (vc)."""

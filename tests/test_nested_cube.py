@@ -1,0 +1,118 @@
+"""Gnomonic cube nesting phase 1 (driver/nested_cube.py, grid/patch.py).
+
+Reference behaviors pinned: aligned-nest grid generation by in-cell
+spherical interpolation (fv_grid_tools.F90 setup_aligned_nest:1630),
+parent->nest BC interpolation (fv_nesting.F90 setup_nested_grid_BCs:76,
+boundary.F90 nested_grid_BC), bounded-domain regular stencils
+(sw_core.F90 d2a2c_vect bounded branches :3065+)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gfdl_atmos_cubed_sphere_tpu.grid.metrics import build_grid_geometry
+from gfdl_atmos_cubed_sphere_tpu.grid.patch import (aligned_nest_corners,
+                                                    build_patch_geometry)
+from gfdl_atmos_cubed_sphere_tpu.model.grid_ops import (build_grid_ops,
+                                                        build_grid_ops_patch)
+from gfdl_atmos_cubed_sphere_tpu.model.dyn_core import DynConfig
+from gfdl_atmos_cubed_sphere_tpu.driver.nested_cube import (CubeNest,
+                                                            nested_step_hydro)
+from gfdl_atmos_cubed_sphere_tpu.grid.fv_eta import set_eta
+from gfdl_atmos_cubed_sphere_tpu.init.baroclinic import jw_baroclinic
+
+pytestmark = pytest.mark.fast
+
+H = 3
+
+
+def test_patch_metrics_match_parent_region():
+    """An R=1 patch cut from the parent face must reproduce the parent's
+    interior metric terms (the slerp hits the parent corners exactly)."""
+    pg = build_grid_geometry(33)        # C32
+    crn = aligned_nest_corners(pg, 2, 1, 10, 10, 13, 13)
+    geom = build_patch_geometry(crn)
+    for nm in ("area", "dxa", "dx", "dyc", "sin_sg", "cosa_s", "f0"):
+        a_p = np.asarray(pg.arrays[nm][2])
+        a_n = np.asarray(geom.arrays[nm][0])
+        sl = a_p[3 + 10 - 3: 3 + 10 - 3 + a_n.shape[0],
+                 3 + 10 - 3: 3 + 10 - 3 + a_n.shape[1]]
+        np.testing.assert_allclose(a_n, sl, rtol=5e-11, atol=1e-13,
+                                   err_msg=nm)
+
+
+def test_frames_exact_at_refinement_one():
+    """R=1 frames are index-aligned: the interpolated BC frame must equal
+    the parent's padded subarray exactly (bilinear at integer offsets)."""
+    g = build_grid_ops(25, dtype=jnp.float64)     # C24
+    nest = CubeNest(g, tile=1, refinement=1, ioffset=8, joffset=8,
+                    n_nest=8, dtype=jnp.float64)
+    npz = 3
+    rng = np.random.default_rng(0)
+    delp = jnp.asarray(rng.uniform(900, 1100, (6, npz, 24, 24)))
+    pt = jnp.asarray(rng.uniform(250, 300, (6, npz, 24, 24)))
+    u = jnp.asarray(rng.standard_normal((6, npz, 25, 24)))
+    v = jnp.asarray(rng.standard_normal((6, npz, 24, 25)))
+    fr = nest.frames_from_parent(g, delp, pt, u, v, 100.0, 0.2857)
+    dpp = g.halo.pad_cell(delp)[1]
+    np.testing.assert_allclose(np.asarray(fr["delp"][0]),
+                               np.asarray(dpp[:, 8:8 + 14, 8:8 + 14]),
+                               rtol=1e-13)
+    upp = g.halo.pad_dgrid(u, v)[0][1]
+    np.testing.assert_allclose(np.asarray(fr["u"][0]),
+                               np.asarray(upp[:, 8:8 + 15, 8:8 + 14]),
+                               rtol=1e-13)
+
+
+def test_nested_jw_runs_stable():
+    """C24 parent + R=2 nest (n=16 over an 8x8 region), JW baroclinic
+    wave: two concurrent big steps stay finite and the nest's interior
+    stays close to the parent solution it refines."""
+    npx, npz = 25, 16
+    g = build_grid_ops(npx, dtype=jnp.float64)
+    ks, ptop, ak, bk = set_eta(npz)
+    ic = jw_baroclinic(g.geom, npz, ak, bk, ptop, perturb=True)
+    from gfdl_atmos_cubed_sphere_tpu.model.sw_dynamics import prepare_phis
+    prepare_phis(g, ic["phis"])
+    cfg_p = DynConfig(npx=npx, npz=npz, dt=600.0, n_split=4)
+    cfg_n = DynConfig(npx=17, npz=npz, dt=600.0, n_split=8)
+    nest = CubeNest(g, tile=2, refinement=2, ioffset=8, joffset=8,
+                    n_nest=16, dtype=jnp.float64)
+    st_p = tuple(jnp.asarray(ic[k]) for k in ("delp", "pt", "u", "v"))
+    ns = nest.init_state_from_parent(g, *st_p)
+    st_n = (ns.delp, ns.pt, ns.u, ns.v)
+    akj = jnp.asarray(ak)
+    bkj = jnp.asarray(bk)
+    step = jax.jit(nested_step_hydro(g, nest, cfg_p, cfg_n, akj, bkj, ptop))
+    for _ in range(2):
+        st_p, st_n = step(st_p, st_n)
+    for a in (*st_p, *st_n):
+        assert np.isfinite(np.asarray(a)).all()
+    # nest interior vs the parent solution interpolated onto it
+    fr = nest.frames_from_parent(g, *st_p, ptop, 0.2857)
+    tn = np.asarray(st_n[1][0])                   # nest T [K, 16, 16]
+    tp = np.asarray(fr["t_abs"][0][:, H:-H, H:-H])
+    rel = np.abs(tn - tp) / np.abs(tp)
+    assert rel.max() < 0.05, rel.max()
+
+
+def test_nested_twoway_feedback_finite():
+    npx, npz = 25, 16
+    g = build_grid_ops(npx, dtype=jnp.float64)
+    ks, ptop, ak, bk = set_eta(npz)
+    ic = jw_baroclinic(g.geom, npz, ak, bk, ptop, perturb=True)
+    from gfdl_atmos_cubed_sphere_tpu.model.sw_dynamics import prepare_phis
+    prepare_phis(g, ic["phis"])
+    cfg_p = DynConfig(npx=npx, npz=npz, dt=600.0, n_split=4)
+    cfg_n = DynConfig(npx=17, npz=npz, dt=600.0, n_split=8)
+    nest = CubeNest(g, tile=2, refinement=2, ioffset=8, joffset=8,
+                    n_nest=16, dtype=jnp.float64)
+    st_p = tuple(jnp.asarray(ic[k]) for k in ("delp", "pt", "u", "v"))
+    ns = nest.init_state_from_parent(g, *st_p)
+    st_n = (ns.delp, ns.pt, ns.u, ns.v)
+    step = jax.jit(nested_step_hydro(g, nest, cfg_p, cfg_n,
+                                     jnp.asarray(ak), jnp.asarray(bk), ptop,
+                                     two_way=True, two_way_blend=0.5))
+    st_p, st_n = step(st_p, st_n)
+    for a in (*st_p, *st_n):
+        assert np.isfinite(np.asarray(a)).all()

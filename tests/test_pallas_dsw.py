@@ -103,3 +103,23 @@ def test_pallas_dsw_heat_source():
                                rtol=2e-10, atol=1e-9)
     np.testing.assert_allclose(np.asarray(ref.u), np.asarray(uu),
                                rtol=2e-10, atol=1e-9)
+
+
+def test_pallas_dsw_dddmp_smagorinsky():
+    """dddmp >= 1e-5 (Smagorinsky-modulated divergence damping,
+    sw_core.F90:1466-1473): the winds kernel takes the precomputed
+    a2b_ord4(vorticity) operand and must match the XLA path."""
+    g, ins = _dsw_inputs(npz=2)
+    kw = _sponge_kwargs(8)
+    kw.update(dddmp=0.2, d2_bg=np.array([0.2, 0.0]),
+              damp_v=np.array([0.0, 0.02]), damp_v2=np.array([0.1, 0.0]),
+              nord_mask=np.array([True, False]))
+    args = (ins["delp"], ins["pt"], ins["w"], ins["u"], ins["v"],
+            ins["uc"], ins["vc"], ins["ua"], ins["va"], ins["divg_d"], g)
+    ref = sw_core.d_sw(*args, **kw)
+    got_u, got_v = jax.jit(lambda: (lambda d: (d.u, d.v))(
+        d_sw_pallas(*args, interpret=True, **kw)))()
+    np.testing.assert_allclose(np.asarray(ref.u), np.asarray(got_u),
+                               rtol=2e-10, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ref.v), np.asarray(got_v),
+                               rtol=2e-10, atol=1e-9)

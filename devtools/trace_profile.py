@@ -22,43 +22,13 @@ import numpy as np
 LOGDIR = "/tmp/fv3_trace"
 
 
-def build_step():
-    from gfdl_atmos_cubed_sphere_tpu.model.grid_ops import (
-        build_grid_ops, split_metrics, merge_metrics)
-    from gfdl_atmos_cubed_sphere_tpu.model.dyn_core import DynConfig
-    from gfdl_atmos_cubed_sphere_tpu.model.fv_dynamics import fv_dynamics_hydro
-    from gfdl_atmos_cubed_sphere_tpu.model.sw_dynamics import prepare_phis
-    from gfdl_atmos_cubed_sphere_tpu.grid.fv_eta import set_eta
-    from gfdl_atmos_cubed_sphere_tpu.init.baroclinic import jw_baroclinic
-    from gfdl_atmos_cubed_sphere_tpu.physics.gfdl_mp import MPConfig
-
-    npx, npz, dt, n_split = 193, 79, 450.0, 6
-    g = build_grid_ops(npx, dtype=jnp.float32)
-    ks, ptop, ak, bk = set_eta(npz)
-    ic = jw_baroclinic(g.geom, npz, ak, bk, ptop, perturb=True, moist=True)
-    prepare_phis(g, ic["phis"])
-    cfg = DynConfig(npx=npx, npz=npz, dt=dt, n_split=n_split,
-                    adiabatic=False)
-    mpc = MPConfig()
-    akj = jnp.asarray(ak, jnp.float32)
-    bkj = jnp.asarray(bk, jnp.float32)
-    q = {"sphum": jnp.asarray(ic["sphum"], jnp.float32)}
-    for nm in ("liq_wat", "rainwat", "ice_wat", "snowwat", "graupel"):
-        q[nm] = jnp.full(q["sphum"].shape, 1e-6, jnp.float32)
-
-    # metrics as jit arguments, exactly like bench.py (split_metrics)
-    garrs, grest = split_metrics(g)
-
-    def step(garrs, delp, pt, u, v, q):
-        gg = merge_metrics(garrs, grest)
-        r = fv_dynamics_hydro(delp, pt, u, v, q, gg, cfg, akj, bkj, ptop,
-                              mp_cfg=mpc)
-        return r.delp, r.pt, r.u, r.v, r.q
-
-    jf = jax.jit(step)
-    fn = lambda *st: jf(garrs, *st)
-    st = [jnp.asarray(ic[k], jnp.float32)
-          for k in ("delp", "pt", "u", "v")] + [q]
+def build_step(config=None):
+    """Reuses bench.py's step builder so the trace matches the bench
+    exactly. config: a bench.CONFIGS key (default: the bench headline)."""
+    import bench
+    config = config or os.environ.get("TRACE_CONFIG", "c192_nh")
+    jf, garrs, st, _ = bench.build_step_3d(bench.CONFIGS[config])
+    fn = lambda *s: jf(garrs, *s)
     return fn, st
 
 

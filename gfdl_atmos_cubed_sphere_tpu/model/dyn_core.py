@@ -461,8 +461,16 @@ def dyn_core_hydro(delp, pt, u, v, phis, g, cfg: DynConfig, akap, ptop,
         else:
             cs = sw_core.c_sw(delp_p, pt_p, None, u_p, v_p, g, dt2,
                               hydrostatic=True, nord=cfg.nord, sw_mode=False)
-        _, _, pkc, gzc, _ = geopk(cs.delpc, cs.ptc, phis_p, akap, ptop)
-        uc, vc = p_grad_c(cs.uc, cs.vc, cs.delpc, pkc, gzc, g, dt2, npx)
+        from ..ops import pallas_col
+        if pallas_col.use_pallas_pg(cs.delpc):
+            # fused geopk(C) + p_grad_c: pe/pk/gz never leave VMEM
+            # (ops/pallas_col.pgradc_fused_pallas)
+            uc, vc = pallas_col.pgradc_fused_pallas(
+                cs.delpc, cs.ptc, phis_p, cs.uc, cs.vc, g, dt2, akap,
+                ptop, npx)
+        else:
+            _, _, pkc, gzc, _ = geopk(cs.delpc, cs.ptc, phis_p, akap, ptop)
+            uc, vc = p_grad_c(cs.uc, cs.vc, cs.delpc, pkc, gzc, g, dt2, npx)
         uc_p, vc_p = halo.pad_cgrid(uc[..., ctr, wsl], vc[..., wsl, ctr],
                                     names=("uc", "vc"))
         divg_p = None
@@ -505,7 +513,12 @@ def dyn_core_hydro(delp, pt, u, v, phis, g, cfg: DynConfig, akap, ptop,
 
         delp_p2 = halo.pad_cell(delp, name="delp")
         pt_p2 = halo.pad_cell(pt, name="pt")
-        _, _, pk, gz, _ = geopk(delp_p2, pt_p2, phis_p, akap, ptop)
+        if pallas_col.use_pallas_pg(delp_p2):
+            # slim D-stage geopk: one HBM round trip for (pk, gz)
+            pk, gz = pallas_col.pkgz_pallas(delp_p2, pt_p2, phis_p, akap,
+                                            ptop)
+        else:
+            _, _, pk, gz, _ = geopk(delp_p2, pt_p2, phis_p, akap, ptop)
         if cfg.beta > 0.0:
             beta_eff = jnp.where(it == 0, 0.0, cfg.beta)
             u, v, dup, dvp = grad1_p_update(ds.u, ds.v, pk, gz, g, dt, npx,

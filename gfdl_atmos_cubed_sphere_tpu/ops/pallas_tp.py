@@ -161,6 +161,8 @@ def fv_tp_2d_pallas(q, crx, cry, hord, xfx, yfx, area, ra_x, ra_y, dxa, dya,
         in_specs=[spec_for(a, kb) for a in ins],
         out_specs=out_specs(kb),
         out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(*ins)
 
     if nord is not None and damp_c is not None and damp_c > 1.0e-4 and g is not None:
@@ -272,4 +274,8 @@ def tp2d_sweep_pallas(q, crx, cry, hord, xfx, yfx, area, ra_x, ra_y,
         in_specs=[spec_for(a, kb) for a in ins],
         out_specs=out_specs,
         out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            # 14 operands x [kb, P, P] blocks exceed the default 16M scoped
+            # vmem at kb = 4 (hit by the K+1 = 80 NH height sweep)
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(*ins)

@@ -64,3 +64,24 @@ def test_yppm_matches_xppm_transposed(iord):
     fy = np.asarray(tp_core.yppm(jnp.asarray(q.T), jnp.asarray(c.T),
                                  jnp.asarray(dxa.T), iord, edges=True))
     np.testing.assert_allclose(fy.T, fx, rtol=1e-13, atol=1e-13)
+
+
+@pytest.mark.parametrize("jord", IORDS)
+@pytest.mark.parametrize("edges", [True, False])
+def test_yppm_vs_native_oracle(jord, edges):
+    """The repo's yppm called NATIVELY (axis=-2, no transpose) against the
+    independent j-indexed transcription of tp_core.F90 yppm:715."""
+    from .tpcore_oracle import yppm_col
+    q, c, dxa = _rows(137 + jord)
+    # treat rows as columns: fields [NY, ncols]
+    qc = q.T.copy()          # [N+6, NROWS]
+    cc = c.T.copy()          # [N+1, NROWS]
+    dyac = dxa.T.copy()
+    want = np.stack([
+        yppm_col(qc[:, r], cc[:, r], dyac[:, r], jord, lim_fac=1.0,
+                 edges=edges)
+        for r in range(NROWS)], axis=1)
+    got = np.asarray(tp_core.yppm(jnp.asarray(qc), jnp.asarray(cc),
+                                  jnp.asarray(dyac), jord, lim_fac=1.0,
+                                  edges=edges))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)

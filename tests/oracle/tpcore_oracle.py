@@ -376,3 +376,327 @@ def xppm_row(q_row, c_row, dxa_row, iord, lim_fac=1.0, edges=True):
                 flux[i] = q1[i] + (1. + c[i]) * (
                     bl[i] + c[i] * (bl[i] + br[i]))
     return flux.to_np(is_, ie + 1)
+
+
+def yppm_col(q_col, c_col, dya_col, jord, lim_fac=1.0, edges=True):
+    """One column of yppm, transcribed NATIVELY from tp_core.F90
+    yppm:715-1152 (j-indexed loops; NOT derived from xppm_row, so a
+    shared x/y transposition bug in the vectorized code stays visible).
+      q_col, dya_col: numpy [n+6] padded cells along j (repo cell c at
+        index c+3; Fortran cell j = c+1 in [jsd, jed]).
+      c_col: numpy [n+1] wall Courant numbers (repo wall w = Fortran j-1).
+    Returns flux numpy [n+1]."""
+    n = len(q_col) - 6
+    npy = n + 1
+    js, je = 1, npy - 1
+    jsd, jed = js - 3, je + 3
+    bounded_domain = not edges
+    grid_type = 0
+
+    q1 = FA.from_np(q_col, jsd)
+    c = FA.from_np(c_col, js)
+    dya = FA.from_np(dya_col, jsd)
+    flux = FA(js, je + 1)
+
+    if (not bounded_domain) and grid_type < 3:
+        js1 = max(3, js - 1)
+        je3 = min(npy - 2, je + 2)
+        je1 = min(npy - 3, je + 1)
+    else:
+        js1 = js - 1
+        je3 = je + 2
+        je1 = je + 1
+
+    mord = abs(jord)
+
+    al = FA(js - 1, je + 2)
+    bl = FA(js - 1, je + 1)
+    br = FA(js - 1, je + 1)
+    b0 = FA(js - 1, je + 1)
+    a4 = FA(js - 1, je + 1)
+    xt1 = FA(js - 1, je + 1)
+    dm = FA(js - 2, je + 2)
+    dq = FA(js - 3, je + 2)
+    smt5 = FA(js - 1, je + 1)
+    smt6 = FA(js - 1, je + 1)
+    hi5 = FA(js - 1, je + 1)
+    hi6 = FA(js - 1, je + 1)
+
+    if jord < 7:
+        for j in range(js1, je3 + 1):
+            al[j] = P1 * (q1[j - 1] + q1[j]) + P2 * (q1[j - 2] + q1[j + 1])
+
+        if (not bounded_domain) and grid_type < 3:
+            if js == 1:
+                al[0] = C1 * q1[-2] + C2 * q1[-1] + C3 * q1[0]
+                al[1] = 0.5 * (
+                    ((2. * dya[0] + dya[-1]) * q1[0] - dya[0] * q1[-1])
+                    / (dya[-1] + dya[0])
+                    + ((2. * dya[1] + dya[2]) * q1[1] - dya[1] * q1[2])
+                    / (dya[1] + dya[2]))
+                al[2] = C3 * q1[1] + C2 * q1[2] + C1 * q1[3]
+            if je + 1 == npy:
+                al[npy - 1] = (C1 * q1[npy - 3] + C2 * q1[npy - 2]
+                               + C3 * q1[npy - 1])
+                al[npy] = 0.5 * (
+                    ((2. * dya[npy - 1] + dya[npy - 2]) * q1[npy - 1]
+                     - dya[npy - 1] * q1[npy - 2])
+                    / (dya[npy - 2] + dya[npy - 1])
+                    + ((2. * dya[npy] + dya[npy + 1]) * q1[npy]
+                       - dya[npy] * q1[npy + 1])
+                    / (dya[npy] + dya[npy + 1]))
+                al[npy + 1] = C3 * q1[npy] + C2 * q1[npy + 1] + C1 * q1[npy + 2]
+
+        if jord < 0:
+            for j in range(js - 1, je + 2 + 1):
+                al[j] = max(0.0, al[j])
+
+        if mord == 1:
+            for j in range(js - 1, je + 2):
+                bl[j] = al[j] - q1[j]
+                br[j] = al[j + 1] - q1[j]
+                b0[j] = bl[j] + br[j]
+                smt5[j] = abs(lim_fac * b0[j]) < abs(bl[j] - br[j])
+            for j in range(js, je + 2):
+                if c[j] > 0.0:
+                    fx1 = (1. - c[j]) * (br[j - 1] - c[j] * b0[j - 1])
+                    flux[j] = q1[j - 1]
+                else:
+                    fx1 = (1. + c[j]) * (bl[j] + c[j] * b0[j])
+                    flux[j] = q1[j]
+                if smt5[j - 1] or smt5[j]:
+                    flux[j] = flux[j] + fx1
+        elif mord == 2:
+            for j in range(js, je + 2):
+                xt = c[j]
+                if xt > 0.0:
+                    qtmp = q1[j - 1]
+                    flux[j] = qtmp + (1. - xt) * (
+                        al[j] - qtmp - xt * (al[j - 1] + al[j] - (qtmp + qtmp)))
+                else:
+                    qtmp = q1[j]
+                    flux[j] = qtmp + (1. + xt) * (
+                        al[j] - qtmp + xt * (al[j] + al[j + 1] - (qtmp + qtmp)))
+        elif mord == 3:
+            for j in range(js - 1, je + 2):
+                bl[j] = al[j] - q1[j]
+                br[j] = al[j + 1] - q1[j]
+                b0[j] = bl[j] + br[j]
+                x0 = abs(b0[j])
+                xt = abs(bl[j] - br[j])
+                smt5[j] = x0 < xt
+                smt6[j] = 3. * x0 < xt
+            for j in range(js, je + 2):
+                if c[j] > 0.0:
+                    if smt5[j - 1] or smt6[j]:
+                        flux[j] = q1[j - 1] + (1. - c[j]) * (
+                            br[j - 1] - c[j] * b0[j - 1])
+                    else:
+                        flux[j] = q1[j - 1]
+                else:
+                    if smt6[j - 1] or smt5[j]:
+                        flux[j] = q1[j] + (1. + c[j]) * (bl[j] + c[j] * b0[j])
+                    else:
+                        flux[j] = q1[j]
+        elif mord == 4:
+            for j in range(js - 1, je + 2):
+                bl[j] = al[j] - q1[j]
+                br[j] = al[j + 1] - q1[j]
+                b0[j] = bl[j] + br[j]
+                x0 = abs(b0[j])
+                xt = abs(bl[j] - br[j])
+                smt5[j] = x0 < xt
+                smt6[j] = 3. * x0 < xt
+            for j in range(js, je + 2):
+                h6 = smt6[j - 1] or smt6[j]
+                h5 = (smt5[j - 1] and smt5[j]) or h6
+                if c[j] > 0.0:
+                    fx1 = (1. - c[j]) * (br[j - 1] - c[j] * b0[j - 1])
+                    flux[j] = q1[j - 1]
+                else:
+                    fx1 = (1. + c[j]) * (bl[j] + c[j] * b0[j])
+                    flux[j] = q1[j]
+                if h5:
+                    flux[j] = flux[j] + fx1
+        else:  # mord 5, 6
+            if jord == 5:
+                for j in range(js - 1, je + 2):
+                    bl[j] = al[j] - q1[j]
+                    br[j] = al[j + 1] - q1[j]
+                    b0[j] = bl[j] + br[j]
+                    smt5[j] = bl[j] * br[j] < 0.0
+            elif jord == -5:
+                for j in range(js - 1, je + 2):
+                    bl[j] = al[j] - q1[j]
+                    br[j] = al[j + 1] - q1[j]
+                    b0[j] = bl[j] + br[j]
+                    xt1[j] = br[j] - bl[j]
+                    a4[j] = -3. * b0[j]
+                    smt5[j] = bl[j] * br[j] < 0.0
+                for j in range(js - 1, je + 2):
+                    if abs(xt1[j]) < -a4[j]:
+                        if q1[j] + 0.25 / a4[j] * xt1[j] ** 2 + a4[j] * R12 < 0.0:
+                            if not smt5[j]:
+                                br[j] = 0.0
+                                bl[j] = 0.0
+                                b0[j] = 0.0
+                            elif xt1[j] > 0.0:
+                                br[j] = -2. * bl[j]
+                                b0[j] = -bl[j]
+                            else:
+                                bl[j] = -2. * br[j]
+                                b0[j] = -br[j]
+            else:
+                for j in range(js - 1, je + 2):
+                    bl[j] = al[j] - q1[j]
+                    br[j] = al[j + 1] - q1[j]
+                    b0[j] = bl[j] + br[j]
+                    smt5[j] = 3. * abs(b0[j]) < abs(bl[j] - br[j])
+            if (not bounded_domain) and grid_type < 3:
+                if js == 1:
+                    smt5[0] = bl[0] * br[0] < 0.0
+                    smt5[1] = bl[1] * br[1] < 0.0
+                if je + 1 == npy:
+                    smt5[npy - 1] = bl[npy - 1] * br[npy - 1] < 0.0
+                    smt5[npy] = bl[npy] * br[npy] < 0.0
+            for j in range(js, je + 2):
+                if c[j] > 0.0:
+                    fx1 = (1. - c[j]) * (br[j - 1] - c[j] * b0[j - 1])
+                    flux[j] = q1[j - 1]
+                else:
+                    fx1 = (1. + c[j]) * (bl[j] + c[j] * b0[j])
+                    flux[j] = q1[j]
+                if smt5[j - 1] or smt5[j]:
+                    flux[j] = flux[j] + fx1
+        return flux.to_np(js, je + 1)
+
+    # ---- jord >= 7: monotone / positive-definite families ----------------
+    for j in range(js - 2, je + 2 + 1):
+        xt = 0.25 * (q1[j + 1] - q1[j - 1])
+        dm[j] = np.sign(xt) * min(abs(xt),
+                                  max(q1[j - 1], q1[j], q1[j + 1]) - q1[j],
+                                  q1[j] - min(q1[j - 1], q1[j], q1[j + 1]))
+    for j in range(js1, je1 + 1 + 1):
+        al[j] = 0.5 * (q1[j - 1] + q1[j]) + R3 * (dm[j - 1] - dm[j])
+
+    if jord == 8:
+        for j in range(js1, je1 + 1):
+            xt = 2. * dm[j]
+            bl[j] = -np.sign(xt) * min(abs(xt), abs(al[j] - q1[j]))
+            br[j] = np.sign(xt) * min(abs(xt), abs(al[j + 1] - q1[j]))
+    elif jord == 10:
+        for j in range(js1 - 2, je1 + 1 + 1):
+            dq[j] = 2. * (q1[j + 1] - q1[j])
+        for j in range(js1, je1 + 1):
+            bl[j] = al[j] - q1[j]
+            br[j] = al[j + 1] - q1[j]
+            if abs(dm[j - 1]) + abs(dm[j]) + abs(dm[j + 1]) < NEAR_ZERO:
+                bl[j] = 0.0
+                br[j] = 0.0
+            elif abs(3. * (bl[j] + br[j])) > abs(bl[j] - br[j]):
+                pmp_2 = dq[j - 1]
+                lac_2 = pmp_2 - 0.75 * dq[j - 2]
+                br[j] = min(max(0., pmp_2, lac_2),
+                            max(br[j], min(0., pmp_2, lac_2)))
+                pmp_1 = -dq[j]
+                lac_1 = pmp_1 + 0.75 * dq[j + 1]
+                bl[j] = min(max(0., pmp_1, lac_1),
+                            max(bl[j], min(0., pmp_1, lac_1)))
+    elif jord == 11:
+        for j in range(js1, je1 + 1):
+            xt = PPM_FAC * dm[j]
+            bl[j] = -np.sign(xt) * min(abs(xt), abs(al[j] - q1[j]))
+            br[j] = np.sign(xt) * min(abs(xt), abs(al[j + 1] - q1[j]))
+    elif jord == 7 or jord == 12:
+        for j in range(js1, je1 + 1):
+            bl[j] = al[j] - q1[j]
+            br[j] = al[j + 1] - q1[j]
+            xt1[j] = br[j] - bl[j]
+            a4[j] = -3. * (br[j] + bl[j])
+            hi5[j] = bl[j] * br[j] > 0.0
+            hi6[j] = abs(xt1[j]) < -a4[j]
+        for j in range(js1, je1 + 1):
+            if hi6[j]:
+                if q1[j] + 0.25 / a4[j] * xt1[j] ** 2 + a4[j] * R12 < 0.0:
+                    if hi5[j]:
+                        br[j] = 0.0
+                        bl[j] = 0.0
+                    elif xt1[j] > 0.0:
+                        br[j] = -2. * bl[j]
+                    else:
+                        bl[j] = -2. * br[j]
+    else:
+        for j in range(js1, je1 + 1):
+            bl[j] = al[j] - q1[j]
+            br[j] = al[j + 1] - q1[j]
+
+    if jord == 9 or jord == 13:
+        q_sub = FA(js1, je1)
+        for j in range(js1, je1 + 1):
+            q_sub[j] = q1[j]
+        pert_ppm(je1 - js1 + 1, q_sub, bl, br, 0, js1)
+
+    if (not bounded_domain) and grid_type < 3:
+        if js == 1:
+            bl[0] = S14 * dm[-1] + S11 * (q1[-1] - q1[0])
+            xt = 0.5 * (
+                ((2. * dya[0] + dya[-1]) * q1[0] - dya[0] * q1[-1])
+                / (dya[-1] + dya[0])
+                + ((2. * dya[1] + dya[2]) * q1[1] - dya[1] * q1[2])
+                / (dya[1] + dya[2]))
+            xt = max(xt, min(q1[-1], q1[0], q1[1], q1[2]))
+            xt = min(xt, max(q1[-1], q1[0], q1[1], q1[2]))
+            br[0] = xt - q1[0]
+            bl[1] = xt - q1[1]
+            xt = S15 * q1[1] + S11 * q1[2] - S14 * dm[2]
+            br[1] = xt - q1[1]
+            bl[2] = xt - q1[2]
+            br[2] = al[3] - q1[2]
+            q_sub = FA(0, 2)
+            for j in range(0, 3):
+                q_sub[j] = q1[j]
+            pert_ppm(3, q_sub, bl, br, 1, 0)
+        if je + 1 == npy:
+            bl[npy - 2] = al[npy - 2] - q1[npy - 2]
+            xt = S15 * q1[npy - 1] + S11 * q1[npy - 2] + S14 * dm[npy - 2]
+            br[npy - 2] = xt - q1[npy - 2]
+            bl[npy - 1] = xt - q1[npy - 1]
+            xt = 0.5 * (
+                ((2. * dya[npy - 1] + dya[npy - 2]) * q1[npy - 1]
+                 - dya[npy - 1] * q1[npy - 2])
+                / (dya[npy - 2] + dya[npy - 1])
+                + ((2. * dya[npy] + dya[npy + 1]) * q1[npy]
+                   - dya[npy] * q1[npy + 1])
+                / (dya[npy] + dya[npy + 1]))
+            xt = max(xt, min(q1[npy - 2], q1[npy - 1], q1[npy], q1[npy + 1]))
+            xt = min(xt, max(q1[npy - 2], q1[npy - 1], q1[npy], q1[npy + 1]))
+            br[npy - 1] = xt - q1[npy - 1]
+            bl[npy] = xt - q1[npy]
+            br[npy] = S11 * (q1[npy + 1] - q1[npy]) - S14 * dm[npy + 1]
+            q_sub = FA(npy - 2, npy)
+            for j in range(npy - 2, npy + 1):
+                q_sub[j] = q1[j]
+            pert_ppm(3, q_sub, bl, br, 1, npy - 2)
+
+    if jord == 7:
+        for j in range(js - 1, je + 2):
+            b0[j] = bl[j] + br[j]
+            smt5[j] = bl[j] * br[j] < 0.0
+        for j in range(js, je + 2):
+            if c[j] > 0.0:
+                fx1 = (1. - c[j]) * (br[j - 1] - c[j] * b0[j - 1])
+                flux[j] = q1[j - 1]
+            else:
+                fx1 = (1. + c[j]) * (bl[j] + c[j] * b0[j])
+                flux[j] = q1[j]
+            if smt5[j - 1] or smt5[j]:
+                flux[j] = flux[j] + fx1
+    else:
+        for j in range(js, je + 2):
+            if c[j] > 0.0:
+                flux[j] = q1[j - 1] + (1. - c[j]) * (
+                    br[j - 1] - c[j] * (bl[j - 1] + br[j - 1]))
+            else:
+                flux[j] = q1[j] + (1. + c[j]) * (
+                    bl[j] + c[j] * (bl[j] + br[j]))
+    return flux.to_np(js, je + 1)

@@ -634,8 +634,14 @@ def riem_solver_c(dt2, delpc, ptc, w3, gz, phis_p, ws, akap, ptop, p_fac,
                                      gama, akap, c_core=True)
         w2 = w3
     else:
-        pe2, w2, dz2n = sim1_solver(dt2, dm, pm2, pem, w3, dz2, ptc, ws,
-                                    gama, akap, p_fac)
+        from .pallas_nh import use_sim1_pallas, sim1_pallas
+        if use_sim1_pallas(dm, 1.0):
+            # whole column solve per (tile, y-strip) in VMEM
+            pe2, w2, dz2n = sim1_pallas(dt2, dm, pm2, pem, w3, dz2, ptc,
+                                        ws, gama, akap, p_fac)
+        else:
+            pe2, w2, dz2n = sim1_solver(dt2, dm, pm2, pem, w3, dz2, ptc,
+                                        ws, gama, akap, p_fac)
     pef = pe2 + pem
     pef = pef.at[:, 0].set(jnp.full_like(pef[:, 0], ptop))
 
@@ -685,8 +691,13 @@ def riem_solver3(dt, delp, pt, w, zh, zs, ws, akap, ptop, p_fac,
                                       gama, akap)
     else:
         alpha = 1.0 if a_imp > 0.999 else float(a_imp)
-        pe2, w2, dz2n = sim1_solver(dt, dm, pm2, pem, w, dz2, pt, ws,
-                                    gama, akap, p_fac, alpha=alpha)
+        from .pallas_nh import use_sim1_pallas, sim1_pallas
+        if use_sim1_pallas(dm, alpha):
+            pe2, w2, dz2n = sim1_pallas(dt, dm, pm2, pem, w, dz2, pt, ws,
+                                        gama, akap, p_fac)
+        else:
+            pe2, w2, dz2n = sim1_solver(dt, dm, pm2, pem, w, dz2, pt, ws,
+                                        gama, akap, p_fac, alpha=alpha)
     if d2bg_zq > 1.0e-4:
         w2 = imp_diff_w(d2bg_zq, dz2n, ws, w2)
 

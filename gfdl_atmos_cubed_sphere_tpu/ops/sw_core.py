@@ -899,9 +899,14 @@ def xtp_u(c, u, dx, rdx, iord, lim_fac=1.0, edges=True, axis=-1):
             dmm = col(dm, 2, Lb)
             dm0 = col(dm, 3, Lb)
             dmp = col(dm, 4, Lb)
-            flat = ((jnp.abs(dm0) < NEAR_ZERO)
-                    & (jnp.abs(dmm) + jnp.abs(dmp) < NEAR_ZERO))
-            big = jnp.abs(3.0 * (bl0 + br0)) > jnp.abs(bl0 - br0)
+            # elif chain of sw_core.F90:2418-2434: |dm(i)| ~ 0 SKIPS the
+            # Huynh clamp entirely (zeroing only when the neighbors also
+            # vanish — a 2-delta-x structure); the clamp applies only to
+            # non-degenerate nonmonotone cells
+            small0 = jnp.abs(dm0) < NEAR_ZERO
+            flat = small0 & (jnp.abs(dmm) + jnp.abs(dmp) < NEAR_ZERO)
+            big = ((~small0)
+                   & (jnp.abs(3.0 * (bl0 + br0)) > jnp.abs(bl0 - br0)))
             blc = jnp.minimum(jnp.maximum(0.0, jnp.maximum(pmp_1, lac_1)),
                               jnp.maximum(bl0,
                                           jnp.minimum(0.0, jnp.minimum(pmp_1, lac_1))))

@@ -450,7 +450,9 @@ def fv_dynamics_nh(delp, pt, u, v, w, delz, q, g, cfg: DynConfig, ak, bk,
         if mp_cfg is not None:
             from ..physics.gfdl_mp import gfdl_mp_driver
             pt, q, mp_diag = gfdl_mp_driver(pt, delp, delz, q, cfg.dt, ptop,
-                                            cfg=mp_cfg, hydrostatic=False)
+                                            cfg=mp_cfg, hydrostatic=False,
+                                            w=w)
+            w = mp_diag.pop("w", w)
 
     if cfg.consv_am:
         u, v, _ = thermo.am_fixer(u, v, delp, aam0, g, ptop,

@@ -104,6 +104,20 @@ class MPConfig:
     vg_max: float = 12.0
     do_sedi_heat: bool = True
     do_warm_rain_mp: bool = False
+    # sedimentation variants + momentum transport (gfdl_mp.F90:276-305)
+    sedflag: int = 1           # 1: implicit_fall (:5250); 2: explicit_fall
+                               # (:5311, sub-stepped upstream)
+    do_sedi_w: bool = True     # transport w by falling condensate (:5653)
+    do_sedi_uv: bool = False   # transport horizontal momentum (:5622)
+    # CCN / aerosol coupling (prog_ccn = Yi Ming's method, mpdrv:1377;
+    # fixed land/ocean blend otherwise, :1388)
+    prog_ccn: bool = False
+    ccn_l: float = 270.0       # CCN over land (1/cm^3)
+    ccn_o: float = 90.0        # CCN over ocean (1/cm^3)
+    rthresh: float = 10.0e-6   # critical drop radius for autoconversion (m)
+    use_ccn_praut: bool = True  # reference praut:3086 (ccn-aware) vs the
+                                # simple ql0_max threshold scheme
+    consv_checker: bool = False  # mpdrv:1365 mtetw energy/water audits
     # PSD parameters (gfdl_mp_nml:339-377 defaults)
     n0w_sig: float = 1.1
     n0i_sig: float = 1.3
@@ -374,6 +388,117 @@ def implicit_fall(q, vt, dz, dp, dts):
     return q_new, precip, jnp.moveaxis(m1, 0, 1)
 
 
+def explicit_fall(q, vt, dz, dp, dts):
+    """Sub-stepped explicit upstream sedimentation (explicit_fall:5311,
+    sedflag=2). The CFL-limited substep count nstep = 1 + max(dts*vt/dz)
+    is a traced scalar driving a lax.while_loop (dynamic trip count is
+    fine on TPU; the body is a pure vectorized shift)."""
+    q0 = q * dp
+    dd_full = dts * vt
+    nstep = (1 + jnp.max(dd_full / dz)).astype(jnp.int32)
+    dd = dd_full / nstep.astype(q.dtype)
+    frac = dd / dz
+
+    def body(carry):
+        n, qq = carry
+        flux = qq * frac
+        influx = jnp.concatenate(
+            [jnp.zeros_like(flux[:, :1]), flux[:, :-1]], axis=1)
+        return n + 1, qq - flux + influx
+
+    _, qm = jax.lax.while_loop(lambda c: c[0] < nstep, body,
+                               (jnp.int32(0), q0))
+    m1 = jnp.cumsum(q0 - qm, axis=1)
+    precip = m1[:, -1]
+    return qm / dp, precip, m1
+
+
+def sedi_uv(m1, dp, u, v):
+    """Horizontal-momentum transport by falling condensate (sedi_uv:5622):
+    u(k) = (dp(k) u(k) + m1(k-1) u(k-1)) / (dp(k) + m1(k-1)), sequential
+    in k (uses the already-updated u(k-1)) -> lax.scan down the column."""
+    uk = jnp.moveaxis(u, 1, 0)
+    vk = jnp.moveaxis(v, 1, 0)
+    dpk = jnp.moveaxis(dp, 1, 0)
+    m1k = jnp.moveaxis(m1, 1, 0)
+
+    def down(carry, x):
+        u_up, v_up, m_up = carry
+        uu, vv, dd, mm = x
+        un = (dd * uu + m_up * u_up) / (dd + m_up)
+        vn = (dd * vv + m_up * v_up) / (dd + m_up)
+        return (un, vn, mm), (un, vn)
+
+    (_, _, _), (u_rest, v_rest) = jax.lax.scan(
+        down, (uk[0], vk[0], m1k[0]),
+        (uk[1:], vk[1:], dpk[1:], m1k[1:]))
+    u_new = jnp.concatenate([uk[:1], u_rest], axis=0)
+    v_new = jnp.concatenate([vk[:1], v_rest], axis=0)
+    return jnp.moveaxis(u_new, 0, 1), jnp.moveaxis(v_new, 0, 1)
+
+
+def sedi_w(m1, w, vt, dm):
+    """Vertical-momentum transport by falling condensate (sedi_w:5653):
+    the falling mass m1(k-1) arrives carrying w(k-1) - vt(k-1); the top
+    layer absorbs its own outgoing flux momentum. Sequential scan."""
+    wk = jnp.moveaxis(w, 1, 0)
+    vtk = jnp.moveaxis(vt, 1, 0)
+    dmk = jnp.moveaxis(dm, 1, 0)
+    m1k = jnp.moveaxis(m1, 1, 0)
+    w0 = wk[0] + m1k[0] * vtk[0] / dmk[0]
+
+    def down(carry, x):
+        w_up, vt_up, m_up = carry
+        ww, vv, dd, mm = x
+        wn = (dd * ww + m_up * (w_up - vt_up) + mm * vv) / (dd + m_up)
+        return (wn, vv, mm), wn
+
+    _, w_rest = jax.lax.scan(down, (w0, vtk[0], m1k[0]),
+                             (wk[1:], vtk[1:], dmk[1:], m1k[1:]))
+    w_new = jnp.concatenate([w0[None], w_rest], axis=0)
+    return jnp.moveaxis(w_new, 0, 1)
+
+
+def compute_ccn(den, cfg: MPConfig, hs=None, qnl=None):
+    """Cloud-condensation-nuclei mixing number (mpdrv:1377-1393).
+
+    prog_ccn: Boucher & Lohmann (1995) from the prognostic aerosol number
+    tracer qnl (Yi Ming's method); else a land/ocean blend weighted by the
+    surface geopotential |hs| (land proxy). Returns ccn in #/kg-like units
+    (#/m^3 / den) matching the reference's in-column normalization."""
+    if hs is None:
+        land = 0.0
+    else:
+        land = jnp.minimum(1.0, jnp.abs(hs) / (10.0 * con.GRAV))
+        if land.ndim == den.ndim - 1:       # [6,1,y,x] broadcast over K
+            land = land[:, None] if land.ndim == 3 else land
+    if cfg.prog_ccn and qnl is not None:
+        qn = jnp.maximum(qnl * den * 1.0e9, 1.0e-20)
+        nl = (land * 10.0 ** 2.24 * jnp.exp(0.257 * jnp.log(qn))
+              + (1.0 - land) * 10.0 ** 2.06 * jnp.exp(0.48 * jnp.log(qn)))
+        return jnp.maximum(10.0, nl) * 1.0e6 / den
+    ccn0 = (cfg.ccn_l * land + cfg.ccn_o * (1.0 - land)) * 1.0e6
+    return ccn0 / jnp.maximum(den, 1.0e-10)
+
+
+def mte_column(t, qv, ql, qr, qi, qs, qg, dp, u=None, v=None, w=None):
+    """Column moist total energy and total water (mte:6768 / mtetw:6809),
+    both per unit area: te [J/m^2], tw [kg/m^2]. KE terms included when
+    the winds are given."""
+    q_liq = ql + qr
+    q_sol = qi + qs + qg
+    cvm = ((1.0 - (qv + q_liq + q_sol)) * CV_AIR + qv * CV_VAP
+           + q_liq * C_LIQ + q_sol * C_ICE)
+    te = cvm * t + LV0 * qv - LI0 * q_sol
+    if u is not None:
+        te = te + 0.5 * (u * u + v * v)
+    if w is not None:
+        te = te + 0.5 * w * w
+    te_col = jnp.sum(RGRAV * te * dp, axis=1)
+    tw_col = jnp.sum(RGRAV * (qv + q_liq + q_sol) * dp, axis=1)
+    return te_col, tw_col
+
+
 def _sedi_heat(t, m1, dp, dz, cw_spec, qv, ql, qr, qi, qs, qg):
     """Temperature adjustment for vertical heat transport by falling
     condensate (sedi_heat:5685, simplified to the leading term)."""
@@ -390,16 +515,19 @@ def _sedi_heat(t, m1, dp, dz, cw_spec, qv, ql, qr, qi, qs, qg):
 
 
 def sedimentation(t, qv, ql, qr, qi, qs, qg, dp, dz, den, denfac, dts,
-                  cfg: MPConfig):
-    """Fall of rain/ice/snow/graupel (sedimentation:2156)."""
+                  cfg: MPConfig, u=None, v=None, w=None):
+    """Fall of rain/ice/snow/graupel (sedimentation:2156 /
+    terminal_fall:2530). Per species: terminal velocity, fall (implicit
+    or explicit per cfg.sedflag), then — exactly the reference's
+    terminal_fall tail — momentum transport (sedi_uv:5622 / sedi_w:5653)
+    and sedimentation heating."""
     precip = {}
-    for name, qx in (("qr", qr), ("qi", qi), ("qs", qs), ("qg", qg)):
+    fall = implicit_fall if cfg.sedflag != 2 else explicit_fall
+    for name, qx in (("qi", qi), ("qs", qs), ("qg", qg), ("qr", qr)):
         vt = terminal_velocity(name, qx, den, denfac, cfg)
-        qx_new, p, m1 = implicit_fall(qx, vt, dz, dp, dts)
-        if cfg.do_sedi_heat:
-            cw = C_LIQ if name == "qr" else C_ICE
-            t = _sedi_heat(t, m1, dp, dz, cw, qv, ql, qr, qi, qs, qg)
-        precip[name] = p * RGRAV            # kg/m^2
+        if cfg.do_sedi_w and w is not None:
+            dm = dp * (1.0 + qv + ql + qr + qi + qs + qg)
+        qx_new, p, m1 = fall(qx, vt, dz, dp, dts)
         if name == "qr":
             qr = qx_new
         elif name == "qi":
@@ -408,16 +536,42 @@ def sedimentation(t, qv, ql, qr, qi, qs, qg, dp, dz, den, denfac, dts,
             qs = qx_new
         else:
             qg = qx_new
-    return t, qr, qi, qs, qg, precip
+        if cfg.do_sedi_uv and u is not None:
+            u, v = sedi_uv(m1, dp, u, v)
+        if cfg.do_sedi_w and w is not None:
+            w = sedi_w(m1, w, vt, dm)
+        if cfg.do_sedi_heat:
+            cw = C_LIQ if name == "qr" else C_ICE
+            t = _sedi_heat(t, m1, dp, dz, cw, qv, ql, qr, qi, qs, qg)
+        precip[name] = p * RGRAV            # kg/m^2
+    return t, qr, qi, qs, qg, precip, u, v, w
 
 
 def warm_rain(t, qv, ql, qr, qi, qs, qg, p_lay, den, denfac, dts,
-              cfg: MPConfig):
+              cfg: MPConfig, ccn=None):
     """praut + pracw + prevp (warm_rain:2792 children)."""
     co = cfg.coeffs
-    # -- autoconversion ql -> qr above threshold (praut:3006, no-subgrid) --
-    sink = jnp.maximum(0.0, ql - cfg.ql0_max) * (1.0 - jnp.exp(-dts / 300.0))
-    sink = cfg.c_paut * sink
+    if cfg.use_ccn_praut and ccn is not None:
+        # -- CCN-aware autoconversion (praut:3072-3106, irain_f=1): the
+        # critical mixing ratio qc = fac_rc*ccn comes from the critical
+        # drop radius, the rate from the Manton-Cotton (aone) form with
+        # c_praut = cpaut * (ccn*rhow)^(-1/3) ------------------------------
+        fac_rc = (4.0 / 3.0) * math.pi * cfg.rhow * cfg.rthresh ** 3
+        aone = 2.0 / 9.0 * (3.0 / 4.0) ** (4.0 / 3.0) / math.pi ** (1.0 / 3.0)
+        visd = 1.717e-5                      # dyn. viscosity of air (:148)
+        cpaut = cfg.c_paut * aone * con.GRAV / visd
+        qc = fac_rc * ccn
+        dq = ql - qc
+        c_praut = cpaut * jnp.exp(
+            (-1.0 / 3.0) * jnp.log(jnp.maximum(ccn * cfg.rhow, 1e-20)))
+        rate = dts * c_praut * den * jnp.exp(
+            (7.0 / 3.0) * jnp.log(jnp.maximum(ql, QCMIN)))
+        sink = jnp.where((t > cfg.t_wfr) & (ql > QCMIN) & (dq > 0.0),
+                         jnp.minimum(ql, jnp.minimum(dq, rate)), 0.0)
+    else:
+        # -- simple threshold autoconversion (no-subgrid fallback) ---------
+        sink = cfg.c_paut * jnp.maximum(0.0, ql - cfg.ql0_max) \
+            * (1.0 - jnp.exp(-dts / 300.0))
     ql = ql - sink
     qr = qr + sink
 
@@ -706,17 +860,25 @@ def cloud_fraction(qv, ql, qi, qs, p_lay, t, rh_inc=0.25):
 
 
 def gfdl_mp_driver(pt, delp, delz, q, dt, ptop, cfg: MPConfig = MPConfig(),
-                   hydrostatic=False):
+                   hydrostatic=False, w=None, ua=None, va=None, hs=None):
     """One physics step of microphysics (gfdl_mp_driver:607 / mpdrv:1167).
 
     pt: TEMPERATURE [6,K,y,x]; q: dict with the 6 categories (+ optional
-    cld_amt). delz < 0 (heights) for the nonhydrostatic gas-law density;
-    hydrostatic mode derives density from the hydrostatic relation.
-    Returns (pt, q, diag dict with precipitation accumulations [kg/m^2])."""
+    cld_amt, and optionally 'liq_aero' — the prognostic aerosol number
+    tracer consumed by prog_ccn nucleation). delz < 0 (heights) for the
+    nonhydrostatic gas-law density; hydrostatic mode derives density from
+    the hydrostatic relation. w/ua/va: winds for sedimentation momentum
+    transport (do_sedi_w/do_sedi_uv; returned in diag['w'/'ua'/'va']
+    only when passed). hs: surface geopotential (land-proxy for CCN).
+    Returns (pt, q, diag with precip accumulations rain/ice/snow/graupel
+    [kg/m^2]; cfg.consv_checker adds mtetw-style te_beg/te_end/tw_beg/
+    tw_end/te_err/tw_err audits, mpdrv:1365/:1570)."""
     names = ("sphum", "liq_wat", "rainwat", "ice_wat", "snowwat", "graupel")
     z = jnp.zeros_like(pt)
     qv, ql, qr, qi, qs, qg = (q.get(k, z) for k in names)
     t = pt
+    if hydrostatic:
+        w = None
 
     pe = ptop + jnp.cumsum(delp, axis=1)
     pe = jnp.concatenate([jnp.full_like(pe[:, :1], ptop), pe], axis=1)
@@ -730,22 +892,37 @@ def gfdl_mp_driver(pt, delp, delz, q, dt, ptop, cfg: MPConfig = MPConfig(),
         dz = -delz
     den = delp / (con.GRAV * dz)
     denfac = jnp.sqrt(RHO0 / jnp.maximum(den, 1e-10))
+    ccn = compute_ccn(den, cfg, hs=hs, qnl=q.get("liq_aero"))
+
+    if cfg.consv_checker:
+        te_beg, tw_beg = mte_column(t, qv, ql, qr, qi, qs, qg, delp,
+                                    u=ua, v=va, w=w)
+    w_in = w
 
     dts = dt / cfg.ntimes
     rain = snow = icep = graup = 0.0
     for _ in range(cfg.ntimes):
-        t, qr, qi, qs, qg, pcp = sedimentation(
-            t, qv, ql, qr, qi, qs, qg, delp, dz, den, denfac, dts, cfg)
+        t, qr, qi, qs, qg, pcp, ua_n, va_n, w = sedimentation(
+            t, qv, ql, qr, qi, qs, qg, delp, dz, den, denfac, dts, cfg,
+            u=ua, v=va, w=w)
+        if ua_n is not None:
+            ua, va = ua_n, va_n
         rain = rain + pcp["qr"]
         icep = icep + pcp["qi"]
         snow = snow + pcp["qs"]
         graup = graup + pcp["qg"]
         t, qv, ql, qr = warm_rain(t, qv, ql, qr, qi, qs, qg, p_lay, den,
-                                  denfac, dts, cfg)
+                                  denfac, dts, cfg, ccn=ccn)
         t, qv, ql, qr, qi, qs, qg = ice_cloud(
             t, qv, ql, qr, qi, qs, qg, p_lay, den, denfac, dts, cfg)
         t, qv, ql, qr, qi, qs, qg = sat_adjust(
             t, qv, ql, qr, qi, qs, qg, p_lay, dts, cfg)
+
+    # kinetic energy lost by sedimentation momentum transport goes to heat
+    # (mpdrv:1559-1566: tz += 0.5*(wa^2 - w^2)/c8)
+    if w is not None and w_in is not None and cfg.do_sedi_w:
+        cvm, _, _ = _heat_capacities(qv, ql, qr, qi, qs, qg, t)
+        t = t + 0.5 * (w_in * w_in - w * w) / cvm
 
     out = dict(q)
     for k, v in zip(names, (qv, ql, qr, qi, qs, qg)):
@@ -753,6 +930,18 @@ def gfdl_mp_driver(pt, delp, delz, q, dt, ptop, cfg: MPConfig = MPConfig(),
     if "cld_amt" in q:
         out["cld_amt"] = cloud_fraction(qv, ql, qi, qs, p_lay, t)
     diag = dict(rain=rain, ice=icep, snow=snow, graupel=graup)
+    if w is not None and w_in is not None:
+        diag["w"] = w
+    if cfg.do_sedi_uv and ua is not None:
+        diag["ua"], diag["va"] = ua, va
+    if cfg.consv_checker:
+        te_end, tw_end = mte_column(t, qv, ql, qr, qi, qs, qg, delp,
+                                    u=ua, v=va, w=w)
+        surf_w = rain + icep + snow + graup       # kg/m^2 left the column
+        diag.update(
+            te_beg=te_beg, te_end=te_end, tw_beg=tw_beg, tw_end=tw_end,
+            tw_err=(tw_end + surf_w - tw_beg) / jnp.maximum(tw_beg, 1e-30),
+            te_err=(te_end - te_beg) / jnp.maximum(jnp.abs(te_beg), 1e-30))
     return t, out, diag
 
 

@@ -192,3 +192,131 @@ def echo_top(dbz, z_mid, threshold=18.5):
     hit = dbz >= threshold
     z = jnp.where(hit, z_mid, -1.0)
     return jnp.max(z, axis=1)
+
+
+def layer_pressures(delp, ptop):
+    """(pe [.., K+1, n, n], peln, p_lay) from delp — the shared pressure
+    scaffolding of fv_diagnostics."""
+    pe = ptop + jnp.cumsum(delp, axis=1)
+    pe = jnp.concatenate([jnp.full_like(pe[:, :1], ptop), pe], axis=1)
+    peln = jnp.log(pe)
+    p_lay = delp / (peln[:, 1:] - peln[:, :-1])
+    return pe, peln, p_lay
+
+
+def potential_temperature(pt, p_lay):
+    """theta (fv_diagnostics id_theta): T (p00/p)^kappa."""
+    return pt * jnp.exp(con.KAPPA * jnp.log(1.0e5 / p_lay))
+
+
+def equivalent_potential_temperature(pt, p_lay, qv):
+    """theta_e (fv_diagnostics id_theta_e, Bolton-style simplified):
+    theta * exp(L qv / (cp T))."""
+    th = potential_temperature(pt, p_lay)
+    return th * jnp.exp(con.HLV * qv / (con.CP_AIR * pt))
+
+
+def relative_humidity(pt, p_lay, qv):
+    """RH in percent w.r.t. water above freezing / ice below (the rh
+    diagnostic, fv_diagnostics.F90 id_rh)."""
+    qsw, _ = mp.wqs(pt, p_lay)
+    qsi, _ = mp.iqs(pt, p_lay)
+    qsat = jnp.where(pt < mp.TICE, qsi, qsw)
+    return 100.0 * qv / jnp.maximum(qsat, 1.0e-12)
+
+
+def divergence(ua, va, g):
+    """A-grid horizontal divergence diagnostic (id_divg): centered flux
+    differences of the lat-lon winds over the cell metrics. ua/va
+    [6,K,n,n]; one-sided at tile edges (diagnostic-quality)."""
+    n = ua.shape[-1]
+    ctr = slice(H, H + n)
+    dxc = g.dx[..., H:H + n + 1, ctr]       # y-walls
+    dyc = g.dy[..., ctr, H:H + n + 1]       # x-walls
+    rarea = g.rarea[..., ctr, ctr]
+    # interpolate A-grid winds to walls (interior), one-sided at edges
+    ux = jnp.concatenate([ua[..., :, :1],
+                          0.5 * (ua[..., :, 1:] + ua[..., :, :-1]),
+                          ua[..., :, -1:]], axis=-1)
+    vy = jnp.concatenate([va[..., :1, :],
+                          0.5 * (va[..., 1:, :] + va[..., :-1, :]),
+                          va[..., -1:, :]], axis=-2)
+    fx = ux * dyc
+    fy = vy * dxc
+    return rarea * (fx[..., :, 1:] - fx[..., :, :-1]
+                    + fy[..., 1:, :] - fy[..., :-1, :])
+
+
+def interp_to_height(field, z_mid, targets):
+    """Interpolate a layer field to fixed heights above ground (the wz
+    interpolation behind w1km/w2500m/w5km/u100m..., fv_diagnostics.F90
+    :1050-1110). z_mid increases upward with DEcreasing k index.
+    targets: python sequence of heights (m AGL). Returns [6, L, n, n]."""
+    K = field.shape[1]
+    dtype = field.dtype
+    outs = []
+    for zt in targets:
+        below = (z_mid <= zt).astype(dtype)       # layers under the target
+        cnt = jnp.sum(below, axis=1)              # counted from the bottom
+        # bracketing pair: layer index k1 = K - cnt (above), k0 = K - cnt -1?
+        l_hi = jnp.clip(K - 1.0 - cnt, 0.0, float(K - 2))
+        kidx = jnp.arange(K, dtype=dtype).reshape(1, K, 1, 1)
+        oh_hi = (l_hi[:, None] == kidx).astype(dtype)
+        oh_lo = (l_hi[:, None] + 1.0 == kidx).astype(dtype)
+        z_hi = jnp.sum(oh_hi * z_mid, axis=1)
+        z_lo = jnp.sum(oh_lo * z_mid, axis=1)
+        f_hi = jnp.sum(oh_hi * field, axis=1)
+        f_lo = jnp.sum(oh_lo * field, axis=1)
+        w = jnp.clip((zt - z_lo) / jnp.where(z_hi == z_lo, 1.0, z_hi - z_lo),
+                     0.0, 1.0)
+        outs.append(f_lo + w * (f_hi - f_lo))
+    return jnp.stack(outs, axis=1)
+
+
+def bunkers_motion(ua, va, z_mid, dz):
+    """Bunkers et al. (2000) right-mover storm motion (ustm/vstm,
+    fv_diagnostics.F90 bunkers_vector): 0-6 km mean wind plus 7.5 m/s along
+    the unit vector orthogonal to the 0-6 km shear."""
+    w6 = jnp.clip(jnp.minimum(z_mid + 0.5 * dz, 6.0e3)
+                  - jnp.maximum(z_mid - 0.5 * dz, 0.0), 0.0, None)
+    wsum = jnp.maximum(jnp.sum(w6, axis=1), 1.0)
+    um = jnp.sum(ua * w6, axis=1) / wsum
+    vm = jnp.sum(va * w6, axis=1) / wsum
+    # shear = mean(5.5-6km) - mean(0-0.5km)
+    wlo = jnp.clip(jnp.minimum(z_mid + 0.5 * dz, 0.5e3)
+                   - jnp.maximum(z_mid - 0.5 * dz, 0.0), 0.0, None)
+    whi = jnp.clip(jnp.minimum(z_mid + 0.5 * dz, 6.0e3)
+                   - jnp.maximum(z_mid - 0.5 * dz, 5.5e3), 0.0, None)
+    slo = jnp.maximum(jnp.sum(wlo, axis=1), 1.0)
+    shi = jnp.maximum(jnp.sum(whi, axis=1), 1.0)
+    du = jnp.sum(ua * whi, axis=1) / shi - jnp.sum(ua * wlo, axis=1) / slo
+    dv = jnp.sum(va * whi, axis=1) / shi - jnp.sum(va * wlo, axis=1) / slo
+    mag = jnp.sqrt(du ** 2 + dv ** 2)
+    mag = jnp.maximum(mag, 1.0e-3)
+    return um + 7.5 * dv / mag, vm - 7.5 * du / mag
+
+
+def storm_relative_helicity(ua, va, z_mid, dz, ustm, vstm,
+                            z_bot=0.0, z_top=3.0e3):
+    """SRH over [z_bot, z_top] (srh01/srh03/srh25, fv_diagnostics
+    helicity_relative): int (V - C) . (k x dV/dz) dz, evaluated layerwise
+    with the discrete cross-product form."""
+    K = ua.shape[1]
+    # layer-interface shear between adjacent midpoints (k decreasing up)
+    du = ua[:, :-1] - ua[:, 1:]
+    dv = va[:, :-1] - va[:, 1:]
+    um = 0.5 * (ua[:, :-1] + ua[:, 1:]) - ustm[:, None]
+    vm = 0.5 * (va[:, :-1] + va[:, 1:]) - vstm[:, None]
+    zc = 0.5 * (z_mid[:, :-1] + z_mid[:, 1:])
+    inside = ((zc >= z_bot) & (zc <= z_top)).astype(ua.dtype)
+    return jnp.sum(inside * (um * dv - vm * du), axis=1)
+
+
+def wind_shear(ua, va, z_mid, dz, z_top=6.0e3):
+    """Bulk shear magnitude surface->z_top (shear06)."""
+    lo = interp_to_height(ua, z_mid, (10.0,)), \
+        interp_to_height(va, z_mid, (10.0,))
+    hi = interp_to_height(ua, z_mid, (z_top,)), \
+        interp_to_height(va, z_mid, (z_top,))
+    return jnp.sqrt((hi[0][:, 0] - lo[0][:, 0]) ** 2
+                    + (hi[1][:, 0] - lo[1][:, 0]) ** 2)

@@ -277,10 +277,16 @@ def fv_diag(dm, state, q, g, ak, bk, ptop, plevs=(850.0e2, 500.0e2, 200.0e2),
     returns the dict of computed arrays for callers that want them."""
     import jax.numpy as jnp
 
+    import gfdl_atmos_cubed_sphere_tpu.constants as con
     from .derived import (relative_vorticity, potential_vorticity,
                           sea_level_pressure, interp_to_pressure_levels,
                           cape_cin, radar_reflectivity, updraft_helicity,
-                          layer_heights)
+                          layer_heights, layer_pressures,
+                          potential_temperature,
+                          equivalent_potential_temperature,
+                          relative_humidity, divergence, interp_to_height,
+                          bunkers_motion, storm_relative_helicity,
+                          wind_shear, echo_top)
     from ..model.fv_update_phys import cubed_to_latlon
 
     delp, pt, u, v = (state[k] for k in ("delp", "pt", "u", "v"))
@@ -296,44 +302,124 @@ def fv_diag(dm, state, q, g, ak, bk, ptop, plevs=(850.0e2, 500.0e2, 200.0e2),
     vort = relative_vorticity(u, v, g)
     out["vort"] = vort
     out["pv"] = potential_vorticity(u, v, pt, delp, g, ptop=ptop)
-    out["slp"] = sea_level_pressure(ps, state["phis"][:, 0]
-                                    if state.get("phis") is not None
-                                    else jnp.zeros_like(ps), pt[:, -1])
+    phis2 = (state["phis"][:, 0] if state.get("phis") is not None
+             else jnp.zeros_like(ps))
+    out["zsurf"] = phis2 / con.GRAV
+    out["slp"] = sea_level_pressure(ps, phis2, pt[:, -1])
     if "omga" in state and state["omga"] is not None:
         out["omga"] = state["omga"]
     if q:
         for name, field in q.items():
             out[name] = field
 
+    # ---- thermodynamic 3-D set (id_theta/theta_e/rh/divg/hght/ke/te) -----
+    pe, peln, p_lay = layer_pressures(delp, ptop)
+    out["theta"] = potential_temperature(pt, p_lay)
+    out["divg"] = divergence(ua, va, g)
+    out["ws"] = jnp.sqrt(ua ** 2 + va ** 2)
+    out["ke"] = 0.5 * (ua ** 2 + va ** 2)
+    if sph is not None:
+        out["theta_e"] = equivalent_potential_temperature(pt, p_lay, sph)
+        out["rh"] = relative_humidity(pt, p_lay, sph)
+    w = state.get("w")
+    delz = state.get("delz")
+    if not hydrostatic and delz is not None:
+        zm, zbot = layer_heights(delz=delz)
+        dz = -delz
+        out["delz"] = delz
+    else:
+        zm, zbot = layer_heights(pt=pt, peln=peln, sphum=sph)
+        dz = None
+    out["hght"] = zm + (phis2 / con.GRAV)[:, None]
+    cv_air = con.CP_AIR - con.RDGAS
+    out["te"] = (cv_air * pt + 0.5 * (ua ** 2 + va ** 2)
+                 + con.GRAV * out["hght"])
+    if w is not None:
+        out["w"] = w
+
+    # ---- pressure-level set (u/v/t/vort/rh/theta_e/omg/q _plev) ----------
     for p in plevs:
         tag = f"{int(p / 100)}"
-        for nm, f in (("u", ua), ("v", va), ("t", pt)):
+        fields = [("u", ua), ("v", va), ("t", pt), ("vort", vort)]
+        if sph is not None:
+            fields += [("rh", out["rh"]), ("thetae", out["theta_e"]),
+                       ("q", sph)]
+        if "omga" in out:
+            fields.append(("omg", out["omga"]))
+        for nm, f in fields:
             out[f"{nm}{tag}"] = interp_to_pressure_levels(
                 f, delp, ptop, jnp.asarray([p]))[:, 0]
-        out[f"vort{tag}"] = interp_to_pressure_levels(
-            vort, delp, ptop, jnp.asarray([p]))[:, 0]
+    if "u200" in out:
+        out["s200"] = jnp.sqrt(jnp.nan_to_num(out["u200"]) ** 2
+                               + jnp.nan_to_num(out["v200"]) ** 2)
+    # mass-weighted 300-500 hPa mean temperature (id_tm, the steering-layer
+    # metric of fv_diagnostics.F90:1483)
+    msk = ((p_lay >= 3.0e4) & (p_lay <= 5.0e4)).astype(pt.dtype)
+    out["tm"] = (jnp.sum(pt * delp * msk, axis=1)
+                 / jnp.maximum(jnp.sum(delp * msk, axis=1), 1.0))
+
+    # ---- condensate integrals + cloud-top (intq*/lw/iw/ct*) --------------
+    if q:
+        qn = jnp.zeros_like(pt)
+        for name, short in (("sphum", "intqv"), ("liq_wat", "intql"),
+                            ("rainwat", "intqr"), ("ice_wat", "intqi"),
+                            ("snowwat", "intqs"), ("graupel", "intqg")):
+            if name in q:
+                out[short] = jnp.sum(delp * q[name], axis=1) / con.GRAV
+                if name != "sphum":
+                    qn = qn + q[name]
+        if "intql" in out and "intqr" in out:
+            out["lw"] = out["intql"] + out["intqr"]
+        if "intqi" in out and "intqs" in out and "intqg" in out:
+            out["iw"] = out["intqi"] + out["intqs"] + out["intqg"]
+        out["qn"] = qn
+        cloudy = qn > 1.0e-6
+        out["ctz"] = jnp.max(jnp.where(cloudy, out["hght"], -1.0), axis=1)
+        big = jnp.asarray(1.0e30, pt.dtype)
+        ctt = jnp.min(jnp.where(cloudy, pt, big), axis=1)
+        ctp = jnp.min(jnp.where(cloudy, p_lay, big), axis=1)
+        out["ctt"] = jnp.where(ctt >= big, jnp.nan, ctt)
+        out["ctp"] = jnp.where(ctp >= big, jnp.nan, ctp)
 
     if q and "rainwat" in q:
-        peln = jnp.log(jnp.concatenate(
-            [jnp.full_like(delp[:, :1], ptop),
-             ptop + jnp.cumsum(delp, axis=1)], axis=1))
         dbz, comp = radar_reflectivity(delp, pt, q,
                                        delz=state.get("delz"),
                                        peln=None if not hydrostatic
                                        else peln)
         out["reflectivity"] = dbz
         out["max_reflectivity"] = comp
-    if not hydrostatic and state.get("w") is not None \
-            and state.get("delz") is not None:
-        zm, _ = layer_heights(delz=state["delz"])
-        out["uh25"] = updraft_helicity(vort, state["w"], zm,
-                                       -state["delz"])
+        out["base_reflectivity"] = dbz[:, -1]
+        out["4km_reflectivity"] = interp_to_height(dbz, zm, (4.0e3,))[:, 0]
+        out["echo_top"] = echo_top(dbz, zm)
+
+    # ---- severe-weather 2-D set (wz-interpolated winds, SRH, shear) ------
+    out["us"], out["vs"] = ua[:, -1], va[:, -1]
+    out["vorts"] = vort[:, -1]
+    uvh = interp_to_height(ua, zm, (100.0,))[:, 0]
+    vvh = interp_to_height(va, zm, (100.0,))[:, 0]
+    out["u100m"], out["v100m"] = uvh, vvh
+    out["wind100m"] = jnp.sqrt(uvh ** 2 + vvh ** 2)
+    dzw = dz if dz is not None else (zm - zbot) * 2.0
+    out["shear06"] = wind_shear(ua, va, zm, dzw)
+    ustm, vstm = bunkers_motion(ua, va, zm, dzw)
+    out["ustm"], out["vstm"] = ustm, vstm
+    out["srh01"] = storm_relative_helicity(ua, va, zm, dzw, ustm, vstm,
+                                           0.0, 1.0e3)
+    out["srh03"] = storm_relative_helicity(ua, va, zm, dzw, ustm, vstm,
+                                           0.0, 3.0e3)
+    if w is not None:
+        for zt, nm in ((1.0e3, "w1km"), (2.5e3, "w2500m"), (5.0e3, "w5km")):
+            out[nm] = interp_to_height(w, zm, (zt,))[:, 0]
+        out["wmaxup"] = jnp.max(jnp.maximum(w, 0.0), axis=1)
+        out["wmaxdn"] = jnp.min(jnp.minimum(w, 0.0), axis=1)
+        out["uh03"] = updraft_helicity(vort, w, zm, dzw, 0.0, 3.0e3)
+        if delz is not None:
+            out["uh25"] = updraft_helicity(vort, w, zm, -delz)
     if sph is not None:
         cape, cin = cape_cin(pt, delp, sph, ptop)
         out["cape"] = cape
         out["cin"] = cin
         # total water path (kg/m^2)
-        import gfdl_atmos_cubed_sphere_tpu.constants as con
         out["tq"] = jnp.sum(delp * sph, axis=1) / con.GRAV
 
     for name, arr in out.items():

@@ -94,6 +94,104 @@ class DynConfig:
     # correct unrolled or on one device). See parallel/mesh.py.
     use_scan: bool = True
 
+    # ---- fv_core_nml breadth (fv_arrays.F90:207-906). Every option below
+    # is parsed from real SHiELD/GFDL namelists by utils/config.py; ones
+    # marked [stored] are accepted + validated but only consumed by the
+    # subsystem named in the comment. ---------------------------------------
+    nwat: int = 6             # number of water species (0/2/3/6 supported
+                              # by neg_adj3/MP; others rejected in __post_init__)
+    ncnst: int = 0            # total tracers (0 = from the q dict)
+    pnats: int = 0            # [stored] non-advected tracers at the end
+    dnats: int = 0            # [stored] dycore-skipped tracers
+    dnrts: int = 0            # [stored] non-remapped tracers
+    nord_tr: int = 0          # tracer damping order (tracer_2d)
+    trdm2: float = 0.0        # tracer del-2 coefficient (tracer_2d)
+    kord_wz: int = 9          # w/delz remap order (remap_nh)
+    remap_t: bool = True      # remap T (vs theta) — fv_mapz mode
+    remap_te: bool = False    # [stored] remap total energy variant
+    z_tracer: bool = True     # layer-split tracer advection (tracer_2d IS
+                              # the z_tracer=true design; False rejected)
+    inline_q: bool = False    # advect q inside the acoustic loop ([stored];
+                              # tracer_2d after the loop is the default path)
+    range_warn: bool = False  # jit-internal range audits (io.diagnostics)
+    fv_debug: bool = False    # [stored] extra prints in drivers
+    print_freq: int = 0       # [stored] driver print interval (hours)
+    write_3d_diags: bool = True   # [stored] diag manager concern
+    nf_omega: int = 1         # del-2 smoothing passes on omega diagnostic
+    use_old_omega: bool = True    # [stored] omega from pe vs dp/dt
+    convert_ke: bool = False  # [stored] d_con applies to KE directly
+    prevent_diss_cooling: bool = False  # [stored] clip diss heating sign
+    delt_max: float = 1.0     # max dissipative heating rate (K/s, d_sw)
+    do_diss_est: bool = False     # [stored] skeb dissipation estimate diag
+    fv_sg_adj: int = -1       # 2dz subgrid mixing timescale (s) — consumed
+                              # by ops/fv_sg.fv_sg_adjust via the drivers
+    fv_sg_adj_weak: int = -1  # [stored] weak-mixing variant above sg_cutoff
+    sg_cutoff: float = -1.0   # fv_sg pressure cutoff (Pa)
+    n_zs_filter: int = 0      # terrain filter passes (utils/terrain)
+    nord_zs_filter: int = 0   # terrain filter order (utils/terrain)
+    full_zs_filter: bool = False  # [stored] filter at init vs restart
+    na_init: int = 0          # adiabatic init loops (driver adiabatic_init)
+    nudge: bool = False       # grid nudging master switch (physics/nudging)
+    nudge_ic: bool = False    # [stored] nudge to a single IC
+    nudge_qv: bool = False    # [stored] nudge specific humidity
+    nudge_dz: bool = False    # [stored] nudge delz in nest BCs
+    breed_vortex_inline: bool = False  # TC breeding (physics/nudging)
+    tau_h2o: float = 0.0      # [stored] stratospheric h2o source timescale
+    fast_tau_w_sec: float = 0.0   # implicit w sponge at the top (rf_fast)
+    dry_mass: float = 98290.0     # target dry mass (io.restart adjustment)
+    adjust_dry_mass: bool = False  # (io.restart)
+    mountain: bool = False    # [stored] restart has terrain
+    p_ref: float = 1.0e5      # reference pressure for pkz/sponge profiles
+    check_negative: bool = False  # [stored] MP negative-tracer warnings
+    do_held_suarez: bool = False  # Held-Suarez forcing (physics/held_suarez)
+    do_f3d: bool = False      # [stored] 3-D Coriolis (shallow-atmosphere
+                              # approximation is the only mode)
+    fill_wz: bool = False     # [stored] fill w in remap
+    fill_gfs: bool = False    # [stored] GFS-style filling in external IC
+    filter_phys: bool = False  # [stored]
+    dwind_2d: bool = False    # [stored] 2-D A->D wind update variant
+    agrid_vel_rst: bool = False   # write A-grid winds to restarts (io)
+    restart_from_agrid_winds: bool = False  # (io.restart)
+    ignore_rst_cksum: bool = False  # [stored] (io.restart)
+    warm_start: bool = False  # [stored] driver concern
+    external_eta: bool = False    # ak/bk from file vs set_eta (grid.fv_eta)
+    npz_rst: int = 0          # restart vertical remap target (io.restart)
+    # nesting / regional group (fv_nest_nml analogs; model/boundary.py,
+    # driver/nested.py, driver/regional_cube.py)
+    nested: bool = False
+    twowaynest: bool = False
+    nestbctype: int = 1       # [stored] BC interpolation type
+    nestupdate: int = 0       # [stored] two-way update strategy
+    nsponge: int = 0          # [stored] nest sponge rows
+    s_weight: float = 1.0e-6  # [stored] nest sponge weight
+    regional: bool = False
+    bc_update_interval: int = 3   # regional BC file cadence (hours)
+    nrows_blend: int = 0      # Davies blend rows (fv_regional_bc)
+    regional_bcs_from_gsi: bool = False  # [stored]
+    write_restart_with_bcs: bool = False  # [stored]
+    # planar doubly-periodic grid group (grid_type=4; driver/nested.py)
+    dx_const: float = 1000.0
+    dy_const: float = 1000.0
+    deglat: float = 15.0
+    umax: float = 350.0       # [stored] planar max wind for dt estimate
+    # coarse-graining output group (utils/coarse_graining)
+    write_coarse_restart_files: bool = False
+    write_coarse_diagnostics: bool = False
+    write_only_coarse_intermediate_restarts: bool = False  # [stored]
+    write_coarse_agrid_vel_rst: bool = False  # [stored]
+    write_coarse_dgrid_vel_rst: bool = False  # [stored]
+
+    def __post_init__(self):
+        if self.nwat not in (0, 2, 3, 6):
+            raise ValueError(f"nwat={self.nwat}: only 0/2/3/6 supported "
+                             "(fv_sg.neg_adj3 / gfdl_mp categories)")
+        if not self.z_tracer:
+            raise ValueError("z_tracer=.false. (non-layer-split tracer "
+                             "advection) is not supported: tracer_2d is "
+                             "the z_tracer design")
+        if self.m_split < 0:
+            raise ValueError("m_split must be >= 0")
+
 
 def geopk(delp_p, pt_p, phis_p, akap, ptop):
     """Hydrostatic pressures + geopotential (dyn_core.F90 geopk:2202).

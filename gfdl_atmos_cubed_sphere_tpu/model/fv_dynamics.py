@@ -426,7 +426,7 @@ def fv_dynamics_nh(delp, pt, u, v, w, delz, q, g, cfg: DynConfig, ak, bk,
                              max(1, cfg.q_split))
         rm = remap_nh(res.delp, res.pt, res.u, res.v, res.w, res.delz,
                       res.ws, q, res.pe, res.peln, ak, bk, g, cfg, akap,
-                      last_step=last)
+                      last_step=last, kord_wz=cfg.kord_wz)
         delp, u, v, w, delz = rm.delp, rm.u, rm.v, rm.w, rm.delz
         q = rm.q
         if last:

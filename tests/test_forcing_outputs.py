@@ -211,3 +211,52 @@ def test_fv_diag_sweep_registers_and_sends():
     # second sweep appends
     fv_diag(dm, st, q, g, ak, bk, ptop, hydrostatic=False)
     assert len(dm.series("slp")) == 2
+
+
+def test_fv_diag_breadth():
+    """Round-4 diagnostics sweep: the registry carries >= 80 fields after
+    one NH moist sweep (toward fv_diagnostics.F90's 266), and the new
+    derived quantities are physically sane."""
+    from gfdl_atmos_cubed_sphere_tpu.io.diagnostics import (DiagManager,
+                                                            fv_diag)
+    from gfdl_atmos_cubed_sphere_tpu.model.grid_ops import build_grid_ops
+    from gfdl_atmos_cubed_sphere_tpu.grid.fv_eta import set_eta
+    from gfdl_atmos_cubed_sphere_tpu.init.baroclinic import jw_baroclinic
+    import numpy as np
+
+    g = build_grid_ops(13, dtype=jnp.float64)
+    ks, ptop, ak, bk = set_eta(10)
+    ic = jw_baroclinic(g.geom, 10, ak, bk, ptop, perturb=True, moist=True)
+    st = {k: jnp.asarray(ic[k]) for k in ("delp", "pt", "u", "v", "w",
+                                          "delz", "phis")}
+    if st["phis"].ndim == 3:
+        st["phis"] = st["phis"][:, None]
+    shp = jnp.asarray(ic["sphum"]).shape
+    q = {"sphum": jnp.asarray(ic["sphum"]),
+         "liq_wat": jnp.full(shp, 2e-5), "rainwat": jnp.full(shp, 1e-5),
+         "ice_wat": jnp.full(shp, 1e-5), "snowwat": jnp.full(shp, 1e-5),
+         "graupel": jnp.full(shp, 1e-6)}
+    dm = DiagManager()
+    out = fv_diag(dm, st, q, g, ak, bk, ptop, hydrostatic=False)
+    assert len(dm._fields) >= 80, len(dm._fields)
+    for key in ("theta", "theta_e", "rh", "divg", "hght", "tm", "shear06",
+                "srh03", "ustm", "wind100m", "intql", "lw", "iw", "ctt",
+                "echo_top", "wmaxup", "s200", "zsurf", "us", "qn"):
+        assert key in out, key
+    # theta >= T everywhere (p < p00 aloft dominates)
+    th = np.asarray(out["theta"]) - np.asarray(out["temp"])
+    assert th[:, :-1].min() > -30.0
+    # theta_e >= theta (latent term is positive)
+    assert (np.asarray(out["theta_e"]) >= np.asarray(out["theta"]) - 1e-9).all()
+    # rh positive, bounded by ~200% in a balanced IC
+    assert np.asarray(out["rh"]).min() >= 0.0
+    # hght decreases with k (increases upward), top above bottom
+    hg = np.asarray(out["hght"])
+    assert (hg[:, 0] > hg[:, -1]).all()
+    # integrated water paths positive, lw = ql+qr columns
+    np.testing.assert_allclose(np.asarray(out["lw"]),
+                               np.asarray(out["intql"] + out["intqr"]))
+    # storm motion is a bounded perturbation of the mean wind
+    assert np.abs(np.asarray(out["ustm"])).max() < 150.0
+    # cloud-top height above ground, below model top
+    assert np.asarray(out["ctz"]).max() <= hg.max()

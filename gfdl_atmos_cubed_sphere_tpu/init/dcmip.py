@@ -117,3 +117,64 @@ def case51(geom, npz):
     uc, vc = case51_cgrid_winds(geom, 0.0)
     return dict(delp=delp, pt=pt, uc=uc, vc=vc, ptop=ptop,
                 q=dcmip11_tracers(geom, npz))
+
+
+def case52_levels(npz):
+    """Case-52 ak/bk: uniform-height levels to 12 km in a gamma=6.5 K/km
+    atmosphere (test_cases.F90:2531-2553)."""
+    t00, gamma, p00 = 300.0, 0.0065, 1.0e5
+    exponent = con.RDGAS * gamma / con.GRAV
+    px = ((t00 - 9000.0 * gamma) / t00) ** (1.0 / exponent)
+    dz = 12000.0 / npz
+    ak = np.zeros(npz + 1)
+    bk = np.zeros(npz + 1)
+    for k in range(npz + 1):
+        height = 12000.0 - dz * k
+        zfac = ((t00 - height * gamma) / t00) ** (1.0 / exponent)
+        if height >= 9000.0:
+            ak[k] = p00 * zfac
+            bk[k] = 0.0
+        else:
+            ak[k] = (zfac - 1.0) / (px - 1.0) * px * p00
+            bk[k] = (zfac - px) / (1.0 - px)
+    return ak, bk, float(ak[0])
+
+
+def case52(geom, npz):
+    """DCMIP 2.0 mountain-rest case (test_case 52, test_cases.F90:2514):
+    isothermal-lapse atmosphere exactly at rest over a Schar-modulated
+    cosine mountain at (270E, 0N). Any wind that develops is pressure
+    -gradient discretization error — the PGF-error metric the reference CI
+    tracks. Rotation is zeroed. Returns dict(delp, pt, u, v, w, delz,
+    phis, ps, ak, bk, ptop, zero_rotation=True)."""
+    n = geom.n
+    t00, gamma, p00 = 300.0, 0.0065, 1.0e5
+    exponent = con.RDGAS * gamma / con.GRAV
+    ak, bk, ptop = case52_levels(npz)
+
+    ai = geom.interior
+    aglon, aglat = ai("aglon"), ai("aglat")
+    r = _gc_dist(aglon, aglat, 3.0 * np.pi / 2.0, 0.0)
+    r0 = 0.75 * np.pi
+    zetam = np.pi / 16.0
+    phis = np.where(
+        r < r0,
+        con.GRAV * 0.5 * 2000.0 * (1.0 + np.cos(np.pi * r / r0))
+        * np.cos(np.pi * r / zetam) ** 2, 0.0)
+    ps = p00 * (1.0 - gamma / t00 * phis / con.GRAV) ** (1.0 / exponent)
+
+    pe = (ak[:, None, None, None]
+          + bk[:, None, None, None] * ps[None]).transpose(1, 0, 2, 3)
+    delp = pe[:, 1:] - pe[:, :-1]
+    # analytic layer-mean temperature (test_cases.F90:2595)
+    pt = (-con.GRAV * t00 * p00 / (con.RDGAS * gamma + con.GRAV) / delp
+          * ((pe[:, :-1] / p00) ** (exponent + 1.0)
+             - (pe[:, 1:] / p00) ** (exponent + 1.0)))
+    delz = (con.RDGAS / con.GRAV * pt
+            * np.log(pe[:, :-1] / np.maximum(pe[:, 1:], 1e-12)))
+    u = np.zeros((6, npz, n + 1, n))
+    v = np.zeros((6, npz, n, n + 1))
+    w = np.zeros_like(delp)
+    return dict(delp=delp, pt=pt, u=u, v=v, w=w, delz=delz,
+                phis=phis[:, None], ps=ps, ak=ak, bk=bk, ptop=ptop,
+                zero_rotation=True)

@@ -47,23 +47,23 @@ class RegionalHalo:
 
     # -- scalars -----------------------------------------------------------
 
-    def pad_cell(self, q):
+    def pad_cell(self, q, name=None):
         """[.., n, n] -> [.., n+2h, n+2h]."""
         return _edge_pad(q, self.h)
 
-    def pad_corner(self, q):
+    def pad_corner(self, q, name=None):
         """[.., n+1, n+1] -> [.., n+2h+1, n+2h+1]. All walls are unique on
         the open domain (no duplicated periodic image)."""
         return _edge_pad(q, self.h)
 
     # -- vectors -----------------------------------------------------------
 
-    def pad_dgrid(self, u, v):
+    def pad_dgrid(self, u, v, names=None):
         """u [.., n+1, n] y-walls -> [.., n+2h+1, n+2h];
         v [.., n, n+1] x-walls -> [.., n+2h, n+2h+1]."""
         return _edge_pad(u, self.h), _edge_pad(v, self.h)
 
-    def pad_cgrid(self, uc, vc):
+    def pad_cgrid(self, uc, vc, names=None):
         """uc x-walls [.., n, n+1]; vc y-walls [.., n+1, n]."""
         return _edge_pad(uc, self.h), _edge_pad(vc, self.h)
 

@@ -37,9 +37,9 @@ import numpy as np
 
 from .. import constants as con
 from ..model.boundary import (coarse_to_fine_stagger, blend_interior,
-                              twoway_feedback)
+                              twoway_feedback, twoway_feedback_dgrid)
 from ..model.dyn_core import DynConfig
-from ..model.fv_dynamics import fv_dynamics_hydro
+from ..model.fv_dynamics import fv_dynamics_hydro, fv_dynamics_nh
 from ..model.grid_ops import build_grid_ops_patch
 from ..grid.patch import aligned_nest_corners, build_patch_geometry
 from ..ops.sw_core import _d2a2c_vect_bounded
@@ -128,6 +128,53 @@ class CubeNest:
         return SimpleNamespace(delp=delp_f[..., ci, ci], pt=pt_f[..., ci, ci],
                                u=u_f[..., wi, ci], v=v_f[..., ci, wi])
 
+    # -- nonhydrostatic extensions (nh_utils.F90 nest_halo_nh:1764) --------
+
+    def phis_frame(self, parent_g, phis):
+        """Interpolate the parent surface geopotential onto the nest's
+        padded frame (static; call once at setup)."""
+        p2 = phis[:, 0] if phis.ndim == 4 else phis
+        phis_pp = parent_g.halo.pad_cell(p2, name="phis")[self.tile]
+        return self._frame(phis_pp[None], (False, False))[None]
+
+    def frames_from_parent_nh(self, parent_g, delp, pt, u, v, w, delz,
+                              phis_f, ptop, akap, q=None, zvir=0.0):
+        """BC frames for the NH acoustic loop: the hydro set plus w and the
+        height-interface frame zh reconstructed from the interpolated
+        parent delz over the nest terrain (the nest_halo_nh role:
+        nh_utils.F90:1764 sets gz/w nest BCs from delz)."""
+        frames = self.frames_from_parent(parent_g, delp, pt, u, v, ptop,
+                                         akap, q=q, zvir=zvir)
+        t = self.tile
+        halo = parent_g.halo
+        w_pp = halo.pad_cell(w, name="w")[t]
+        dz_pp = halo.pad_cell(delz, name="delz")[t]
+        frames["w"] = self._frame(w_pp, (False, False))[None]
+        delz_f = self._frame(dz_pp, (False, False))[None]
+        zs = phis_f[:, 0] / con.GRAV
+        incr = jnp.cumsum(delz_f[:, ::-1], axis=1)[:, ::-1]
+        frames["zh"] = jnp.concatenate([zs[:, None] - incr, zs[:, None]],
+                                       axis=1)
+        frames["delz"] = delz_f
+        return frames
+
+    def init_state_from_parent_nh(self, parent_g, delp, pt, u, v, w, delz,
+                                  q=None):
+        """NH nest cold start (adds w/delz and optional tracers)."""
+        st = self.init_state_from_parent(parent_g, delp, pt, u, v)
+        t = self.tile
+        ci = slice(H, H + self.n)
+        halo = parent_g.halo
+        st.w = self._frame(halo.pad_cell(w, name="w")[t],
+                           (False, False))[None][..., ci, ci]
+        st.delz = self._frame(halo.pad_cell(delz, name="delz")[t],
+                              (False, False))[None][..., ci, ci]
+        if q:
+            st.q = {k: self._frame(halo.pad_cell(f, name=k)[t],
+                                   (False, False))[None][..., ci, ci]
+                    for k, f in q.items()}
+        return st
+
 
 def nested_step_hydro(parent_g, nest: CubeNest, cfg_p: DynConfig,
                       cfg_n: DynConfig, ak, bk, ptop, nrows_blend=4,
@@ -179,5 +226,87 @@ def nested_step_hydro(parent_g, nest: CubeNest, cfg_p: DynConfig,
                 pp2[t], ntv2[0], R, nest.oj, nest.oi,
                 blend=two_way_blend, area_f=area_f))
         return (pd2, pp2, pu2, pv2), (nd2, ntv2, nu2, nv2)
+
+    return step
+
+
+def nested_step_nh(parent_g, nest: CubeNest, cfg_p: DynConfig,
+                   cfg_n: DynConfig, ak, bk, ptop, dp0, phis_parent,
+                   nrows_blend=4, two_way=False, two_way_blend=1.0,
+                   mp_cfg=None):
+    """Nonhydrostatic concurrent nesting (phase 2): full NH BC set
+    (w + height interfaces, nh_utils.F90 nest_halo_nh:1764), moist nest
+    with tracers, and two-way feedback of BOTH scalars (area-averaged,
+    twoway_nesting:2219) and D-grid winds (wall-averaged,
+    update_twowaynest remap). State tuples:
+      parent (delp, pt, u, v, w, delz, q) — pt TEMPERATURE
+      nest   (delp, pt, u, v, w, delz, q)
+    Returns a jittable step(parent_state, nest_state)."""
+    akap = con.KAPPA
+    n = nest.n
+    R = nest.R
+    phis_f = nest.phis_frame(parent_g, jnp.asarray(phis_parent))
+    zvir = con.RVGAS / con.RDGAS - 1.0
+
+    def step(ps, ns):
+        pd, pp, pu, pv, pw, pdz, pq = ps
+        nd, nt, nu, nv, nw, ndz, nq = ns
+        moist = bool(pq) and not cfg_p.adiabatic
+        # ---- parent big step -------------------------------------------
+        pres = fv_dynamics_nh(pd, pp, pu, pv, pw, pdz, pq, parent_g,
+                              cfg_p, ak, bk, ptop, dp0, mp_cfg=mp_cfg)
+        # ---- nest BC frames from the updated parent --------------------
+        frames = nest.frames_from_parent_nh(
+            parent_g, pres.delp, pres.pt, pres.u, pres.v, pres.w,
+            pres.delz, phis_f, ptop, akap, q=pres.q,
+            zvir=(zvir if moist else 0.0))
+        t_f = frames.pop("t_abs")
+        delz_f = frames.pop("delz")
+        gn = SimpleNamespace(**vars(nest.g))
+        from ..parallel.nest_halo import NestBCHalo
+        gn.halo = NestBCHalo(n, H, frames)
+        gn.phis_p = phis_f
+        nres = fv_dynamics_nh(nd, nt, nu, nv, nw, ndz, nq, gn, cfg_n,
+                              ak, bk, ptop, dp0, mp_cfg=mp_cfg)
+        # ---- Davies relaxation toward the BC data ----------------------
+        ci = slice(H, H + n)
+        wi = slice(H, H + n + 1)
+        nd2 = blend_interior(nres.delp, frames["delp"][..., ci, ci],
+                             nrows_blend)
+        nt2 = blend_interior(nres.pt, t_f[..., ci, ci], nrows_blend)
+        nu2 = blend_interior(nres.u, frames["u"][..., wi, ci], nrows_blend,
+                             wall=(True, False))
+        nv2 = blend_interior(nres.v, frames["v"][..., ci, wi], nrows_blend,
+                             wall=(False, True))
+        nw2 = blend_interior(nres.w, frames["w"][..., ci, ci], nrows_blend)
+        ndz2 = blend_interior(nres.delz, delz_f[..., ci, ci], nrows_blend)
+        nq2 = nres.q
+        pd2, pp2 = pres.delp, pres.pt
+        pu2, pv2, pw2, pdz2, pq2 = pres.u, pres.v, pres.w, pres.delz, pres.q
+        if two_way:
+            area_f = jnp.asarray(nest.g.area[0, :, H:-H, H:-H])
+            t = nest.tile
+
+            def fb(pf, nf):
+                return pf.at[t].set(twoway_feedback(
+                    pf[t], nf[0], R, nest.oj, nest.oi,
+                    blend=two_way_blend, area_f=area_f))
+
+            pd2 = fb(pd2, nd2)
+            pp2 = fb(pp2, nt2)
+            pw2 = fb(pw2, nw2)
+            pdz2 = fb(pdz2, ndz2)
+            if pq2:
+                pq2 = dict(pq2)
+                for k in pq2:
+                    if k in (nq2 or {}):
+                        pq2[k] = fb(pq2[k], nq2[k])
+            pu_t, pv_t = twoway_feedback_dgrid(
+                pu2[t], pv2[t], nu2[0], nv2[0], R, nest.oj, nest.oi,
+                blend=two_way_blend)
+            pu2 = pu2.at[t].set(pu_t)
+            pv2 = pv2.at[t].set(pv_t)
+        return ((pd2, pp2, pu2, pv2, pw2, pdz2, pq2),
+                (nd2, nt2, nu2, nv2, nw2, ndz2, nq2))
 
     return step

@@ -112,6 +112,54 @@ def fine_to_coarse(field_f, refinement, area_f=None):
     return block_area_weighted_mean(field_f, area_f, refinement)
 
 
+def twoway_feedback_dgrid(parent_u, parent_v, nest_u, nest_v, refinement,
+                          offset_j, offset_i, blend=1.0,
+                          dx_f=None, dy_f=None):
+    """Two-way feedback of the D-grid winds (update_twowaynest's
+    remap-along-wall averaging, fv_nesting.F90:2356-2440): each coarse
+    wall coincides with a fine wall line; the coarse wind is the
+    length-weighted mean of the R fine-wall segments it spans. Only walls
+    strictly inside the nest footprint are updated (the reference's
+    isu/ieu bounds exclude the BC edge). nest_u [T,K,nf+1,nf] (y-walls),
+    nest_v [T,K,nf,nf+1]; dx_f/dy_f optional fine wall lengths for the
+    weighting (plain mean otherwise)."""
+    import jax.numpy as jnp
+    R = refinement
+    nf = nest_u.shape[-1]
+    nc = nf // R
+
+    # u: coarse y-wall j -> fine wall R*j; average R cells along x
+    uw = nest_u[..., ::R, :]                          # [.., nc+1, nf]
+    if dx_f is not None:
+        wx = dx_f[..., ::R, :]
+        u_c = ((uw * wx).reshape(*uw.shape[:-1], nc, R).sum(-1)
+               / wx.reshape(*wx.shape[:-1], nc, R).sum(-1))
+    else:
+        u_c = uw.reshape(*uw.shape[:-1], nc, R).mean(-1)
+    # v: coarse x-wall i -> fine wall R*i; average R cells along y
+    vw = nest_v[..., :, ::R]                          # [.., nf, nc+1]
+    if dy_f is not None:
+        wy = dy_f[..., :, ::R]
+        num = (vw * wy).reshape(*vw.shape[:-2], nc, R, nc + 1).sum(-2)
+        den = wy.reshape(*wy.shape[:-2], nc, R, nc + 1).sum(-2)
+        v_c = num / den
+    else:
+        v_c = vw.reshape(*vw.shape[:-2], nc, R, nc + 1).mean(-2)
+
+    # interior walls only: rows/cols 1..nc-1 of the footprint
+    ju = slice(offset_j + 1, offset_j + nc)
+    iu = slice(offset_i, offset_i + nc)
+    reg_u = parent_u[..., ju, iu]
+    parent_u = parent_u.at[..., ju, iu].set(
+        (1.0 - blend) * reg_u + blend * u_c[..., 1:-1, :])
+    jv = slice(offset_j, offset_j + nc)
+    iv = slice(offset_i + 1, offset_i + nc)
+    reg_v = parent_v[..., jv, iv]
+    parent_v = parent_v.at[..., jv, iv].set(
+        (1.0 - blend) * reg_v + blend * v_c[..., :, 1:-1])
+    return parent_u, parent_v
+
+
 def twoway_feedback(parent_field, nest_field, refinement, offset_j, offset_i,
                     blend=1.0, area_f=None):
     """Two-way nesting feedback (fv_nesting.F90 twoway_nesting:2219):

@@ -116,3 +116,58 @@ def test_nested_twoway_feedback_finite():
     st_p, st_n = step(st_p, st_n)
     for a in (*st_p, *st_n):
         assert np.isfinite(np.asarray(a)).all()
+
+
+def test_nested_nh_twoway_moist():
+    """Phase 2: nonhydrostatic moist nest with full NH BC set (w + height
+    interfaces, nh_utils.F90 nest_halo_nh:1764) and two-way feedback of
+    scalars (area-averaged) AND D-grid winds (wall-averaged,
+    update_twowaynest). Two big steps stay finite, the nest tracks the
+    parent, and the parent footprint actually receives wind feedback."""
+    from gfdl_atmos_cubed_sphere_tpu.driver.nested_cube import nested_step_nh
+    npx, npz = 25, 10
+    g = build_grid_ops(npx, dtype=jnp.float64)
+    ks, ptop, ak, bk = set_eta(npz)
+    ic = jw_baroclinic(g.geom, npz, ak, bk, ptop, perturb=True, moist=True)
+    from gfdl_atmos_cubed_sphere_tpu.model.sw_dynamics import prepare_phis
+    prepare_phis(g, ic["phis"])
+    cfg_p = DynConfig(npx=npx, npz=npz, dt=600.0, n_split=4,
+                      hydrostatic=False, adiabatic=False)
+    cfg_n = DynConfig(npx=17, npz=npz, dt=600.0, n_split=8,
+                      hydrostatic=False, adiabatic=False)
+    nest = CubeNest(g, tile=2, refinement=2, ioffset=8, joffset=8,
+                    n_nest=16, dtype=jnp.float64)
+    q = {"sphum": jnp.asarray(ic["sphum"])}
+    st_p = tuple(jnp.asarray(ic[k])
+                 for k in ("delp", "pt", "u", "v", "w", "delz")) + (q,)
+    ns = nest.init_state_from_parent_nh(g, *st_p[:6], q=q)
+    st_n = (ns.delp, ns.pt, ns.u, ns.v, ns.w, ns.delz, ns.q)
+    dp0 = np.diff(np.asarray(ak)) + np.diff(np.asarray(bk)) * 1.0e5
+    step = jax.jit(nested_step_nh(
+        g, nest, cfg_p, cfg_n, jnp.asarray(ak), jnp.asarray(bk), ptop, dp0,
+        ic["phis"], two_way=True, two_way_blend=0.5))
+
+    # one-step reference WITHOUT feedback to prove the winds changed
+    step0 = jax.jit(nested_step_nh(
+        g, nest, cfg_p, cfg_n, jnp.asarray(ak), jnp.asarray(bk), ptop, dp0,
+        ic["phis"], two_way=False))
+    p0, _ = step0(st_p, st_n)
+    p1, n1 = step(st_p, st_n)
+    for a in (*p1[:6], *n1[:6]):
+        assert np.isfinite(np.asarray(a)).all()
+    # feedback modified the parent winds inside the footprint only
+    du = np.abs(np.asarray(p1[2]) - np.asarray(p0[2]))
+    assert du[2, :, 9:16, 8:16].max() > 0.0
+    outside = du.copy()
+    outside[2, :, 8:17, 8:17] = 0.0
+    assert outside.max() == 0.0
+    # second step remains stable
+    p2, n2 = step(p1, n1)
+    assert np.isfinite(np.asarray(p2[1])).all()
+    assert np.isfinite(np.asarray(n2[4])).all()
+    # nest temperature tracks the parent solution
+    fr = nest.frames_from_parent(g, p2[0], p2[1], p2[2], p2[3], ptop,
+                                 0.2857)
+    tn = np.asarray(n2[1][0])
+    tp = np.asarray(fr["t_abs"][0][:, H:-H, H:-H])
+    assert (np.abs(tn - tp) / np.abs(tp)).max() < 0.05

@@ -545,8 +545,7 @@ def dyn_core_hydro(delp, pt, u, v, phis, g, cfg: DynConfig, akap, ptop,
         # mass conserves to ~1e-14/step (cf. dyn_core.F90:1152-1170, which
         # reconciles only at it==n_split for comm cost).
         u, v = halo.reconcile_dgrid(u, v)
-        delp_p = halo.pad_cell(delp, name="delp")
-        pt_p = halo.pad_cell(pt, name="pt")
+        delp_p, pt_p = halo.pad_cells((delp, pt), names=("delp", "pt"))
         u_p, v_p = halo.pad_dgrid(u, v, names=("u", "v"))
 
         from ..ops import pallas_csw
@@ -609,8 +608,7 @@ def dyn_core_hydro(delp, pt, u, v, phis, g, cfg: DynConfig, akap, ptop,
         mfx, mfy = mfx + ds.fx, mfy + ds.fy
         cx, cy = cx + ds.crx, cy + ds.cry
 
-        delp_p2 = halo.pad_cell(delp, name="delp")
-        pt_p2 = halo.pad_cell(pt, name="pt")
+        delp_p2, pt_p2 = halo.pad_cells((delp, pt), names=("delp", "pt"))
         if pallas_col.use_pallas_pg(delp_p2):
             # slim D-stage geopk: one HBM round trip for (pk, gz)
             pk, gz = pallas_col.pkgz_pallas(delp_p2, pt_p2, phis_p, akap,
@@ -823,9 +821,10 @@ def dyn_core_nh(delp, pt, u, v, w, delz, phis, g, cfg: DynConfig, akap, ptop,
         (delp, pt, u, v, w, zh, ws_c, mfx, mfy, cx, cy, it,
          dup, dvp, qv_t) = carry
         u, v = halo.reconcile_dgrid(u, v)
-        delp_p = halo.pad_cell(delp, name="delp")
-        pt_p = halo.pad_cell(pt, name="pt")
-        w_p = halo.pad_cell(w, name="w")
+        # grouped pack: one collective for the whole cell-field group
+        # (fv_dynamics.F90:462-490 async-pack analog)
+        delp_p, pt_p, w_p = halo.pad_cells((delp, pt, w),
+                                           names=("delp", "pt", "w"))
         zh_p = halo.pad_cell(zh, name="zh")
         u_p, v_p = halo.pad_dgrid(u, v, names=("u", "v"))
 
@@ -888,9 +887,8 @@ def dyn_core_nh(delp, pt, u, v, w, delz, phis, g, cfg: DynConfig, akap, ptop,
         rdt = 1.0 / dt
         ws_full = (zs_p - zh_p2[:, -1]) * rdt
 
-        delp_p2 = halo.pad_cell(delp, name="delp")
-        pt_p2 = halo.pad_cell(pt, name="pt")
-        w_p2 = halo.pad_cell(w, name="w")
+        delp_p2, pt_p2, w_p2 = halo.pad_cells(
+            (delp, pt, w), names=("delp", "pt", "w"))
         rs = nh_core.riem_solver3(dt, delp_p2, pt_p2, w_p2, zh_p2, zs_p,
                                   ws_full, akap, ptop, cfg.p_fac,
                                   a_imp=cfg.a_imp, scale_m=cfg.scale_m,

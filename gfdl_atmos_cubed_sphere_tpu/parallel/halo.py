@@ -150,6 +150,14 @@ class HaloExchanger:
                                        self.n * self.n, q)
         return self._gather(q, self._cell_flat, self.n * self.n)
 
+
+    def pad_cells(self, fields, names=None):
+        """Grouped-pack API (see parallel/shard_halo.py): default
+        per-field fallback."""
+        names = names or (None,) * len(tuple(fields))
+        return tuple(self.pad_cell(q, name=nm)
+                     for q, nm in zip(fields, names))
+
     def pad_corner(self, q, name=None):
         m = self.n + 1
         if self._corner_strips is not None and not self.GSPMD_SAFE:

@@ -53,6 +53,14 @@ class NestBCHalo:
             return self._clamp(q, self.h, self.h)
         return self._paste(fr, q, q.shape[-2], q.shape[-1])
 
+
+    def pad_cells(self, fields, names=None):
+        """Grouped-pack API (see parallel/shard_halo.py): default
+        per-field fallback."""
+        names = names or (None,) * len(tuple(fields))
+        return tuple(self.pad_cell(q, name=nm)
+                     for q, nm in zip(fields, names))
+
     def pad_corner(self, q, name=None):
         fr = self.frames.get(name)
         if fr is None:

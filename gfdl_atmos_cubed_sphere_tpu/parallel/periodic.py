@@ -24,6 +24,14 @@ class PeriodicHalo:
         q = jnp.concatenate([q[..., :, -h:], q, q[..., :, :h]], axis=-1)
         return q
 
+
+    def pad_cells(self, fields, names=None):
+        """Grouped-pack API (see parallel/shard_halo.py): default
+        per-field fallback."""
+        names = names or (None,) * len(tuple(fields))
+        return tuple(self.pad_cell(q, name=nm)
+                     for q, nm in zip(fields, names))
+
     def pad_corner(self, q, name=None):
         """Corner-point field [.., n+1, n+1] where row/col n duplicates 0:
         pad periodically using the unique n interior walls."""

@@ -51,6 +51,14 @@ class RegionalHalo:
         """[.., n, n] -> [.., n+2h, n+2h]."""
         return _edge_pad(q, self.h)
 
+
+    def pad_cells(self, fields, names=None):
+        """Grouped-pack API (see parallel/shard_halo.py): default
+        per-field fallback."""
+        names = names or (None,) * len(tuple(fields))
+        return tuple(self.pad_cell(q, name=nm)
+                     for q, nm in zip(fields, names))
+
     def pad_corner(self, q, name=None):
         """[.., n+1, n+1] -> [.., n+2h+1, n+2h+1]. All walls are unique on
         the open domain (no duplicated periodic image)."""

@@ -208,6 +208,22 @@ class ShardHalo:
     def pad_cell(self, q, name=None):
         return self._exchange_scalar(q, self._cell)
 
+    def pad_cells(self, fields, names=None):
+        """Grouped-pack exchange: stack same-shape cell fields on a new
+        leading axis and run ONE ppermute set for the whole group — the
+        analog of the reference's grouped async halo packs
+        (fv_dynamics.F90:462-490, 13 packs with deferred completion).
+        One large collective per edge/round instead of len(fields) small
+        ones: fewer ICI transactions, and XLA's async collective-permute
+        scheduling gets a single long transfer to overlap with compute."""
+        del names
+        fields = tuple(fields)
+        if len(fields) == 1:
+            return (self.pad_cell(fields[0]),)
+        stacked = jnp.stack(fields, axis=0)
+        padded = self._exchange_scalar(stacked, self._cell)
+        return tuple(padded[i] for i in range(len(fields)))
+
     def pad_corner(self, q, name=None):
         return self._exchange_scalar(q, self._corner)
 

@@ -2,10 +2,14 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gfdl_atmos_cubed_sphere_tpu.utils.config import (
     parse_namelist, dyn_config_from_namelist, mp_config_from_namelist)
 from gfdl_atmos_cubed_sphere_tpu.utils import coarse_graining as cg
+
+pytestmark = pytest.mark.fast
+
 
 NML = """
 &fv_core_nml

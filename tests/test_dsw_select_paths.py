@@ -17,7 +17,8 @@ from gfdl_atmos_cubed_sphere_tpu.model import sw_dynamics as swd
 from gfdl_atmos_cubed_sphere_tpu.init import sw_cases
 from gfdl_atmos_cubed_sphere_tpu.ops import sw_core
 
-pytestmark = pytest.mark.fast
+# integration tier (formerly 'fast'): interpret-mode kernel
+# equivalence / multi-step runs, too slow for the <90 s tier
 
 
 def _dsw_inputs(npz=3):

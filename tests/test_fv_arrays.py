@@ -3,8 +3,12 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gfdl_atmos_cubed_sphere_tpu.model.fv_arrays import AtmosState
+
+
+pytestmark = pytest.mark.fast
 
 
 def _mk(n=4, K=3):

@@ -13,7 +13,8 @@ from gfdl_atmos_cubed_sphere_tpu.init import sw_cases
 from gfdl_atmos_cubed_sphere_tpu.ops import sw_core
 from gfdl_atmos_cubed_sphere_tpu.ops.pallas_csw import c_sw_pallas
 
-pytestmark = pytest.mark.fast
+# integration tier (formerly 'fast'): interpret-mode kernel
+# equivalence / multi-step runs, too slow for the <90 s tier
 
 
 def _inputs(npz=2, npx=17):

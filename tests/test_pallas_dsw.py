@@ -14,7 +14,8 @@ from gfdl_atmos_cubed_sphere_tpu.init import sw_cases
 from gfdl_atmos_cubed_sphere_tpu.ops import sw_core
 from gfdl_atmos_cubed_sphere_tpu.ops.pallas_dsw import d_sw_pallas
 
-pytestmark = pytest.mark.fast
+# integration tier (formerly 'fast'): interpret-mode kernel
+# equivalence / multi-step runs, too slow for the <90 s tier
 
 
 def _dsw_inputs(npz=3, npx=17):

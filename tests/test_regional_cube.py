@@ -21,7 +21,8 @@ from gfdl_atmos_cubed_sphere_tpu.io.regional_bc import (
 from gfdl_atmos_cubed_sphere_tpu.grid.fv_eta import set_eta
 from gfdl_atmos_cubed_sphere_tpu.init.baroclinic import jw_baroclinic
 
-pytestmark = pytest.mark.fast
+# integration tier (formerly 'fast'): interpret-mode kernel
+# equivalence / multi-step runs, too slow for the <90 s tier
 
 H = 3
 

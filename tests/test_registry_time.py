@@ -2,12 +2,16 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gfdl_atmos_cubed_sphere_tpu.utils.tracer_registry import (
     TracerRegistry, default_registry)
 from gfdl_atmos_cubed_sphere_tpu.utils.time_manager import (
     Alarm, JULIAN, NOLEAP, THIRTY_DAY, Time, get_date, get_time, set_date,
     set_time)
+
+
+pytestmark = pytest.mark.fast
 
 
 def test_default_registry_canonical():

@@ -301,3 +301,155 @@ def get_external_ic(source, *args, **kw):
     return {"ncep": get_ncep_ic, "ecmwf": get_ecmwf_ic,
             "nggps": get_nggps_ic, "hrrr": get_hrrr_ic,
             "fv": get_fv_ic}[source](*args, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Real NGGPS/chgres tile-file layout (round-3 VERDICT missing #6)
+# ---------------------------------------------------------------------------
+
+def read_nggps_tiles(dirpath, prefix="gfs", tracers=("sphum", "liq_wat",
+                                                     "o3mr")):
+    """Read the chgres cold-start file set the reference consumes
+    (external_ic.F90 get_nggps_ic:290): INPUT/gfs_ctrl.nc (vcoord ->
+    ak/bk), gfs_data.tile{1..6}.nc (zh edge heights, ps, the D-grid face
+    winds u_w/v_w/u_s/v_s as zonal/meridional components, w, tracers) and,
+    when present, oro_data.tile{n}.nc (orog_filt -> phis). Returns the
+    cube-assembled `data` dict for get_nggps_ic_files. NetCDF3 layout
+    (scipy reader; chgres can emit either)."""
+    import os
+    from scipy.io import netcdf_file
+
+    with netcdf_file(os.path.join(dirpath, f"{prefix}_ctrl.nc"), "r",
+                     mmap=False) as f:
+        vcoord = np.array(f.variables["vcoord"][:])
+    # vcoord rows: [ak..., bk...] (levsp x 2 in chgres layout)
+    if vcoord.ndim == 2:
+        ak_src, bk_src = vcoord[0], vcoord[1]
+    else:
+        half = vcoord.size // 2
+        ak_src, bk_src = vcoord[:half], vcoord[half:]
+
+    fields = {}
+    for t in range(6):
+        path = os.path.join(dirpath, f"{prefix}_data.tile{t + 1}.nc")
+        with netcdf_file(path, "r", mmap=False) as f:
+            for name, var in f.variables.items():
+                fields.setdefault(name, []).append(np.array(var[:]))
+    data = {k: np.stack(v) for k, v in fields.items()
+            if k not in ("lon", "lat", "lonc", "latc")}
+    data["ak_src"] = np.asarray(ak_src, np.float64)
+    data["bk_src"] = np.asarray(bk_src, np.float64)
+
+    oro0 = os.path.join(dirpath, "oro_data.tile1.nc")
+    if os.path.exists(oro0):
+        phis = []
+        for t in range(6):
+            with netcdf_file(os.path.join(dirpath,
+                                          f"oro_data.tile{t + 1}.nc"),
+                             "r", mmap=False) as f:
+                phis.append(np.array(f.variables["orog_filt"][:]))
+        data["phis"] = np.stack(phis) * con.GRAV
+    return data
+
+
+def adjust_ps_to_terrain(phis, zh, ps_src, ak_src, bk_src, k2=None):
+    """Surface pressure on the MODEL terrain from the source column
+    (remap_scalar:2818-2845): log-p interpolated in the source geopotential
+    profile, mirror-extended below ground. phis [6,n,n]; zh [6,K+1,n,n]
+    source edge heights (top->bottom); ps_src [6,n,n]."""
+    km = zh.shape[1] - 1
+    k2 = max(10, km // 2) if k2 is None else k2
+    pe0 = (np.asarray(ak_src).reshape(1, -1, 1, 1)
+           + np.asarray(bk_src).reshape(1, -1, 1, 1) * ps_src[:, None])
+    pn = np.log(pe0)                               # [6, K+1, n, n]
+    gz = zh * con.GRAV
+    # mirror-image extension below the surface (remap_scalar:2833-2837,
+    # 1-based k = km+2..km+k2, l = 2(km+1)-k; 0-based: ext[m] uses
+    # source index 2km - m for m = km+1 .. km+k2-2)
+    m = np.arange(km + 1, km + k2 - 1)
+    ext_gz = 2.0 * gz[:, -1:] - gz[:, 2 * km - m]
+    ext_pn = 2.0 * pn[:, -1:] - pn[:, 2 * km - m]
+    gz_e = np.concatenate([gz, ext_gz], axis=1)    # decreasing downward
+    pn_e = np.concatenate([pn, ext_pn], axis=1)
+    # find bracketing interval gz[k] >= phis >= gz[k+1]
+    ph = phis[:, None]
+    above = (gz_e >= ph).astype(np.float64)        # 1 while above terrain
+    kidx = np.clip(above.sum(axis=1, keepdims=True).astype(int) - 1, 0,
+                   gz_e.shape[1] - 2)
+    g0 = np.take_along_axis(gz_e, kidx, axis=1)[:, 0]
+    g1 = np.take_along_axis(gz_e, kidx + 1, axis=1)[:, 0]
+    p0 = np.take_along_axis(pn_e, kidx, axis=1)[:, 0]
+    p1 = np.take_along_axis(pn_e, kidx + 1, axis=1)[:, 0]
+    pst = p0 + (p1 - p0) * (g0 - phis) / np.maximum(g0 - g1, 1e-12)
+    return np.exp(pst)
+
+
+def dgrid_winds_from_faces(u_s, v_s, u_w, v_w, geom):
+    """Face-wind components -> D-grid winds (get_nggps_ic:542-565):
+    ud = u_s e1.ex + v_s e1.ey on south (y) walls; vd = u_w e2.ex +
+    v_w e2.ey on west (x) walls, with e1/e2 the wall-tangent unit vectors
+    and ex/ey the local zonal/meridional basis."""
+    from ..grid.gnomonic import normalize, xyz_to_lonlat
+    H = 3
+    n = geom.n
+    gxyz = geom.arrays["grid_xyz"]
+    cw = gxyz[:, H:H + n + 1, H:H + n + 1]
+    es1 = geom.arrays["es"][:, H:H + n + 1, H:H + n, 0]    # u-wall tangents
+    ew2 = geom.arrays["ew"][:, H:H + n, H:H + n + 1, 1]    # v-wall tangents
+
+    def basis(mid_xyz):
+        lon, lat = xyz_to_lonlat(mid_xyz)
+        ex = np.stack([-np.sin(lon), np.cos(lon), np.zeros_like(lon)], -1)
+        ey = np.stack([-np.sin(lat) * np.cos(lon),
+                       -np.sin(lat) * np.sin(lon), np.cos(lat)], -1)
+        return ex, ey
+
+    midu = normalize(cw[:, :, :-1] + cw[:, :, 1:])
+    ex, ey = basis(midu)
+    ud = (u_s * np.sum(es1 * ex, -1)[:, None]
+          + v_s * np.sum(es1 * ey, -1)[:, None])
+    midv = normalize(cw[:, :-1, :] + cw[:, 1:, :])
+    ex, ey = basis(midv)
+    vd = (u_w * np.sum(ew2 * ex, -1)[:, None]
+          + v_w * np.sum(ew2 * ey, -1)[:, None])
+    return ud, vd
+
+
+def get_nggps_ic_files(dirpath, geom, ak, bk, ptop, kord=8, prefix="gfs"):
+    """Full NGGPS cold start from the chgres tile-file set: read the real
+    file layout, adjust ps onto the model terrain, vertically remap the
+    scalars (get_nggps_ic), rotate the face winds to the D grid and remap
+    them on wall-averaged pressures (the get_hrrr_ic wind path). Returns
+    the state dict (delp, pt, u, v, delz, ps, phis, tracers...)."""
+    data = read_nggps_tiles(dirpath, prefix=prefix)
+    zh = np.asarray(data["zh"], np.float64)
+    ps_src = np.asarray(data["ps"], np.float64)
+    if ps_src.ndim == 4:
+        ps_src = ps_src[:, 0]
+    phis = np.asarray(data.get("phis", zh[:, -1] * con.GRAV), np.float64)
+    if phis.ndim == 4:
+        phis = phis[:, 0]
+    ps_adj = adjust_ps_to_terrain(phis, zh, ps_src,
+                                  data["ak_src"], data["bk_src"])
+    data = dict(data, ps=ps_adj)
+    if "t" not in data and "zh" in data:
+        # derive T from the hydrostatic thickness of the source layers
+        pe0 = (data["ak_src"].reshape(1, -1, 1, 1)
+               + data["bk_src"].reshape(1, -1, 1, 1) * ps_src[:, None])
+        pn0 = np.log(pe0)
+        dz = zh[:, :-1] - zh[:, 1:]
+        data["t"] = (con.GRAV * dz
+                     / (con.RDGAS * (pn0[:, 1:] - pn0[:, :-1])))
+    out = get_nggps_ic(data, ak, bk, ptop, kord=kord)
+    if "u_s" in data:
+        ud, vd = dgrid_winds_from_faces(
+            np.asarray(data["u_s"]), np.asarray(data["v_s"]),
+            np.asarray(data["u_w"]), np.asarray(data["v_w"]), geom)
+        wind = get_hrrr_ic(dict(data, ud=ud, vd=vd), ak, bk, ptop,
+                           kord=kord)
+        out["u"] = wind["u"]
+        out["v"] = wind["v"]
+        if "w" in wind:
+            out["w"] = wind["w"]
+    out["phis"] = jnp.asarray(phis)[:, None]
+    return out

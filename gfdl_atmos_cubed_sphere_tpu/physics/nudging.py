@@ -279,3 +279,130 @@ def breed_slp_inline(dt, delp, pt_bot, phis, storms, g, ak, cfg=BreedConfig()):
     mass_sink = jnp.sum(dps_tot * area)
     total = jnp.sum(jnp.sum(delp_new, axis=1) * area)
     return delp_new * (1.0 + mass_sink / total)
+
+
+# ---------------------------------------------------------------------------
+# Surface-pressure nudging with sigma-distributed mass adjustment + the
+# global bias corrections (fv_nudge.F90 ps_nudging:833,
+# ps_bias_correction:993, temp_bias_correction:1060)
+# ---------------------------------------------------------------------------
+
+def ps_bias_correction(ps_dt, area, esl=0.01):
+    """Remove the global-mean bias of a ps increment without reversing any
+    local sign (ps_bias_correction:993): the area-weighted mean bias is
+    subtracted from the same-signed cells only, rescaled by their area
+    fraction, and clipped at zero."""
+    w = area / jnp.sum(area)
+    bias = jnp.sum(w * ps_dt)
+
+    def debias(psdt):
+        same = jnp.where(bias > 0.0, psdt > 0.0, psdt < 0.0)
+        psum = jnp.maximum(jnp.sum(jnp.where(same, area, 0.0)), 1e-30)
+        adj = bias * jnp.sum(area) / psum
+        corrected = jnp.where(
+            same,
+            jnp.where(bias > 0.0, jnp.maximum(0.0, psdt - adj),
+                      jnp.minimum(0.0, psdt - adj)),
+            psdt)
+        return corrected
+
+    return jnp.where(jnp.abs(bias) < esl, ps_dt, debias(ps_dt))
+
+
+def temp_bias_correction(t_dt, area):
+    """Per-level removal of the area-mean temperature-increment bias
+    (temp_bias_correction:1060, the same-signed-cell form)."""
+    w = (area / jnp.sum(area))[:, None]
+    bias = jnp.sum(w * t_dt, axis=(0, 2, 3), keepdims=True)
+    same = jnp.where(bias > 0.0, t_dt > 0.0, t_dt < 0.0)
+    psum = jnp.maximum(jnp.sum(jnp.where(same, area[:, None], 0.0),
+                               axis=(0, 2, 3), keepdims=True), 1e-30)
+    adj = bias * jnp.sum(area) / psum
+    return jnp.where(same,
+                     jnp.where(bias > 0.0,
+                               jnp.maximum(0.0, t_dt - adj),
+                               jnp.minimum(0.0, t_dt - adj)),
+                     t_dt)
+
+
+def ps_nudging(dt, ak, bk, ps_target, delp, area=None, mask=1.0,
+               phis=None, gz0=None, tau=21600.0, cap=10.0e2,
+               terrain_decay=500.0, do_bias=True):
+    """Nudge surface pressure toward the (terrain-adjusted) analysis by
+    adding mass in the sigma part of the coordinate (ps_nudging:833):
+    delp_k += (bk_{k+1}-bk_k) * dps. ps_target should already sit on the
+    model terrain (io.external_ic.adjust_ps_to_terrain); where the obs
+    surface geopotential gz0 is supplied, the increment decays with
+    terrain mismatch |gz0-phis| over `terrain_decay` meters (the
+    reference's mask factor). Returns (delp_new, applied dps)."""
+    from .. import constants as con
+    ps = float(ak[0]) + jnp.sum(delp, axis=1)
+    ps_dt = ps_target - ps
+    ps_dt = jnp.sign(ps_dt) * jnp.minimum(cap, jnp.abs(ps_dt))
+    ps_dt = ps_dt * mask
+    if phis is not None and gz0 is not None:
+        fac = jnp.maximum(0.0, 1.0 - jnp.abs(gz0 - phis)
+                          / (con.GRAV * terrain_decay))
+        ps_dt = ps_dt * fac
+    if do_bias and area is not None:
+        ps_dt = ps_bias_correction(ps_dt, area)
+    frac = jnp.minimum(1.0, dt / tau)
+    dps = frac * ps_dt
+    dbk = jnp.asarray(np.diff(np.asarray(bk)),
+                      delp.dtype).reshape(1, -1, 1, 1)
+    return delp + dbk * dps[:, None], dps
+
+
+class ObsSchedule:
+    """Two-time-level analysis stream (get_obs:1179): holds consecutive
+    analyses with their valid times and serves the linear time
+    interpolation the nudging tendencies consume."""
+
+    def __init__(self, times, analyses):
+        assert len(times) == len(analyses) >= 2
+        self.times = list(times)
+        self.analyses = list(analyses)
+
+    def target_at(self, t):
+        import bisect
+        i = bisect.bisect_right(self.times, t) - 1
+        i = max(0, min(i, len(self.times) - 2))
+        t0, t1 = self.times[i], self.times[i + 1]
+        a = (t - t0) / max(t1 - t0, 1e-12)
+        a = min(max(a, 0.0), 1.0)
+        out = {}
+        for k in self.analyses[i]:
+            out[k] = ((1.0 - a) * jnp.asarray(self.analyses[i][k])
+                      + a * jnp.asarray(self.analyses[i + 1][k]))
+        return out
+
+
+def remap_analysis_to_model(ana, ak_src, bk_src, ps, ak, bk,
+                            fields=("t", "sphum"), winds=("ua", "va"),
+                            kord=8):
+    """Vertical remap of an analysis on its own hybrid levels onto the
+    model's (remap_tq:2026 / remap_uv:2106): mass-weighted scalars, winds
+    on wall-mean pressures (here A-grid analysis winds, plain iv=-1)."""
+    from ..ops import fv_mapz
+    ps_ = jnp.asarray(ps)
+    aks = jnp.asarray(ak_src).reshape((1,) * ps_.ndim + (-1,))
+    bks = jnp.asarray(bk_src).reshape((1,) * ps_.ndim + (-1,))
+    pe1 = aks + bks * ps_[..., None]
+    akd = jnp.asarray(ak).reshape((1,) * ps_.ndim + (-1,))
+    bkd = jnp.asarray(bk).reshape((1,) * ps_.ndim + (-1,))
+    pe2 = akd + bkd * ps_[..., None]
+    out = {}
+    for name in fields:
+        if name in ana:
+            f = jnp.moveaxis(jnp.asarray(ana[name]), 1, -1)
+            out[name] = jnp.moveaxis(
+                fv_mapz.map1_ppm_ext(f, pe1, pe2, iv=(1 if name == "t"
+                                                     else 0), kord=kord),
+                -1, 1)
+    for name in winds:
+        if name in ana:
+            f = jnp.moveaxis(jnp.asarray(ana[name]), 1, -1)
+            out[name] = jnp.moveaxis(
+                fv_mapz.map1_ppm_ext(f, pe1, pe2, iv=-1, kord=kord),
+                -1, 1)
+    return out

@@ -172,3 +172,64 @@ def test_get_hrrr_ic_staggered_winds_and_w():
     np.testing.assert_allclose(np.asarray(st["v"]), -4.0, rtol=1e-12)
     np.testing.assert_allclose(np.asarray(st["w"]), 0.3, rtol=1e-12)
     np.testing.assert_allclose(np.asarray(st["pt"]), 260.0, rtol=1e-12)
+
+
+def test_ps_nudging_mass_and_bias():
+    """ps_nudging (fv_nudge.F90:833): mass goes into the sigma layers
+    (dbk-weighted), increments cap at 10 hPa, and the bias correction
+    removes the global-mean without reversing local signs."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gfdl_atmos_cubed_sphere_tpu.physics import nudging as ng
+    from gfdl_atmos_cubed_sphere_tpu.grid.fv_eta import set_eta
+    K = 12
+    ks, ptop, ak, bk = set_eta(K)
+    rng = np.random.default_rng(0)
+    shp = (6, K, 4, 4)
+    dbk = np.diff(np.asarray(bk)).reshape(1, K, 1, 1)
+    delp = jnp.asarray(dbk * 1.0e5 + 0 * rng.uniform(size=shp))
+    ps0 = float(ak[0]) + np.asarray(jnp.sum(delp, axis=1))[0, 0, 0]
+    # target: +3 hPa everywhere, with one +50 hPa outlier (capped)
+    tgt = jnp.full((6, 4, 4), ps0 + 300.0)
+    tgt = tgt.at[0, 0, 0].set(ps0 + 5000.0)
+    area = jnp.ones((6, 4, 4))
+    delp2, dps = ng.ps_nudging(600.0, ak, bk, tgt, delp, area=area,
+                               tau=600.0, do_bias=False)
+    ps2 = float(ak[0]) + jnp.sum(delp2, axis=1)
+    # full relaxation in one tau: ps moves by the (capped) increment
+    np.testing.assert_allclose(np.asarray(ps2)[1], ps0 + 300.0, rtol=1e-6)
+    assert abs(float(ps2[0, 0, 0]) - (ps0 + 1000.0)) < 1.0   # 10 hPa cap
+    # mass entered only where bk varies: top (pure-pressure) layers exact
+    pure = np.asarray(np.diff(np.asarray(bk))) == 0.0
+    if pure.any():
+        np.testing.assert_allclose(np.asarray(delp2)[:, pure],
+                                   np.asarray(delp)[:, pure])
+    # bias correction drives the area mean toward zero, keeps signs
+    inc = jnp.asarray(rng.normal(2.0, 1.0, (6, 4, 4)))   # biased +2
+    out = ng.ps_bias_correction(inc, area)
+    assert abs(float(jnp.sum(out) / out.size)) < abs(
+        float(jnp.sum(inc) / inc.size))
+    assert not bool(((inc > 0) & (out < 0)).any())
+
+
+def test_obs_schedule_and_remap():
+    import numpy as np
+    import jax.numpy as jnp
+    from gfdl_atmos_cubed_sphere_tpu.physics import nudging as ng
+    from gfdl_atmos_cubed_sphere_tpu.grid.fv_eta import set_eta
+    KS, K = 12, 10
+    a0 = {"t": np.full((6, KS, 3, 3), 250.0)}
+    a1 = {"t": np.full((6, KS, 3, 3), 260.0)}
+    sch = ng.ObsSchedule([0.0, 3600.0], [a0, a1])
+    mid = sch.target_at(1800.0)
+    np.testing.assert_allclose(np.asarray(mid["t"]), 255.0)
+    # remap a linear-in-logp profile onto model levels: stays bounded
+    ks, ptop, ak, bk = set_eta(K)
+    aks = np.linspace(50.0, 0.0, KS + 1)
+    bks = np.linspace(0.0, 1.0, KS + 1)
+    ps = np.full((6, 3, 3), 1.0e5)
+    out = ng.remap_analysis_to_model(mid, aks, bks, ps, ak, bk,
+                                     fields=("t",), winds=())
+    t2 = np.asarray(out["t"])
+    assert t2.shape == (6, K, 3, 3)
+    assert 249.0 < t2.min() and t2.max() < 256.0

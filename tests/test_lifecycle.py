@@ -136,6 +136,29 @@ def test_shield_driver_split_api():
     nx, nz = atm.atmosphere_resolution()
     assert (nx, nz) == (12, 10)
 
+    # round-4 query surface (atmosphere.F90:706-1922)
+    cd = atm.atmosphere_control_data()
+    assert cd["kt"] == 10 and cd["ntiles"] == 6
+    lon, lat = atm.atmosphere_grid_bdry()
+    assert lon.shape == (6, 13, 13)
+    ak, bk = atm.atmosphere_etalvls()
+    akf, bkf = atm.atmosphere_etalvls(flip=True)
+    assert ak[0] == akf[-1]
+    hgt = atm.atmosphere_hgt()
+    assert hgt.shape == (6, 10, 12, 12)
+    assert float(hgt[:, 0].min()) > float(hgt[:, -1].max())  # top above sfc
+    padded = atm.atmosphere_scalar_field_halo(atm.state["pt"])
+    assert padded.shape[-1] == 12 + 6
+    dm, out = atm.atmosphere_nggps_diag()
+    assert len(dm._fields) >= 40
+    qd = atm.atmos_phys_qdt_diag({"sphum": atm.state["pt"] * 0},
+                                 {"sphum": atm.state["pt"] * 0 + 1.0},
+                                 100.0)
+    assert abs(float(qd["sphum"].mean()) - 0.01) < 1e-12
+    assert atm.atmosphere_coarsening_strategy() == "area"
+    dom = atm.atmosphere_domain()
+    assert dom["ntiles"] == 6 and not dom["bounded_domain"]
+
 
 def test_native_fvio_restart_roundtrip(tmp_path):
     """C++ async-writer restart container (.fvio) roundtrips with

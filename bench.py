@@ -1,10 +1,11 @@
-"""Benchmarks (BASELINE.md north stars). Prints ONE JSON line per run.
+"""Benchmarks (BASELINE.md north stars). Prints ONE JSON line per config.
 
-Default (driver invocation, no args): the HEADLINE config — C192L79
-nonhydrostatic moist baroclinic wave with GFDL-MP tracers, Smagorinsky
-divergence damping (dddmp=0.2), dissipative heating (d_con=1), k_split=2
-— a realistic SHiELD-style forecast configuration, NOT the flattering
-hydro/no-damping setup (round-3 VERDICT weak #4).
+Default (driver invocation, no args): BOTH standing configs — c192_hydro
+first, then the HEADLINE c192_nh LAST (the driver parses the final line).
+c192_nh is C192L79 nonhydrostatic moist baroclinic wave with GFDL-MP
+tracers, Smagorinsky divergence damping (dddmp=0.2), dissipative heating
+(d_con=1), k_split=2 — a realistic SHiELD-style forecast configuration,
+NOT the flattering hydro/no-damping setup (round-3 VERDICT weak #4).
 
   python bench.py [--config c192_nh|c192_hydro|c384l91_nh|sw_c768]
                   [--steps N]
@@ -155,9 +156,17 @@ def run_sw(name, spec, nsteps):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", default="c192_nh", choices=sorted(CONFIGS))
+    ap.add_argument("--config", default="default",
+                    choices=sorted(CONFIGS) + ["default"])
     ap.add_argument("--steps", type=int, default=5)
     args = ap.parse_args()
+    if args.config == "default":
+        # Emit BOTH standing configs each driver run so cross-round trends
+        # survive metric renames (round-4 VERDICT weak #4). The headline
+        # NH line prints LAST (the driver parses the final JSON line).
+        run_3d("c192_hydro", CONFIGS["c192_hydro"], args.steps)
+        run_3d("c192_nh", CONFIGS["c192_nh"], args.steps)
+        return
     spec = CONFIGS[args.config]
     if spec["mode"] == "sw":
         run_sw(args.config, spec, args.steps)

@@ -142,8 +142,17 @@ class ShieldAtmosphere(_SoloAtmosphere):
 
     def atmosphere_scalar_field_halo(self, data, halo=3):
         """Cube halo exchange of a physics-side scalar
-        (atmosphere_scalar_field_halo:902)."""
-        return self.g.halo.pad_cell(data)
+        (atmosphere_scalar_field_halo:902). The exchange is performed at
+        the full ng-cell width; a narrower request is sliced down so the
+        returned shape always matches the requested halo."""
+        ng = self.g.geom.ng
+        if halo > ng:
+            raise ValueError(f"halo={halo} exceeds exchange width ng={ng}")
+        padded = self.g.halo.pad_cell(data)
+        if halo == ng:
+            return padded
+        cut = ng - halo
+        return padded[..., cut:-cut, cut:-cut]
 
     def atmosphere_diss_est(self):
         """Dissipation estimate for SKEB (atmosphere_diss_est:975):

@@ -10,6 +10,7 @@ Fields are [6, npz, y, x]; level-interface fields [6, npz+1, y, x]. The
 reference's OpenMP k-loops are the batched level dimension here.
 """
 
+import math
 from dataclasses import dataclass, field
 from types import SimpleNamespace
 
@@ -72,6 +73,9 @@ class DynConfig:
     m_split: int = 0
     scale_m: float = 0.0
     d2bg_zq: float = 0.0
+    # NH pressure gradient on log-p instead of p**kappa interfaces
+    # (fv_arrays.F90 use_logp; dyn_core.F90 pk3 <- peln branch)
+    use_logp: bool = False
     hydrostatic: bool = True
     adiabatic: bool = True
     # inline saturation adjustment each acoustic iteration
@@ -791,7 +795,9 @@ def dyn_core_nh(delp, pt, u, v, w, delz, phis, g, cfg: DynConfig, akap, ptop,
     wsl = slice(f(1), f(npx) + 1)
     dt = dt_acoustic
     dt2 = 0.5 * dt
-    ptk = ptop ** akap
+    # top-interface value of the pk3 field the NH p-grad differentiates:
+    # log(ptop) under use_logp, else ptop**kappa (dyn_core.F90 peln1/ptk)
+    ptk = math.log(ptop) if cfg.use_logp else ptop ** akap
     phis_p = g.phis_p
     phis2 = phis_p[:, 0] if phis_p.ndim == 4 else phis_p
     zs_p = phis2 / con.GRAV                       # [6, Y, X] surface height
@@ -891,6 +897,7 @@ def dyn_core_nh(delp, pt, u, v, w, delz, phis, g, cfg: DynConfig, akap, ptop,
             (delp, pt, w), names=("delp", "pt", "w"))
         rs = nh_core.riem_solver3(dt, delp_p2, pt_p2, w_p2, zh_p2, zs_p,
                                   ws_full, akap, ptop, cfg.p_fac,
+                                  use_logp=cfg.use_logp,
                                   a_imp=cfg.a_imp, scale_m=cfg.scale_m,
                                   d2bg_zq=cfg.d2bg_zq, ms=ms)
         w = rs.w[..., ctr, ctr]

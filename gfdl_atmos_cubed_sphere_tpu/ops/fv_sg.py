@@ -348,3 +348,162 @@ def fv_sg_adjust(dt, fv_sg_adj, delp, pe, peln, pkz, ta, q, ua, va,
     u_dt = rdt * (ua_new - ua)
     v_dt = rdt * (va_new - va)
     return ta_new, q_new, ua_new, va_new, w_new, u_dt, v_dt
+
+
+def fv_sg_adjust_am5(dt, tau, delp, pe, peln, pkz, ta, q, ua, va,
+                     hydrostatic=True, w=None, delz=None, m=3, k_bot=None):
+    """AM5 dry-convective 2-dz adjustment (fv_sg_AM5, fv_sg.F90:507).
+
+    Differences from the SHiELD variant (fv_sg_adjust / fv_sg.F90:76):
+      * ri_ref ramp anchored at 500 hPa over a 250 hPa range
+        (fv_sg.F90:742) with NO near-top ri_ref boosts and no
+        t2_max/t2_min guards on the Richardson number;
+      * hydrostatic temperature retrieval is the exact running-gzh
+        inversion tv = (hd - gzh - ke)/(rk - pe/pm); gzh += tv*dlnp;
+        T = tv/(Rd + (Rv-Rd) qv)  (fv_sg.F90:800-812);
+      * the nonhydrostatic total-energy exchange transports the
+        STATIC-energy difference (h0 = mc*(hd(k)-hd(k-1)) applied to te,
+        fv_sg.F90:786-789) and refreshes hd after each retrieval;
+      * optional k_bot limits mixing to the levels above it (returns
+        unchanged when k_bot < 3, fv_sg.F90:557-562).
+
+    Same calling convention as fv_sg_adjust; `tau` is the relaxation
+    timescale (the reference's integer `tau`). The sat_adj tail is
+    compiled out in the reference (sat_adj=.false., fv_sg.F90:545) and
+    omitted here."""
+    names = ("sphum", "liq_wat", "rainwat", "ice_wat", "snowwat", "graupel")
+    z = jnp.zeros_like(ta)
+    K = ta.shape[1]
+    kbot = K if k_bot is None else int(k_bot)
+    if kbot < 3:
+        return ta, q, ua, va, w, jnp.zeros_like(ua), jnp.zeros_like(va)
+    rdt = 1.0 / dt
+    fra = dt / float(tau)
+    xvir = ZVIR
+    rz = con.RVGAS - con.RDGAS
+    rk = con.CP_AIR / con.RDGAS + 1.0
+
+    q0 = {k: v for k, v in q.items()}
+    t0 = ta
+    u0, v0 = ua, va
+    w0 = w if w is not None else z
+    pm = delp / (peln[:, 1:] - peln[:, :-1])
+
+    def cp_cv(q0):
+        qvv = q0.get("sphum", z)
+        q_liq = q0.get("liq_wat", z) + q0.get("rainwat", z)
+        q_sol = (q0.get("ice_wat", z) + q0.get("snowwat", z)
+                 + q0.get("graupel", z))
+        cpm = ((1.0 - (qvv + q_liq + q_sol)) * con.CP_AIR
+               + qvv * con.CP_VAPOR + q_liq * con.C_LIQ + q_sol * con.C_ICE)
+        cvm = ((1.0 - (qvv + q_liq + q_sol)) * CV_AIR
+               + qvv * con.CV_VAP + q_liq * con.C_LIQ + q_sol * con.C_ICE)
+        return cpm, cvm
+
+    def qcon_of(q0):
+        return (q0.get("liq_wat", z) + q0.get("ice_wat", z)
+                + q0.get("snowwat", z) + q0.get("rainwat", z)
+                + q0.get("graupel", z))
+
+    # initial gz/hd (and te for NH) columns — identical to the SHiELD
+    # setup sweep (fv_sg.F90:616-677)
+    tvm = t0 * (1.0 + xvir * q0.get("sphum", z))
+    if hydrostatic:
+        tvr = con.RDGAS * tvm
+        dgz = tvr * (peln[:, 1:] - peln[:, :-1])
+        gzh0 = jnp.concatenate(
+            [jnp.cumsum(dgz[:, ::-1], 1)[:, ::-1][:, 1:],
+             jnp.zeros_like(dgz[:, :1])], axis=1)
+        gz = gzh0 + tvr * (1.0 - pe[:, :-1] / pm)
+        hd = con.CP_AIR * tvm + gz + 0.5 * (u0 ** 2 + v0 ** 2)
+        te = None
+    else:
+        cpm, cvm = cp_cv(q0)
+        dgz2 = -con.GRAV * delz
+        gzh0 = jnp.concatenate(
+            [jnp.cumsum(dgz2[:, ::-1], 1)[:, ::-1][:, 1:],
+             jnp.zeros_like(dgz2[:, :1])], axis=1)
+        gz = gzh0 - 0.5 * con.GRAV * delz
+        ke = 0.5 * (u0 ** 2 + v0 ** 2 + w0 ** 2)
+        hd = cpm * t0 + gz + ke
+        te = cvm * t0 + gz + ke
+
+    qv_key = "sphum"
+    for n in range(m):
+        ratio = (0.25, 0.5, 0.999)[n] if m == 3 else (n + 1.0) / m
+        qcon = qcon_of(q0)
+        gzh = jnp.zeros_like(t0[:, 0])
+        for k in range(kbot - 1, 0, -1):
+            km1 = k - 1
+            sl1 = (slice(None), km1)
+            sl2 = (slice(None), k)
+            qv0 = q0.get(qv_key, z)
+            tv1 = t0[sl1] * (1.0 + xvir * qv0[sl1] - qcon[sl1])
+            tv2 = t0[sl2] * (1.0 + xvir * qv0[sl2] - qcon[sl2])
+            pt1 = tv1 / pkz[sl1]
+            pt2 = tv2 / pkz[sl2]
+            ri = ((gz[sl1] - gz[sl2]) * (pt1 - pt2)
+                  / (0.5 * (pt1 + pt2)
+                     * ((u0[sl1] - u0[sl2]) ** 2
+                        + (v0[sl1] - v0[sl2]) ** 2 + USTAR2)))
+            # AM5 ramp: 500 hPa anchor / 250 hPa range, no boosts
+            ri_ref = jnp.minimum(
+                RI_MAX, RI_MIN + (RI_MAX - RI_MIN)
+                * jnp.maximum(0.0, 500.0e2 - pm[sl2]) / 250.0e2)
+            mix = ri < ri_ref
+            mc = jnp.where(
+                mix,
+                ratio * delp[sl1] * delp[sl2] / (delp[sl1] + delp[sl2])
+                * (1.0 - jnp.maximum(0.0, ri / ri_ref)) ** 2, 0.0)
+
+            def swap(a):
+                h0 = mc * (a[sl2] - a[sl1])
+                a = a.at[sl1].add(h0 / delp[sl1])
+                a = a.at[sl2].add(-h0 / delp[sl2])
+                return a
+
+            for nm_ in list(q0.keys()):
+                q0[nm_] = swap(q0[nm_])
+            qcon = qcon_of(q0)
+            u0 = swap(u0)
+            v0 = swap(v0)
+            if hydrostatic:
+                hd = swap(hd)
+                qv0 = q0.get(qv_key, z)
+                # exact inversion, lower layer first (fv_sg.F90:800-812):
+                # tv = Rd*Tvm from hd; gzh accumulates upward
+                tv_k = ((hd[sl2] - gzh
+                         - 0.5 * (u0[sl2] ** 2 + v0[sl2] ** 2))
+                        / (rk - pe[:, k] / pm[sl2]))
+                gzh = gzh + tv_k * (peln[:, k + 1] - peln[:, k])
+                t0 = t0.at[sl2].set(tv_k / (con.RDGAS + rz * qv0[sl2]))
+                t0 = t0.at[sl1].set(
+                    (hd[sl1] - gzh
+                     - 0.5 * (u0[sl1] ** 2 + v0[sl1] ** 2))
+                    / ((rk - pe[:, km1] / pm[sl1])
+                       * (con.RDGAS + rz * qv0[sl1])))
+            else:
+                # transport the static-energy difference into te
+                # (fv_sg.F90:786-789), then w; retrieve T at constant
+                # volume and refresh hd
+                h0 = mc * (hd[sl2] - hd[sl1])
+                te = te.at[sl1].add(h0 / delp[sl1])
+                te = te.at[sl2].add(-h0 / delp[sl2])
+                w0 = swap(w0)
+                cpm, cvm = cp_cv(q0)
+                for sl in (sl1, sl2):
+                    kin = gz[sl] + 0.5 * (u0[sl] ** 2 + v0[sl] ** 2
+                                          + w0[sl] ** 2)
+                    t_new = (te[sl] - kin) / cvm[sl]
+                    t0 = t0.at[sl].set(t_new)
+                    hd = hd.at[sl].set(cpm[sl] * t_new + kin)
+
+    # fra relaxation toward the adjusted state (fv_sg.F90:866-893)
+    ta_new = ta + (t0 - ta) * fra
+    ua_new = ua + (u0 - ua) * fra
+    va_new = va + (v0 - va) * fra
+    q_new = {k: q[k] + (q0[k] - q[k]) * fra for k in q}
+    w_new = None if w is None else w + (w0 - w) * fra
+    u_dt = rdt * (ua_new - ua)
+    v_dt = rdt * (va_new - va)
+    return ta_new, q_new, ua_new, va_new, w_new, u_dt, v_dt

@@ -390,23 +390,30 @@ def implicit_fall(q, vt, dz, dp, dts):
 
 def explicit_fall(q, vt, dz, dp, dts):
     """Sub-stepped explicit upstream sedimentation (explicit_fall:5311,
-    sedflag=2). The CFL-limited substep count nstep = 1 + max(dts*vt/dz)
-    is a traced scalar driving a lax.while_loop (dynamic trip count is
-    fine on TPU; the body is a pure vectorized shift)."""
+    sedflag=2). The CFL-limited substep count is PER COLUMN, as the
+    reference computes it — nstep(i,j) = 1 + max_k(dts*vt/dz) — so the
+    result is column-local and identical under any shard_map layout (a
+    single global nstep would make sharded runs differ from
+    single-device ones whenever shards see different CFL maxima). The
+    lax.while_loop runs to the max nstep over the (local) batch;
+    columns that finished earlier are masked to no-ops, so the extra
+    trips do not change their values."""
     q0 = q * dp
     dd_full = dts * vt
-    nstep = (1 + jnp.max(dd_full / dz)).astype(jnp.int32)
-    dd = dd_full / nstep.astype(q.dtype)
+    nstep_col = (1 + jnp.max(dd_full / dz, axis=1,
+                             keepdims=True)).astype(jnp.int32)
+    dd = dd_full / nstep_col.astype(q.dtype)
     frac = dd / dz
 
     def body(carry):
         n, qq = carry
-        flux = qq * frac
+        active = (n < nstep_col).astype(q.dtype)
+        flux = qq * frac * active
         influx = jnp.concatenate(
             [jnp.zeros_like(flux[:, :1]), flux[:, :-1]], axis=1)
         return n + 1, qq - flux + influx
 
-    _, qm = jax.lax.while_loop(lambda c: c[0] < nstep, body,
+    _, qm = jax.lax.while_loop(lambda c: c[0] < jnp.max(nstep_col), body,
                                (jnp.int32(0), q0))
     m1 = jnp.cumsum(q0 - qm, axis=1)
     precip = m1[:, -1]
@@ -523,10 +530,12 @@ def sedimentation(t, qv, ql, qr, qi, qs, qg, dp, dz, den, denfac, dts,
     and sedimentation heating."""
     precip = {}
     fall = implicit_fall if cfg.sedflag != 2 else explicit_fall
+    if cfg.do_sedi_w and w is not None:
+        # moist air mass from the PRE-sedimentation state, once for all
+        # species (terminal_fall computes dm before any fall updates q)
+        dm = dp * (1.0 + qv + ql + qr + qi + qs + qg)
     for name, qx in (("qi", qi), ("qs", qs), ("qg", qg), ("qr", qr)):
         vt = terminal_velocity(name, qx, den, denfac, cfg)
-        if cfg.do_sedi_w and w is not None:
-            dm = dp * (1.0 + qv + ql + qr + qi + qs + qg)
         qx_new, p, m1 = fall(qx, vt, dz, dp, dts)
         if name == "qr":
             qr = qx_new
@@ -898,6 +907,7 @@ def gfdl_mp_driver(pt, delp, delz, q, dt, ptop, cfg: MPConfig = MPConfig(),
         te_beg, tw_beg = mte_column(t, qv, ql, qr, qi, qs, qg, delp,
                                     u=ua, v=va, w=w)
     w_in = w
+    ua_in, va_in = ua, va
 
     dts = dt / cfg.ntimes
     rain = snow = icep = graup = 0.0
@@ -919,10 +929,17 @@ def gfdl_mp_driver(pt, delp, delz, q, dt, ptop, cfg: MPConfig = MPConfig(),
             t, qv, ql, qr, qi, qs, qg, p_lay, dts, cfg)
 
     # kinetic energy lost by sedimentation momentum transport goes to heat
-    # (mpdrv:1559-1566: tz += 0.5*(wa^2 - w^2)/c8)
+    # (mpdrv:1550-1566: both the sedi_uv term 0.5*(ua^2+va^2 - u^2-v^2)/c8
+    # and the sedi_w term 0.5*(wa^2 - w^2)/c8)
+    ke_heat = None
     if w is not None and w_in is not None and cfg.do_sedi_w:
+        ke_heat = 0.5 * (w_in * w_in - w * w)
+    if cfg.do_sedi_uv and ua is not None and ua_in is not None:
+        duv = 0.5 * (ua_in * ua_in + va_in * va_in - ua * ua - va * va)
+        ke_heat = duv if ke_heat is None else ke_heat + duv
+    if ke_heat is not None:
         cvm, _, _ = _heat_capacities(qv, ql, qr, qi, qs, qg, t)
-        t = t + 0.5 * (w_in * w_in - w * w) / cvm
+        t = t + ke_heat / cvm
 
     out = dict(q)
     for k, v in zip(names, (qv, ql, qr, qi, qs, qg)):

@@ -63,7 +63,6 @@ _UNSUPPORTED = {
     "make_hybrid_z": "hybrid-z vertical coordinate",
     "make_nh": "restart hydro->NH conversion (use io.restart remap tools)",
     "reset_eta": "eta re-initialization on restart",
-    "use_logp": "log-p vertical coordinate variant",
     "non_ortho": "non-orthogonal grid corrections are always on",
     "smag2d": "2-D Smagorinsky damping variant",
     "no_dycore": "physics-only mode",
@@ -161,11 +160,16 @@ def mp_config_from_namelist(nml):
     return MPConfig(**kwargs), unknown
 
 
-def load_input_nml(path, **required):
-    """Read an input.nml file -> (DynConfig, MPConfig, unknown-options)."""
+def load_input_nml(path, strict=True, **required):
+    """Read an input.nml file -> (DynConfig, MPConfig, unknown-options).
+
+    This is the driver-layer entry: with strict=True (the default) any
+    fv_core_nml option whose behavior is not implemented (_UNSUPPORTED,
+    e.g. hybrid_z/make_nh/no_dycore) raises an explicit error rather
+    than being silently dropped."""
     with open(path) as f:
         nml = parse_namelist(f.read())
-    dyn, unk1 = dyn_config_from_namelist(nml, **required)
+    dyn, unk1 = dyn_config_from_namelist(nml, strict=strict, **required)
     mpc, unk2 = mp_config_from_namelist(nml)
     return dyn, mpc, {"fv_core_nml": unk1, "gfdl_mp_nml": unk2}
 

@@ -99,3 +99,71 @@ def test_fv_sg_adjust_mixes_unstable_column():
     t3, q3, u3, v3, _, _, _ = fv_sg_adjust(
         600.0, 600, delp, pe, peln, pkz, ta_s, q, ua, va, hydrostatic=True)
     np.testing.assert_allclose(np.asarray(t3), np.asarray(ta_s), atol=1e-8)
+
+
+def test_fv_sg_am5_variant():
+    """fv_sg_AM5 (fv_sg.F90:507) vs the SHiELD variant on the same
+    unstable column: both flatten the instability; the AM5 ri_ref ramp
+    (500/250 hPa, no top boosts) and exact running-gzh retrieval make the
+    result close but not identical; energy is conserved to the fra
+    relaxation; k_bot<3 is a no-op."""
+    import jax.numpy as jnp
+    import numpy as np
+    from gfdl_atmos_cubed_sphere_tpu.ops.fv_sg import (
+        fv_sg_adjust, fv_sg_adjust_am5)
+    from gfdl_atmos_cubed_sphere_tpu import constants as con
+    K, n = 10, 4
+    shp = (6, K, n, n)
+    ptop = 100.0
+    delp = jnp.full(shp, 1.0e5 / K)
+    pe = ptop + jnp.cumsum(delp, axis=1)
+    pe = jnp.concatenate([jnp.full_like(pe[:, :1], ptop), pe], axis=1)
+    peln = jnp.log(pe)
+    pm = delp / (peln[:, 1:] - peln[:, :-1])
+    pkz = (pm / 1.0e5) ** con.KAPPA
+    theta = jnp.linspace(280.0, 320.0, K).reshape(1, K, 1, 1)
+    ta = jnp.broadcast_to(theta * pkz, shp)
+    q = {"sphum": jnp.full(shp, 1e-3)}
+    ua = jnp.full(shp, 5.0)
+    va = jnp.zeros(shp)
+
+    t5, q5, u5, v5, _, udt5, vdt5 = fv_sg_adjust_am5(
+        600.0, 600, delp, pe, peln, pkz, ta, q, ua, va, hydrostatic=True)
+    th5 = t5 / pkz
+    d0 = float((theta[:, 1:] - theta[:, :-1]).mean())
+    d5 = float((th5[:, 1:] - th5[:, :-1]).mean())
+    assert d5 < d0 - 1.0 and abs(d5) < d0, (d0, d5)
+    # moisture conserved
+    np.testing.assert_allclose(float(jnp.sum(q5["sphum"] * delp)),
+                               float(jnp.sum(q["sphum"] * delp)), rtol=1e-9)
+    # momentum conserved (mass-weighted)
+    np.testing.assert_allclose(float(jnp.sum(u5 * delp)),
+                               float(jnp.sum(ua * delp)), rtol=1e-9)
+
+    # the two variants are selectable and genuinely different
+    tS, *_ = fv_sg_adjust(
+        600.0, 600, delp, pe, peln, pkz, ta, q, ua, va, hydrostatic=True)
+    dd = float(jnp.abs(tS - t5).max())
+    assert dd > 1e-8, "AM5 and SHiELD variants produced identical output"
+    assert dd < 5.0, dd
+
+    # k_bot < 3 -> untouched (fv_sg.F90:557-562)
+    t0b, q0b, u0b, *_ = fv_sg_adjust_am5(
+        600.0, 600, delp, pe, peln, pkz, ta, q, ua, va,
+        hydrostatic=True, k_bot=2)
+    assert t0b is ta and u0b is ua
+
+    # nonhydrostatic branch: unstable column with w mixes stably
+    delz = -con.RDGAS * ta * (peln[:, 1:] - peln[:, :-1]) / con.GRAV
+    w = jnp.zeros(shp)
+    t6, q6, u6, v6, w6, _, _ = fv_sg_adjust_am5(
+        600.0, 600, delp, pe, peln, pkz, ta, q, ua, va,
+        hydrostatic=False, w=w, delz=delz)
+    assert not bool(jnp.isnan(t6).any())
+    th6 = t6 / pkz
+    d6 = float((th6[:, 1:] - th6[:, :-1]).mean())
+    # the AM5 NH exchange transports STATIC energy (hd difference into
+    # te, fv_sg.F90:786-789), which homogenizes toward the adiabatic
+    # lapse rather than flattening theta outright — expect a clear but
+    # moderate reduction of the instability measure
+    assert d6 < d0 - 0.2, (d0, d6)

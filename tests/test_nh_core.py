@@ -273,3 +273,36 @@ def test_rim_2d_c_core_and_dispatch():
                              float(pem[0, 0, 0, 0]), 0.05, a_imp=0.4, ms=2)
     for a in (r.w, r.delz, r.ppe, r.pk3):
         assert not bool(jnp.isnan(a).any())
+
+
+def test_use_logp_variant(nh_setup):
+    """use_logp=True (fv_arrays.F90 use_logp; dyn_core.F90 pk3 <- peln
+    branch): the NH pressure gradient differentiates log-p interfaces
+    instead of p**kappa. The two variants must both be stable and agree
+    closely on a smooth baroclinic state (same continuous equations,
+    different discretization) while being genuinely different paths."""
+    g, ic, ptop, ak, bk, dp0 = nh_setup
+    akj = jnp.asarray(ak, jnp.float64)
+    bkj = jnp.asarray(bk, jnp.float64)
+    st = tuple(jnp.asarray(ic[k], jnp.float64)
+               for k in ("delp", "pt", "u", "v", "w", "delz"))
+
+    outs = {}
+    for use_logp in (False, True):
+        cfg = DynConfig(npx=NPX, npz=NPZ, dt=600.0, n_split=2,
+                        hydrostatic=False, use_logp=use_logp)
+
+        def step(delp, pt, u, v, w, delz):
+            r = fv_dynamics_nh(delp, pt, u, v, w, delz, None, g, cfg,
+                               akj, bkj, ptop, dp0)
+            return r.delp, r.pt, r.u, r.v, r.w, r.delz
+
+        out = jax.jit(step)(*st)
+        for a in out:
+            assert not bool(jnp.isnan(a).any())
+        outs[use_logp] = out
+
+    du = float(jnp.abs(outs[True][2] - outs[False][2]).max())
+    u_scale = float(jnp.abs(outs[False][2]).max())
+    assert du > 0.0, "use_logp had no effect on the NH p-grad"
+    assert du < 0.05 * u_scale, (du, u_scale)

@@ -320,3 +320,59 @@ def wind_shear(ua, va, z_mid, dz, z_top=6.0e3):
         interp_to_height(va, z_mid, (z_top,))
     return jnp.sqrt((hi[0][:, 0] - lo[0][:, 0]) ** 2
                     + (hi[1][:, 0] - lo[1][:, 0]) ** 2)
+
+
+def interp_to_theta(field, theta, targets):
+    """Interpolate a layer field onto isentropic (constant potential
+    temperature) surfaces — the pv350K/pv550K support
+    (fv_diagnostics.F90 interpolate_z-family on theta). theta generally
+    decreases with the k index (k=0 is the model top), so the vertical
+    coordinate is x = -theta, monotone increasing like pressure.
+    Returns [6, L, n, n], NaN where the surface is outside the column."""
+    x = -theta
+    K = field.shape[1]
+    xt = [-float(t) for t in targets]
+
+    def interp_one(xtv):
+        cnt = jnp.sum((x < xtv).astype(field.dtype), axis=1)
+        l = jnp.clip(cnt - 1.0, 0.0, float(K - 2))
+        onehot = (l[:, None] == jnp.arange(K, dtype=field.dtype)
+                  .reshape(1, K, 1, 1)).astype(field.dtype)
+        onehot1 = (l[:, None] + 1.0 == jnp.arange(K, dtype=field.dtype)
+                   .reshape(1, K, 1, 1)).astype(field.dtype)
+        x0 = jnp.sum(onehot * x, axis=1)
+        x1 = jnp.sum(onehot1 * x, axis=1)
+        f0 = jnp.sum(onehot * field, axis=1)
+        f1 = jnp.sum(onehot1 * field, axis=1)
+        w = jnp.clip((xtv - x0) / jnp.where(x1 == x0, 1.0, x1 - x0),
+                     0.0, 1.0)
+        val = f0 + w * (f1 - f0)
+        inside = (xtv >= jnp.min(x, axis=1)) & (xtv <= jnp.max(x, axis=1))
+        return jnp.where(inside, val, jnp.nan)
+
+    return jnp.stack([interp_one(t) for t in xt], axis=1)
+
+
+def box_max(field2d, size=7):
+    """Windowed maximum over a size x size box per tile (the wind_max 7x7
+    search of fv_diagnostics.F90:1977 used by the hurricane categories).
+    field2d [6, n, n]; same-shape output."""
+    import jax
+    return jax.lax.reduce_window(
+        field2d, -jnp.inf, jax.lax.max, (1, size, size), (1, 1, 1),
+        "SAME")
+
+
+def bulk_richardson(cape, ua, va, z_mid, dz):
+    """Bulk Richardson Number (fv_diagnostics id_brn): CAPE over half the
+    squared 0-6 km density-weighted shear (0-500 m mean removed)."""
+    def layer_mean(f, zlo, zhi):
+        wgt = jnp.clip((jnp.minimum(z_mid, zhi)
+                        - jnp.maximum(z_mid - dz, zlo)), 0.0, None)
+        return jnp.sum(f * wgt, axis=1) / jnp.maximum(
+            jnp.sum(wgt, axis=1), 1.0)
+
+    u6 = layer_mean(ua, 0.0, 6.0e3) - layer_mean(ua, 0.0, 500.0)
+    v6 = layer_mean(va, 0.0, 6.0e3) - layer_mean(va, 0.0, 500.0)
+    denom = 0.5 * (u6 ** 2 + v6 ** 2)
+    return cape / jnp.maximum(denom, 10.0)

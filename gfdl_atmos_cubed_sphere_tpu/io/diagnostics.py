@@ -10,6 +10,131 @@ in-memory store or a NetCDF3 history file (scipy backend).
 import numpy as np
 import jax.numpy as jnp
 
+# The reference's 31 GFS standard pressure levels for the plev/levs suites
+# (fv_diagnostics.F90:361), in hPa, top -> bottom.
+STD_PLEVS = [1, 2, 3, 5, 7, 10, 20, 30, 50, 70, 100, 150, 200, 250, 300,
+             350, 400, 450, 500, 550, 600, 650, 700, 750, 800, 850, 900,
+             925, 950, 975, 1000]
+
+# name -> (long_name, units) metadata mirroring register_diag_field calls
+# in fv_diagnostics.F90 (subset; unlisted names register with blanks).
+FIELD_CATALOG = {
+    "ucomp": ("zonal wind", "m/sec"),
+    "vcomp": ("meridional wind", "m/sec"),
+    "temp": ("temperature", "K"),
+    "delp": ("pressure thickness", "pa"),
+    "delz": ("height thickness", "m"),
+    "w": ("vertical wind", "m/sec"),
+    "ps": ("surface pressure", "pa"),
+    "slp": ("sea-level pressure", "mb"),
+    "tm": ("mean 300-500 mb temp", "K"),
+    "vort": ("vorticity", "1/s"),
+    "pv": ("potential vorticity", "1/s"),
+    "pv350K": ("350-K potential vorticity; needs x350 scaling",
+               "(K m**2) / (kg s)"),
+    "pv550K": ("550-K potential vorticity; needs x550 scaling",
+               "(K m**2) / (kg s)"),
+    "theta": ("potential temperature", "K"),
+    "theta_e": ("equivalent potential temperature", "K"),
+    "omega": ("omega", "Pa/s"),
+    "divg": ("instantaneous divergence", "1/s"),
+    "hght": ("height", "m"),
+    "rh": ("relative humidity", "%"),
+    "zsurf": ("surface height", "m"),
+    "te": ("Total Energy", "J/m/s^2"),
+    "ke": ("Total KE", "m^2/s^2"),
+    "ws": ("wind speed", "m/s"),
+    "reflectivity": ("Stoelinga simulated reflectivity", "dBz"),
+    "max_reflectivity":
+        ("Stoelinga simulated maximum (composite) reflectivity", "dBz"),
+    "base_reflectivity":
+        ("Stoelinga simulated base (1 km AGL) reflectivity", "dBz"),
+    "4km_reflectivity": ("Stoelinga simulated base reflectivity", "dBz"),
+    "echo_top": ("Echo top ( <= 18.5 dBz )", "m"),
+    "m10C_reflectivity": ("Reflectivity at -10C level", "m"),
+    "40dBz_height": ("Height of 40 dBz reflectivity", "m"),
+    "cape": ("Convective available potential energy (surface-based)",
+             "J/kg"),
+    "cin": ("Convective inhibition (surface-based)", "J/kg"),
+    "BRN": ("Bulk Richardson Number", "nondim"),
+    "shear06": ("0--6 km shear", "m/s"),
+    "srh01": ("0-1 km Storm Relative Helicity", "m/s**2"),
+    "srh03": ("0-3 km Storm Relative Helicity", "m/s**2"),
+    "srh25": ("2-5 km Storm Relative Helicity", "m/s**2"),
+    "ustm": ("u Component of Storm Motion", "m/s"),
+    "vstm": ("v Component of Storm Motion", "m/s"),
+    "uh03": ("0-3 km Updraft Helicity", "m/s**2"),
+    "uh25": ("2-5 km Updraft Helicity", "m/s**2"),
+    "intqv": ("Vertically Integrated Water Vapor", "kg/m**2"),
+    "intql": ("Vertically Integrated Cloud Water", "kg/m**2"),
+    "intqi": ("Vertically Integrated Cloud Ice", "kg/m**2"),
+    "intqr": ("Vertically Integrated Rain", "kg/m**2"),
+    "intqs": ("Vertically Integrated Snow", "kg/m**2"),
+    "intqg": ("Vertically Integrated Graupel", "kg/m**2"),
+    "tq": ("Total water path", "kg/m**2"),
+    "lw": ("Liquid water path", "kg/m**2"),
+    "iw": ("Ice water path", "kg/m**2"),
+    "tb": ("lowest layer temperature", "K"),
+    "ctt": ("cloud_top temperature", "K"),
+    "ctp": ("cloud_top pressure", "hPa"),
+    "ctz": ("cloud_top height", "m"),
+    "cat15": ("de-pression < 1000", "mb"),
+    "cat25": ("de-pression < 980", "mb"),
+    "cat35": ("de-pression < 964", "mb"),
+    "cat45": ("de-pression < 944", "mb"),
+    "f15": ("Cat15 frequency", "none"),
+    "f25": ("Cat25 frequency", "none"),
+    "f35": ("Cat35 frequency", "none"),
+    "f45": ("Cat45 frequency", "none"),
+    "uq": ("zonal moisture flux", "Kg/Kg*m/sec"),
+    "vq": ("meridional moisture flux", "Kg/Kg*m/sec"),
+    "ut": ("zonal heat flux", "K*m/sec"),
+    "vt": ("meridional heat flux", "K*m/sec"),
+    "uu": ("zonal flux of zonal wind", "(m/sec)^2"),
+    "uv": ("zonal flux of meridional wind", "(m/sec)^2"),
+    "vv": ("meridional flux of meridional wind", "(m/sec)^2"),
+    "uw": ("vertical zonal momentum flux", "N/m**2"),
+    "vw": ("vertical meridional momentum flux", "N/m**2"),
+    "wq": ("vertical moisture flux", "Kg/Kg*m/sec"),
+    "wt": ("vertical heat flux", "K*m/sec"),
+    "ww": ("vertical flux of vertical wind", "(m/sec)^2"),
+    "u_plev": ("zonal wind", "m/sec"),
+    "v_plev": ("meridional wind", "m/sec"),
+    "t_plev": ("temperature", "K"),
+    "h_plev": ("height", "m"),
+    "q_plev": ("specific humidity", "kg/kg"),
+    "omg_plev": ("omega", "Pa/s"),
+    "w_plev": ("vertical wind", "m/sec"),
+    "vort_plev": ("vorticity", "1/s"),
+    "rh_plev": ("relative humidity", "%"),
+    "aam": ("angular momentum", "kg*m^2/s"),
+    "pmask": ("masking pressure at lowest level", "mb"),
+    "pmaskv2": ("masking pressure at lowest level", "mb"),
+    "qn": ("cloud condensate", "kg/m/s^2"),
+    "qp": ("precip condensate", "kg/m/s^2"),
+    "pfhy": ("hydrostatic pressure", "pa"),
+    "pfnh": ("non-hydrostatic pressure", "pa"),
+    "ppnh": ("non-hydrostatic pressure perturbation", "pa"),
+    "s200": ("200-mb wind_speed", "m/s"),
+    "sl12": ("12th L wind_speed", "m/s"),
+    "sl13": ("13th L wind_speed", "m/s"),
+    "qn200": ("200mb condensate", "kg/m/s^2"),
+    "qn500": ("500mb condensate", "kg/m/s^2"),
+    "qn850": ("850mb condensate", "kg/m/s^2"),
+    "rain5km": ("5-km AGL liquid water", "kg/kg"),
+    "w5km": ("5-km AGL w-wind", "m/s"),
+    "w2500m": ("2.5-km AGL w-wind", "m/s"),
+    "w1km": ("1-km AGL w-wind", "m/s"),
+    "wmaxup": ("column-maximum updraft (below 100 mb)", "m/s"),
+    "wmaxdn": ("column-maximum downdraft (below 100 mb)", "m/s"),
+    "x850": ("850-mb vertical comp. of helicity", "m/s**2"),
+    "u100m": ("100-m AGL u-wind", "m/s"),
+    "v100m": ("100-m AGL v-wind", "m/s"),
+    "wind100m": ("100-m AGL windspeed", "m/s"),
+    "us": ("surface u-wind", "m/sec"),
+    "vs": ("surface v-wind", "m/sec"),
+}
+
 
 # ---- state audits ---------------------------------------------------------
 
@@ -101,6 +226,56 @@ def nan_check(tree):
 
 # ---- diag registry --------------------------------------------------------
 
+def parse_diag_table(text):
+    """Parse an FMS `diag_table` (the runtime field-selection file the
+    reference reads through diag_manager_mod; format documented in FMS
+    diag_table.html): a title line, a base-date line, then file lines
+      "file_name", output_freq, "freq_units", file_format, "time_units",
+      "time_long_name"
+    and field lines
+      "module_name", "field_name", "output_name", "file_name",
+      "time_sampling", "reduction_method", "regional_section", packing
+
+    Returns dict(title, base_date, files={name: dict(freq, freq_units)},
+    fields=[dict(module, field, output_name, file, reduction)], and
+    selected = {field_name, ...} — the set fv_diag uses to restrict which
+    diagnostics are computed/registered)."""
+    import re
+
+    title = None
+    base_date = None
+    files = {}
+    fields = []
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        if not line.startswith('"'):
+            toks = line.split()
+            if (base_date is None and len(toks) >= 6
+                    and all(t.lstrip("-").isdigit() for t in toks[:6])):
+                base_date = tuple(int(t) for t in toks[:6])
+            elif title is None:
+                title = line
+            continue
+        parts = [p.strip().strip('"')
+                 for p in re.findall(r'"[^"]*"|[^,]+', line)]
+        parts = [p for p in parts if p]
+        if len(parts) < 4:
+            continue
+        if parts[1].lstrip("-").isdigit():        # file line
+            files[parts[0]] = dict(freq=int(parts[1]),
+                                   freq_units=parts[2].strip())
+        else:                                     # field line
+            fields.append(dict(
+                module=parts[0], field=parts[1], output_name=parts[2],
+                file=parts[3],
+                reduction=parts[5] if len(parts) > 5 else ".false."))
+    return dict(title=title, base_date=base_date, files=files,
+                fields=fields,
+                selected={f["field"] for f in fields})
+
+
 class DiagManager:
     """register_diag_field/send_data analog: named fields accumulated per
     step, flushed to a NetCDF3 history file or kept in memory.
@@ -108,15 +283,25 @@ class DiagManager:
     Time-interval averaging (diag_manager_mod's time_avg output semantics,
     diag_data freq handling): register with avg_interval=N to average every
     N sends into one output record instead of storing each send. Static
-    (time-invariant) fields register with static=True and store once."""
+    (time-invariant) fields register with static=True and store once.
 
-    def __init__(self):
+    `selection` (a set of field names, e.g. parse_diag_table(...)
+    ["selected"]) restricts the manager to the listed fields: register()
+    of any other name is a no-op returning None and send() to it returns
+    False — the runtime field-selection semantics of the reference's
+    diag_table (register_diag_field returns id -1 for unlisted fields
+    and every send is guarded on id > 0)."""
+
+    def __init__(self, selection=None):
         self._fields = {}
         self._store = {}
         self._acc = {}
+        self.selection = set(selection) if selection is not None else None
 
     def register(self, name, long_name="", units="", avg_interval=0,
                  static=False):
+        if self.selection is not None and name not in self.selection:
+            return None
         self._fields[name] = dict(long_name=long_name, units=units,
                                   avg=int(avg_interval), static=static)
         self._store[name] = []
@@ -265,7 +450,7 @@ class ColumnDiag:
 
 
 def fv_diag(dm, state, q, g, ak, bk, ptop, plevs=(850.0e2, 500.0e2, 200.0e2),
-            hydrostatic=True, prefix=""):
+            hydrostatic=True, prefix="", plev_suite=True):
     """Standard diagnostic sweep (fv_diagnostics.F90 fv_diag:1590): computes
     the core registered-field set from the prognostic state and sends each
     to the DiagManager `dm` (registering on first use).
@@ -286,7 +471,8 @@ def fv_diag(dm, state, q, g, ak, bk, ptop, plevs=(850.0e2, 500.0e2, 200.0e2),
                           equivalent_potential_temperature,
                           relative_humidity, divergence, interp_to_height,
                           bunkers_motion, storm_relative_helicity,
-                          wind_shear, echo_top)
+                          wind_shear, echo_top, interp_to_theta, box_max,
+                          bulk_richardson)
     from ..model.fv_update_phys import cubed_to_latlon
 
     delp, pt, u, v = (state[k] for k in ("delp", "pt", "u", "v"))
@@ -421,11 +607,155 @@ def fv_diag(dm, state, q, g, ak, bk, ptop, plevs=(850.0e2, 500.0e2, 200.0e2),
         out["cin"] = cin
         # total water path (kg/m^2)
         out["tq"] = jnp.sum(delp * sph, axis=1) / con.GRAV
+        out["BRN"] = bulk_richardson(cape, ua, va, zm, dzw)
+
+    # ---- standard-pressure-level suites (id_u_plev + id_u_levs family,
+    # fv_diagnostics.F90:985-1030, 574-600; 31 GFS standard levels) ------
+    if plev_suite:
+        pl = jnp.asarray([p * 100.0 for p in STD_PLEVS], pt.dtype)
+
+        def on_plevs(f):
+            return interp_to_pressure_levels(f, delp, ptop, pl)
+
+        suites = {"u": ua, "v": va, "t": pt, "theta": out["theta"],
+                  "vort": vort, "dp": delp,
+                  "h": out["hght"]}
+        if sph is not None:
+            suites["q"] = sph
+            suites["rh"] = out["rh"]
+            suites["theta_e"] = out["theta_e"]
+        if "omga" in out:
+            suites["omg"] = out["omga"]
+        elif w is not None and dz is not None:
+            # omega ~ -rho g w = -(delp/dz) w when the core did not carry
+            # omga through (pressure-velocity estimate, Pa/s)
+            suites["omg"] = -delp / jnp.maximum(dz, 1.0e-3) * w
+        if w is not None:
+            suites["w"] = w
+        for qk, short in (("liq_wat", "ql"), ("ice_wat", "qi"),
+                          ("rainwat", "qr"), ("snowwat", "qs"),
+                          ("graupel", "qg"), ("cld_amt", "cf")):
+            if q and qk in q:
+                suites[short] = q[qk]
+        named_levels = (100, 200, 250, 300, 500, 700, 850, 925)
+        for nm, f in suites.items():
+            fp = on_plevs(f)
+            out[f"{nm}_plev"] = fp
+            # per-level named 2-D fields (id_*_levs: u850, z500, ...)
+            for p in named_levels:
+                k = STD_PLEVS.index(p)
+                key = f"z{p}" if nm == "h" else f"{nm}{p}"
+                out[key] = fp[:, k]
+        # CMIP relative humidity singles (id_rh*_cmip)
+        if sph is not None:
+            for p in (10, 50, 100, 250, 300, 500, 700, 850, 925, 1000):
+                k = STD_PLEVS.index(p) if p in STD_PLEVS else None
+                if k is not None:
+                    out[f"rh{p}_cmip"] = out["rh_plev"][:, k]
+
+    # ---- 3-D flux products + vertical integrals (id_uq..id_iww,
+    # fv_diagnostics.F90:1166-1256) --------------------------------------
+    flux_pairs = [("uu", ua * ua), ("uv", ua * va), ("vv", va * va),
+                  ("ut", ua * pt), ("vt", va * pt)]
+    if sph is not None:
+        flux_pairs += [("uq", ua * sph), ("vq", va * sph)]
+    if w is not None:
+        flux_pairs += [("uw", ua * w), ("vw", va * w), ("ww", w * w),
+                       ("wt", w * pt)]
+        if sph is not None:
+            flux_pairs.append(("wq", w * sph))
+    for nm, f in flux_pairs:
+        out[nm] = f
+        out[f"{nm}_vi"] = jnp.sum(f * delp, axis=1)
+
+    # ---- isentropic PV (id_pv350K/id_pv550K; "needs x350/x550 scaling")
+    pv_theta = interp_to_theta(out["pv"], out["theta"], (350.0, 550.0))
+    out["pv350K"] = pv_theta[:, 0]
+    out["pv550K"] = pv_theta[:, 1]
+
+    # ---- misc 2-D/3-D singles matching the reference registry ----------
+    out["tb"] = pt[:, -1]                       # lowest layer temperature
+    out["pmask"] = p_lay[:, -1] / 100.0         # bottom-layer pressure, mb
+    out["pmaskv2"] = pe[:, -1] / 100.0
+    out["omega"] = out.get("omga", jnp.zeros_like(pt))
+    out["delp_total"] = delp
+    out["x850"] = out.get("vort850", vort[:, -1])
+    K = pt.shape[1]
+    if K > 13:
+        out["sl12"] = out["ws"][:, 11]          # 12th-level wind speed
+        out["sl13"] = out["ws"][:, 12]
+    if q:
+        out["qp"] = (q.get("rainwat", 0.0) + q.get("snowwat", 0.0)
+                     + q.get("graupel", 0.0)) * jnp.ones_like(pt)
+        for p in (200, 500, 850):
+            if plev_suite:
+                out[f"qn{p}"] = interp_to_pressure_levels(
+                    out["qn"], delp, ptop, jnp.asarray([p * 100.0]))[:, 0]
+        if "liq_wat" in q:
+            out["rain5km"] = interp_to_height(
+                q.get("rainwat", q["liq_wat"]), zm, (5.0e3,))[:, 0]
+    out["srh25"] = storm_relative_helicity(ua, va, zm, dzw, ustm, vstm,
+                                           2.0e3, 5.0e3)
+    if "reflectivity" in out:
+        # reflectivity on the -10 C level + height of the 40 dBz surface
+        t_m10 = jnp.sum(
+            jnp.where(jnp.cumsum((pt > 263.15).astype(pt.dtype),
+                                 axis=1) == 1.0, out["reflectivity"], 0.0),
+            axis=1)
+        out["m10C_reflectivity"] = t_m10
+        dbz40 = jnp.where(out["reflectivity"] >= 40.0, zm, -1.0)
+        out["40dBz_height"] = jnp.max(dbz40, axis=1)
+
+    # ---- hydrostatic/NH pressures (id_pfhy/id_pfnh/id_ppnh) ------------
+    if not hydrostatic and delz is not None:
+        rrg = con.RDGAS / con.GRAV
+        tvx = pt if sph is None else pt * (1.0 + con.ZVIR * sph)
+        out["pfnh"] = -rrg * delp / delz * tvx
+        out["pfhy"] = p_lay
+        out["ppnh"] = out["pfnh"] - p_lay
+    else:
+        out["pfhy"] = p_lay
+
+    # ---- angular momentum + mountain torque (id_aam/id_amdt/id_mq) -----
+    try:
+        from ..model.thermodynamics import compute_aam
+        aam, m_fac, _ = compute_aam(state["u"], state["v"], delp, g, ptop)
+        out["aam"] = aam
+    except Exception:
+        pass
+
+    # ---- hurricane category diagnostics (id_c15..id_f45,
+    # fv_diagnostics.F90:1627-1630, 1977-2030, 2423-2530):
+    # cat15: SLP<1000 mb within a storm mask = 7x7 surface wind max > 16
+    # m/s, |lat|<45, terrain < 500 m, bottom/850-mb vorticity cyclonic,
+    # warm core (tm >= 254 K, bottom T >= 281 K); cat25/35/45 additionally
+    # need wind max > 20 m/s and SLP < 980/964/944. ----------------------
+    lat = jnp.asarray(g.geom.interior("aglat"))
+    ws_bot = out["ws"][:, -1]
+    ws_max = box_max(ws_bot, 7)
+    cyc = jnp.where(lat > 0.0, vort[:, -1] > 2.2e-5, vort[:, -1] < -2.2e-5)
+    if "vort850" in out:
+        v850 = jnp.nan_to_num(out["vort850"])
+        cyc = cyc & jnp.where(lat > 0.0, v850 > 2.2e-5, v850 < -2.2e-5)
+    storm = ((jnp.abs(lat) < jnp.deg2rad(45.0))
+             & (phis2 / con.GRAV < 500.0) & (ws_max > 16.0) & cyc
+             & (out["tm"] >= 254.0) & (pt[:, -1] >= 281.0))
+    slp_mb = out["slp"] / 100.0
+    cat_crt = storm & (ws_max > 20.0)
+    for tag, crit, thresh in (("15", storm, 1000.0),
+                              ("25", cat_crt, 980.0),
+                              ("35", cat_crt, 964.0),
+                              ("45", cat_crt, 944.0)):
+        hit = crit & (slp_mb < thresh)
+        out[f"cat{tag}"] = jnp.where(hit, thresh - slp_mb, 0.0)
+        out[f"f{tag}"] = hit.astype(pt.dtype)
+
+    out["zsurf_t"] = out["zsurf"]
 
     for name, arr in out.items():
         full = prefix + name
         if full not in dm._fields:
-            dm.register(full)
+            dm.register(full, *FIELD_CATALOG.get(name, ("", "")))
         dm.send(full, arr)
     return out
 

@@ -149,6 +149,35 @@ class MPConfig:
     rhor: float = 1.0e3
     rhos: float = 1.0e2
     rhog: float = 4.0e2
+    # ---- fast-physics (mp_fast) process options, gfdl_mp.F90 namelist
+    # defaults at the cited lines --------------------------------------
+    use_mp_fast: bool = True   # fast_sat_adj dispatches to the mp_fast
+                               # process chain (:1995) vs the condensed
+                               # sat_adjust
+    fast_fr_mlt: bool = True   # freezing/melting in fast MP (:332)
+    fast_dep_sub: bool = True  # deposition/sublimation in fast MP (:333)
+    delay_cond_evap: bool = False  # cond/evap only on last step (:328)
+    nconds: int = 1            # condensation subcycles (:191)
+    do_evap_timescale: bool = True   # (:306)
+    do_cond_timescale: bool = False  # (:307)
+    rh_fac_evap: float = 10.0  # (:436)
+    rh_fac_cond: float = 10.0  # (:437)
+    use_rhc_cevap: bool = False  # (:289)
+    rhc_cevap: float = 0.85    # (:461)
+    do_wbf: bool = False       # Wegener-Bergeron-Findeisen (:315)
+    tau_imlt: float = 1200.0   # cloud ice melting timescale (:394)
+    tau_wbf: float = 300.0     # WBF timescale (:397)
+    tau_r2g: float = 900.0     # rain freezing to graupel (:388)
+    tau_l2r: float = 900.0     # cloud water -> rain autoconv (:390)
+    ql_mlt: float = 2.0e-3     # max cloud water from melted ice (:411)
+    qi0_max: float = 1.0e-4    # max cloud ice before autoconv (:415)
+    qi_lim: float = 1.0        # ice generation limiter (:409)
+    is_fac: float = 0.2        # ice sublimation temperature factor (:432)
+    ss_fac: float = 0.2        # snow sublimation factor (:433)
+    gs_fac: float = 0.2        # graupel sublimation factor (:434)
+    inflag: int = 1            # ice nucleation scheme (:209)
+    igflag: int = 3            # ice generation scheme (:216)
+    tice_mlt: float = 273.16   # ice melting temperature (:380)
 
     @property
     def t_wfr(self):
@@ -334,6 +363,9 @@ def _update_qt(st, dqv, dql, dqr, dqi, dqs, dqg):
     st["lcpk"] = (LV0 + DC_VAP * t) / cvm
     st["icpk"] = (LI0 + DC_ICE * t) / cvm
     st["tcpk"] = (LI2 + (DC_VAP + DC_ICE) * t) / cvm
+    if "t_wfr" in st:       # refresh tcp3 too (update_qt:6987)
+        st["tcp3"] = st["lcpk"] + st["icpk"] * jnp.minimum(
+            1.0, jnp.maximum(TICE - t, 0.0) / (TICE - st["t_wfr"]))
     return st
 
 
@@ -868,6 +900,33 @@ def cloud_fraction(qv, ql, qi, qs, p_lay, t, rh_inc=0.25):
                      0.0)
 
 
+def mp_full(t, qv, ql, qr, qi, qs, qg, delp, dz, den, denfac, dts, p_lay,
+            cfg: MPConfig, ccn=None, ua=None, va=None, w=None):
+    """Full microphysics loop (mp_full, gfdl_mp.F90:1892): per subcycle
+    sedimentation -> warm rain -> ice cloud -> temperature-sensitive
+    saturation processes (the subgrid_z_proc role), ntimes times.
+    Returns (t, qv..qg, ua, va, w, rain, ice, snow, graupel)."""
+    rain = snow = icep = graup = 0.0
+    for _ in range(cfg.ntimes):
+        t, qr, qi, qs, qg, pcp, ua_n, va_n, w = sedimentation(
+            t, qv, ql, qr, qi, qs, qg, delp, dz, den, denfac, dts, cfg,
+            u=ua, v=va, w=w)
+        if ua_n is not None:
+            ua, va = ua_n, va_n
+        rain = rain + pcp["qr"]
+        icep = icep + pcp["qi"]
+        snow = snow + pcp["qs"]
+        graup = graup + pcp["qg"]
+        t, qv, ql, qr = warm_rain(t, qv, ql, qr, qi, qs, qg, p_lay, den,
+                                  denfac, dts, cfg, ccn=ccn)
+        t, qv, ql, qr, qi, qs, qg = ice_cloud(
+            t, qv, ql, qr, qi, qs, qg, p_lay, den, denfac, dts, cfg)
+        t, qv, ql, qr, qi, qs, qg = sat_adjust(
+            t, qv, ql, qr, qi, qs, qg, p_lay, dts, cfg)
+    return (t, qv, ql, qr, qi, qs, qg, ua, va, w,
+            rain, icep, snow, graup)
+
+
 def gfdl_mp_driver(pt, delp, delz, q, dt, ptop, cfg: MPConfig = MPConfig(),
                    hydrostatic=False, w=None, ua=None, va=None, hs=None):
     """One physics step of microphysics (gfdl_mp_driver:607 / mpdrv:1167).
@@ -910,23 +969,10 @@ def gfdl_mp_driver(pt, delp, delz, q, dt, ptop, cfg: MPConfig = MPConfig(),
     ua_in, va_in = ua, va
 
     dts = dt / cfg.ntimes
-    rain = snow = icep = graup = 0.0
-    for _ in range(cfg.ntimes):
-        t, qr, qi, qs, qg, pcp, ua_n, va_n, w = sedimentation(
-            t, qv, ql, qr, qi, qs, qg, delp, dz, den, denfac, dts, cfg,
-            u=ua, v=va, w=w)
-        if ua_n is not None:
-            ua, va = ua_n, va_n
-        rain = rain + pcp["qr"]
-        icep = icep + pcp["qi"]
-        snow = snow + pcp["qs"]
-        graup = graup + pcp["qg"]
-        t, qv, ql, qr = warm_rain(t, qv, ql, qr, qi, qs, qg, p_lay, den,
-                                  denfac, dts, cfg, ccn=ccn)
-        t, qv, ql, qr, qi, qs, qg = ice_cloud(
-            t, qv, ql, qr, qi, qs, qg, p_lay, den, denfac, dts, cfg)
-        t, qv, ql, qr, qi, qs, qg = sat_adjust(
-            t, qv, ql, qr, qi, qs, qg, p_lay, dts, cfg)
+    (t, qv, ql, qr, qi, qs, qg, ua, va, w,
+     rain, icep, snow, graup) = mp_full(
+        t, qv, ql, qr, qi, qs, qg, delp, dz, den, denfac, dts, p_lay,
+        cfg, ccn=ccn, ua=ua, va=va, w=w)
 
     # kinetic energy lost by sedimentation momentum transport goes to heat
     # (mpdrv:1550-1566: both the sedi_uv term 0.5*(ua^2+va^2 - u^2-v^2)/c8
@@ -963,9 +1009,11 @@ def gfdl_mp_driver(pt, delp, delz, q, dt, ptop, cfg: MPConfig = MPConfig(),
 
 
 def fast_sat_adj(pt, delp, delz, q, dt, ptop, cfg: MPConfig = MPConfig(),
-                 hydrostatic=False):
-    """Inline fast saturation adjustment (fast_sat_adj:5726): melt/freeze +
-    vapor<->liquid<->ice only — the dyn_core 'fast physics' hook."""
+                 hydrostatic=False, last_step=True):
+    """Inline fast physics (the dyn_core 'fast physics' hook,
+    fast_phys.F90:58): with cfg.use_mp_fast (default), runs the full
+    mp_fast process chain (gfdl_mp.F90:1995); otherwise the condensed
+    melt/freeze + vapor<->liquid<->ice sat_adjust."""
     names = ("sphum", "liq_wat", "rainwat", "ice_wat", "snowwat", "graupel")
     z = jnp.zeros_like(pt)
     qv, ql, qr, qi, qs, qg = (q.get(k, z) for k in names)
@@ -973,10 +1021,312 @@ def fast_sat_adj(pt, delp, delz, q, dt, ptop, cfg: MPConfig = MPConfig(),
     pe = jnp.concatenate([jnp.full_like(pe[:, :1], ptop), pe], axis=1)
     peln = jnp.log(pe)
     p_lay = delp / (peln[:, 1:] - peln[:, :-1])
-    t, qv, ql, qr, qi, qs, qg = sat_adjust(pt, qv, ql, qr, qi, qs, qg,
-                                           p_lay, dt, cfg)
+    if cfg.use_mp_fast:
+        if hydrostatic or delz is None:
+            tv = pt * (1.0 + con.ZVIR * qv)
+            dz = con.RDGAS * tv / con.GRAV * (peln[:, 1:] - peln[:, :-1])
+        else:
+            dz = -delz
+        den = delp / (con.GRAV * dz)
+        denfac = jnp.sqrt(RHO0 / jnp.maximum(den, 1e-10))
+        t, qv, ql, qr, qi, qs, qg = mp_fast(
+            pt, qv, ql, qr, qi, qs, qg, dt, delp, den, denfac, cfg,
+            last_step=last_step)
+    else:
+        t, qv, ql, qr, qi, qs, qg = sat_adjust(pt, qv, ql, qr, qi, qs, qg,
+                                               p_lay, dt, cfg)
     out = dict(q)
     for k, v in zip(names, (qv, ql, qr, qi, qs, qg)):
         if k in q:
             out[k] = v
     return t, out
+
+
+# ---------------------------------------------------------------------------
+# Fast-physics process set: the mp_fast chain (gfdl_mp.F90 mp_fast:1995)
+# run inside the acoustic loop from the fast_phys hook. Each process is a
+# direct vectorized transcription of its Fortran subroutine operating on a
+# state dict st = {t, qv, ql, qr, qi, qs, qg, te8, cvm, lcpk, icpk, tcpk,
+# tcp3, t_wfr} with masked sinks and the conserved-energy update_qt
+# bookkeeping (_update_qt). Thermodynamic constants follow this module's
+# consistent constant-pressure family (LV0/DC_VAP) — see _cal_mhc_lhc.
+# ---------------------------------------------------------------------------
+
+DT_FR = 8.0       # t_wfr - dt_fr = min temp liquid water exists (:181)
+TCOND = 2.40e-2   # thermal conductivity of air at 0 C (:151)
+VDIFU = 2.25e-5   # vapor diffusivity at 0 C (:150)
+
+
+def _st_init(t, qv, ql, qr, qi, qs, qg, t_wfr):
+    cvm, te8, lcpk, icpk, tcpk, tcp3 = _cal_mhc_lhc(
+        t, qv, ql, qr, qi, qs, qg, t_wfr)
+    return dict(t=t, qv=qv, ql=ql, qr=qr, qi=qi, qs=qs, qg=qg, te8=te8,
+                cvm=cvm, lcpk=lcpk, icpk=icpk, tcpk=tcpk, tcp3=tcp3,
+                t_wfr=t_wfr)
+
+
+def pimlt(st, dts, cfg: MPConfig):
+    """Cloud ice melting -> cloud water + rain (pimlt:3244)."""
+    fac = 1.0 - math.exp(-dts / cfg.tau_imlt)
+    tc = st["t"] - cfg.tice_mlt
+    act = (tc > 0.0) & (st["qi"] > QCMIN)
+    sink = jnp.minimum(st["qi"], fac * tc / st["icpk"])
+    sink = jnp.where(act, sink, 0.0)
+    tmp = jnp.minimum(sink, jnp.maximum(cfg.ql_mlt - st["ql"], 0.0))
+    return _update_qt(st, 0.0, tmp, sink - tmp, -sink, 0.0, 0.0)
+
+
+def pcomp(st, cfg: MPConfig):
+    """Complete freezing of cloud water below t_wfr (pcomp:4273)."""
+    tc = st["t_wfr"] - st["t"]
+    act = (tc > 0.0) & (st["ql"] > QCMIN)
+    sink = jnp.minimum(jnp.minimum(st["ql"], st["ql"] * tc / DT_FR),
+                       tc / st["icpk"])
+    sink = jnp.where(act, sink, 0.0)
+    return _update_qt(st, 0.0, -sink, 0.0, sink, 0.0, 0.0)
+
+
+def pcond_pevap(st, dts, den, cfg: MPConfig):
+    """Cloud water condensation / evaporation (pcond_pevap:4198)."""
+    fac_l2v = 1.0 - math.exp(-dts / cfg.tau_l2v)
+    fac_v2l = 1.0 - math.exp(-dts / cfg.tau_v2l)
+    qsw, dqdt = wqs_den(st["t"], den)
+    qpz = st["qv"] + st["ql"] + st["qi"]
+    rh_tem = qpz / qsw
+    dq = qsw - st["qv"]
+    denom = 1.0 + st["tcp3"] * dqdt
+    # evaporation branch (dq > 0): ql -> qv
+    if cfg.do_evap_timescale:
+        factor_e = jnp.minimum(1.0, fac_l2v * (cfg.rh_fac_evap * dq / qsw))
+    else:
+        factor_e = 1.0
+    sink_e = jnp.minimum(st["ql"], factor_e * dq / denom)
+    if cfg.use_rhc_cevap:
+        sink_e = jnp.where(rh_tem >= cfg.rhc_cevap, 0.0, sink_e)
+    # condensation branch (dq <= 0): qv -> ql
+    if cfg.do_cond_timescale:
+        factor_c = jnp.minimum(1.0, fac_v2l
+                               * (cfg.rh_fac_cond * (-dq) / qsw))
+    else:
+        factor_c = 1.0
+    sink_c = -jnp.minimum(st["qv"], factor_c * (-dq) / denom)
+    sink = jnp.where(dq > 0.0, sink_e, sink_c)
+    return _update_qt(st, sink, -sink, 0.0, 0.0, 0.0, 0.0)
+
+
+def pifr(st, den, cfg: MPConfig):
+    """Homogeneous cloud water freezing -> ice + snow (pifr:3303)."""
+    tc = st["t_wfr"] - st["t"]
+    act = (tc > 0.0) & (st["ql"] > QCMIN)
+    sink = jnp.minimum(jnp.minimum(st["ql"], st["ql"] * tc / DT_FR),
+                       tc / st["icpk"])
+    sink = jnp.where(act, sink, 0.0)
+    qim = cfg.qi0_crt / den
+    tmp = jnp.minimum(sink, jnp.maximum(qim - st["qi"], 0.0))
+    return _update_qt(st, 0.0, -sink, 0.0, tmp, sink - tmp, 0.0)
+
+
+def pwbf(st, dts, den, cfg: MPConfig):
+    """Wegener-Bergeron-Findeisen process (pwbf:4329)."""
+    if not cfg.do_wbf:
+        return st
+    fac = 1.0 - math.exp(-dts / cfg.tau_wbf)
+    tc = TICE - st["t"]
+    qsw, _ = wqs_den(st["t"], den)
+    qsi, _ = iqs_den(st["t"], den)
+    act = ((tc > 0.0) & (st["ql"] > QCMIN) & (st["qi"] > QCMIN)
+           & (st["qv"] > qsi) & (st["qv"] < qsw))
+    sink = jnp.minimum(fac * st["ql"], tc / st["icpk"])
+    sink = jnp.where(act, sink, 0.0)
+    qim = cfg.qi0_crt / den
+    tmp = jnp.minimum(sink, jnp.maximum(qim - st["qi"], 0.0))
+    return _update_qt(st, 0.0, -sink, 0.0, tmp, sink - tmp, 0.0)
+
+
+def pbigg(st, dts, den, ccn, cfg: MPConfig):
+    """Bigg (1953) heterogeneous freezing of cloud water (pbigg:4395)."""
+    tc = TICE - st["t"]
+    act = (tc > 0.0) & (st["ql"] > QCMIN)
+    ccn_ = jnp.maximum(ccn, 1.0e-8)
+    sink = (100.0 / (cfg.rhow * ccn_) * dts
+            * (jnp.exp(0.66 * jnp.minimum(tc, 80.0)) - 1.0)
+            * st["ql"] ** 2)
+    sink = jnp.minimum(jnp.minimum(st["ql"], sink), tc / st["icpk"])
+    sink = jnp.where(act, sink, 0.0)
+    return _update_qt(st, 0.0, -sink, 0.0, sink, 0.0, 0.0)
+
+
+def pgfr_simp(st, dts, cfg: MPConfig):
+    """Rain freezing -> graupel, simple version (pgfr_simp:5814)."""
+    fac = 1.0 - math.exp(-dts / cfg.tau_r2g)
+    tc = st["t"] - TICE
+    act = (tc < 0.0) & (st["qr"] > QCMIN)
+    sink = (-tc * 0.025) ** 2 * st["qr"]
+    sink = jnp.minimum(jnp.minimum(st["qr"], sink),
+                       -fac * tc / st["icpk"])
+    sink = jnp.where(act, sink, 0.0)
+    return _update_qt(st, 0.0, 0.0, -sink, 0.0, 0.0, sink)
+
+
+def psmlt_simp(st, dts, cfg: MPConfig):
+    """Snow melting -> cloud water + rain, simple version
+    (psmlt_simp:5872)."""
+    fac = 1.0 - math.exp(-dts / cfg.tau_smlt)
+    tc = st["t"] - TICE
+    act = (tc >= 0.0) & (st["qs"] > QCMIN)
+    sink = (tc * 0.1) ** 2 * st["qs"]
+    sink = jnp.minimum(jnp.minimum(st["qs"], sink),
+                       fac * tc / st["icpk"])
+    sink = jnp.where(act, sink, 0.0)
+    tmp = jnp.minimum(sink, jnp.maximum(cfg.qs_mlt - st["ql"], 0.0))
+    return _update_qt(st, 0.0, tmp, sink - tmp, 0.0, -sink, 0.0)
+
+
+def praut_simp(st, dts, cfg: MPConfig):
+    """Cloud water -> rain autoconversion, simple version
+    (praut_simp:5931). Pure liquid-phase transfer (update_qq — no T
+    change since ql and qr share C_LIQ)."""
+    fac = 1.0 - math.exp(-dts / cfg.tau_l2r)
+    tc = st["t"] - st["t_wfr"]
+    act = (tc > 0.0) & (st["ql"] > cfg.ql0_max)
+    sink = jnp.where(act, fac * (st["ql"] - cfg.ql0_max), 0.0)
+    return _update_qt(st, 0.0, -sink, sink, 0.0, 0.0, 0.0)
+
+
+def _ice_nuclei(st, den, qsi, cfg: MPConfig):
+    """Ice-nuclei number per inflag (pidep_pisub:4502-4512)."""
+    qi_den = jnp.maximum(st["qi"] * den, 1.0e-20)
+    if cfg.inflag == 1:
+        return 5.38e7 * jnp.exp(0.75 * jnp.log(qi_den))
+    if cfg.inflag == 2:
+        return jnp.exp(-2.80 + 0.262 * (TICE - st["t"])) * 1000.0
+    if cfg.inflag == 3:
+        return jnp.exp(-0.639 + 12.96 * (st["qv"] / qsi - 1.0)) * 1000.0
+    if cfg.inflag == 4:
+        return 5.0e-3 * jnp.exp(0.304 * (TICE - st["t"])) * 1000.0
+    return 1.0e-5 * jnp.exp(0.5 * (TICE - st["t"])) * 1000.0
+
+
+def pidep_pisub(st, dts, den, cin, cfg: MPConfig):
+    """Cloud ice deposition / sublimation (pidep_pisub:4457)."""
+    cold = st["t"] < TICE
+    qsi, dqdt = iqs_den(st["t"], den)
+    dq = st["qv"] - qsi
+    tmp = dq / (1.0 + st["tcpk"] * dqdt)
+    cin_ = _ice_nuclei(st, den, qsi, cfg) if cin is None else cin
+    has_ice = st["qi"] > QCMIN
+    pidep = (dts * dq * 4.0 * 11.9
+             * jnp.exp(0.5 * jnp.log(
+                 jnp.maximum(st["qi"] * den * cin_, 1.0e-30)))
+             / (qsi * den * (st["tcpk"] * st["cvm"]) ** 2
+                / (TCOND * con.RVGAS * st["t"] ** 2) + 1.0 / VDIFU))
+    pidep = jnp.where(has_ice, pidep, 0.0)
+    # deposition branch (dq > 0): limited by generation + heating
+    tc = TICE - st["t"]
+    qi_gen = 4.92e-11 * jnp.exp(1.33 * jnp.log(
+        1.0e3 * jnp.exp(0.1 * jnp.maximum(tc, 0.0))))
+    if cfg.igflag == 1:
+        qi_crt = qi_gen / den
+    elif cfg.igflag == 2:
+        qi_crt = qi_gen * jnp.minimum(cfg.qi_lim, 0.1 * tc) / den
+    elif cfg.igflag == 3:
+        qi_crt = 1.82e-6 * jnp.minimum(cfg.qi_lim, 0.1 * tc) / den
+    else:
+        qi_crt = (jnp.maximum(qi_gen, 1.82e-6)
+                  * jnp.minimum(cfg.qi_lim, 0.1 * tc) / den)
+    sink_dep = jnp.minimum(jnp.minimum(
+        tmp, jnp.maximum(qi_crt - st["qi"], pidep)), tc / st["tcpk"])
+    # sublimation branch (dq <= 0)
+    pisub = pidep * jnp.minimum(
+        1.0, jnp.maximum(st["t"] - cfg.t_sub, 0.0) * cfg.is_fac)
+    sink_sub = jnp.maximum(jnp.maximum(pisub, tmp), -st["qi"])
+    sink = jnp.where(dq > 0.0, sink_dep, sink_sub)
+    sink = jnp.where(cold, sink, 0.0)
+    return _update_qt(st, -sink, 0.0, 0.0, sink, 0.0, 0.0)
+
+
+def _dep_sub_species(st, dts, den, denfac, cfg, species, c5, blin, mu,
+                     fac):
+    """Shared psdep_pssub (:4555) / pgdep_pgsub (:4624) body."""
+    qx = st[species]
+    act = qx > QCMIN
+    qsi, dqdt = iqs_den(st["t"], den)
+    qden = qx * den
+    t2 = st["t"] * st["t"]
+    dq = qsi - st["qv"]
+    pxsub = dts * psub(t2, dq, qden, qsi, c5, den, denfac, blin, mu,
+                       st["tcpk"], st["cvm"])
+    dq2 = dq / (1.0 + st["tcpk"] * dqdt)
+    # sublimation (pxsub > 0): qx -> qv, temperature-gated
+    sink_sub = jnp.minimum(
+        pxsub * jnp.minimum(1.0, jnp.maximum(st["t"] - cfg.t_sub, 0.0)
+                            * fac), qx)
+    # deposition (pxsub <= 0) only below freezing
+    sink_dep = jnp.where(
+        st["t"] <= TICE,
+        jnp.maximum(jnp.maximum(pxsub, dq2),
+                    (st["t"] - TICE) / st["tcpk"]), 0.0)
+    sink = jnp.where(pxsub > 0.0, sink_sub, sink_dep)
+    sink = jnp.where(act, sink, 0.0)
+    dqs = -sink if species == "qs" else 0.0
+    dqg = -sink if species == "qg" else 0.0
+    return _update_qt(st, sink, 0.0, 0.0, 0.0, dqs, dqg)
+
+
+def psdep_pssub(st, dts, den, denfac, cfg: MPConfig):
+    """Snow deposition / sublimation (psdep_pssub:4555)."""
+    return _dep_sub_species(st, dts, den, denfac, cfg, "qs",
+                            cfg.coeffs.cssub, cfg.blins, cfg.mus,
+                            cfg.ss_fac)
+
+
+def pgdep_pgsub(st, dts, den, denfac, cfg: MPConfig):
+    """Graupel deposition / sublimation (pgdep_pgsub:4624)."""
+    return _dep_sub_species(st, dts, den, denfac, cfg, "qg",
+                            cfg.coeffs.cgsub, cfg.bling, cfg.mug,
+                            cfg.gs_fac)
+
+
+def psaut_simp(st, dts, den, cfg: MPConfig):
+    """Cloud ice -> snow autoconversion, simple version
+    (psaut_simp:5983). Ice-phase transfer, no T change."""
+    fac = 1.0 - math.exp(-dts / cfg.tau_i2s)
+    tc = st["t"] - TICE
+    qim = cfg.qi0_max / den
+    act = (tc < 0.0) & (st["qi"] > qim)
+    sink = jnp.where(act, fac * (st["qi"] - qim), 0.0)
+    return _update_qt(st, 0.0, 0.0, 0.0, -sink, sink, 0.0)
+
+
+def mp_fast(t, qv, ql, qr, qi, qs, qg, dtm, dp, den, denfac,
+            cfg: MPConfig, ccn=None, cin=None, last_step=True):
+    """Fast microphysics loop (mp_fast, gfdl_mp.F90:1995): the simplified
+    phase-change process chain run each acoustic/remap step — melting,
+    complete freezing, condensation/evaporation, homogeneous + WBF +
+    Bigg freezing, rain freezing, snow melting, warm/ice
+    autoconversions, and the three deposition/sublimation processes.
+    Returns (t, qv, ql, qr, qi, qs, qg)."""
+    if ccn is None:
+        ccn = jnp.full_like(t, 1.0e8 / 1.2)   # ~100/cm^3 / den fallback
+    st = _st_init(t, qv, ql, qr, qi, qs, qg, cfg.t_wfr)
+    fr_mlt = (not cfg.do_warm_rain_mp) and cfg.fast_fr_mlt
+    if fr_mlt:
+        st = pimlt(st, dtm, cfg)
+        st = pcomp(st, cfg)
+    if (not cfg.delay_cond_evap) or last_step:
+        for _ in range(cfg.nconds):
+            st = pcond_pevap(st, dtm, den, cfg)
+    if fr_mlt:
+        st = pifr(st, den, cfg)
+        st = pwbf(st, dtm, den, cfg)
+        st = pbigg(st, dtm, den, ccn, cfg)
+        st = pgfr_simp(st, dtm, cfg)
+        st = psmlt_simp(st, dtm, cfg)
+    st = praut_simp(st, dtm, cfg)
+    if (not cfg.do_warm_rain_mp) and cfg.fast_dep_sub:
+        st = pidep_pisub(st, dtm, den, cin, cfg)
+        st = psaut_simp(st, dtm, den, cfg)
+        st = psdep_pssub(st, dtm, den, denfac, cfg)
+        st = pgdep_pgsub(st, dtm, den, denfac, cfg)
+    return (st["t"], st["qv"], st["ql"], st["qr"], st["qi"], st["qs"],
+            st["qg"])

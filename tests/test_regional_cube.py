@@ -97,3 +97,54 @@ def test_regional_run_from_files(tmp_path):
     tp = np.asarray(fr["t_abs"][0][:, H:-H, H:-H])
     rel = np.abs(tn - tp) / np.abs(tp)
     assert rel.max() < 0.03, rel.max()
+
+
+def test_gfs_bndy_reference_layout_roundtrip(tmp_path):
+    """Round-4 VERDICT item 8: ingest the operational chgres BC layout
+    (gfs_bndy.tile7.NNN.nc: {root}_{bottom,top,left,right} strips with
+    nhalo_data=4 and earth-relative u_s/v_s/u_w/v_w wall winds,
+    fv_regional_bc.F90 regional_bc_data:1574 / read_regional_bc_file
+    :3095). A synthesized reference-layout file read back must reproduce
+    the rim strips of the original frames: exactly for cell roots (f32
+    storage), and exactly-by-construction for the D winds (the reader's
+    es1/ew2 projection inverts the writer's basis reconstruction)."""
+    from gfdl_atmos_cubed_sphere_tpu.io.regional_bc import (
+        write_gfs_bndy_file, read_gfs_bndy_file)
+    npx, npz, nb = 25, 8, 4
+    g = build_grid_ops(npx, dtype=jnp.float64)
+    nest = CubeNest(g, tile=2, refinement=1, ioffset=5, joffset=5,
+                    n_nest=12, dtype=jnp.float64)
+    geom = nest.g.geom
+    n = geom.n
+    NY = NX = n + 2 * H
+    rng = np.random.default_rng(42)
+    frames = {
+        "delp": rng.uniform(100.0, 900.0, (1, npz, NY, NX)),
+        "pt": rng.uniform(230.0, 300.0, (1, npz, NY, NX)),
+        "w": rng.standard_normal((1, npz, NY, NX)),
+        "delz": -rng.uniform(50.0, 500.0, (1, npz, NY, NX)),
+        "sphum": rng.uniform(0.0, 1e-2, (1, npz, NY, NX)),
+        "ps": rng.uniform(9e4, 1.02e5, (1, 1, NY, NX)),
+        "u": rng.standard_normal((1, npz, NY + 1, NX)) * 10.0,
+        "v": rng.standard_normal((1, npz, NY, NX + 1)) * 10.0,
+    }
+    path = str(tmp_path / "gfs_bndy.tile7.003.nc")
+    write_gfs_bndy_file(path, geom, frames, bc_hour=3, nrows_blend=nb)
+
+    bc_hour, strips = read_gfs_bndy_file(path, geom, npz, nrows_blend=nb)
+    assert bc_hour == 3
+    W = H + nb
+    # cell roots: rim strips match to f32 storage precision
+    for name in ("delp", "pt", "w", "delz", "sphum"):
+        want = frame_to_strips(frames[name], W)
+        for side in ("south", "north", "west", "east"):
+            np.testing.assert_allclose(
+                strips[name][side], want[side], rtol=2e-7, atol=1e-7,
+                err_msg=f"{name}/{side}")
+    # D-grid winds recovered through the earth-relative rotation
+    for name in ("u", "v"):
+        want = frame_to_strips(frames[name], W)
+        for side in ("south", "north", "west", "east"):
+            np.testing.assert_allclose(
+                strips[name][side], want[side], rtol=5e-6, atol=5e-6,
+                err_msg=f"{name}/{side}")

@@ -124,3 +124,80 @@ def test_coarse_diag_mirror():
     s = dm.series("crs_ps")
     assert s.shape == (1, 4, 4)
     assert np.isclose(s[0, 0, 0], f[:2, :2].mean())
+
+
+def _diag_setup(npz=20):
+    import jax.numpy as jnp
+    from gfdl_atmos_cubed_sphere_tpu.model.grid_ops import build_grid_ops
+    from gfdl_atmos_cubed_sphere_tpu.model.sw_dynamics import prepare_phis
+    from gfdl_atmos_cubed_sphere_tpu.grid.fv_eta import set_eta
+    from gfdl_atmos_cubed_sphere_tpu.init.baroclinic import jw_baroclinic
+    g = build_grid_ops(13, dtype=jnp.float64)
+    ks, ptop, ak, bk = set_eta(npz)
+    ic = jw_baroclinic(g.geom, npz, ak, bk, ptop, moist=True)
+    prepare_phis(g, ic["phis"])
+    st = {k: jnp.asarray(ic[k])
+          for k in ("delp", "pt", "u", "v", "w", "delz", "phis")}
+    q = {"sphum": jnp.asarray(ic["sphum"])}
+    for nm in ("liq_wat", "rainwat", "ice_wat", "snowwat", "graupel"):
+        q[nm] = jnp.full(q["sphum"].shape, 1e-6)
+    return g, st, q, ak, bk, ptop
+
+
+def test_fv_diag_registry_breadth():
+    """Round-4 VERDICT item 5: the fv_diag sweep registers >= 150 fields
+    (reference registry: 266 register_diag_field outputs,
+    fv_diagnostics.F90:154+), including the plev suites, flux products,
+    isentropic PV, hurricane categories, and CMIP rh singles."""
+    import jax.numpy as jnp
+    from gfdl_atmos_cubed_sphere_tpu.io.diagnostics import (
+        DiagManager, fv_diag)
+    g, st, q, ak, bk, ptop = _diag_setup()
+    dm = DiagManager()
+    out = fv_diag(dm, st, q, g, ak, bk, ptop, hydrostatic=False)
+    assert len(dm._fields) >= 150, len(dm._fields)
+    for name in ("u_plev", "h_plev", "omg_plev", "rh_plev", "z500",
+                 "u850", "t200", "uq", "vt_vi", "ww", "pv350K", "pv550K",
+                 "cat15", "f45", "BRN", "srh25", "pfnh", "ppnh", "tb",
+                 "pmask", "rh500_cmip", "aam", "x850"):
+        assert name in dm._fields, name
+    # plev suite has the full standard-level axis
+    from gfdl_atmos_cubed_sphere_tpu.io.diagnostics import STD_PLEVS
+    assert out["u_plev"].shape[1] == len(STD_PLEVS)
+    # z500 is physically sensible (5-6 km)
+    z5 = out["z500"]
+    ok = ~jnp.isnan(z5)
+    assert float(jnp.nanmean(z5)) > 4000.0 and float(jnp.nanmean(z5)) < 7000.0
+    assert bool(ok.any())
+
+
+def test_diag_table_selection():
+    """diag_table ingestion (FMS diag_manager table format): parsing
+    title/base date/file/field lines, and the selection restricting the
+    DiagManager registry exactly like register_diag_field id=-1 does."""
+    from gfdl_atmos_cubed_sphere_tpu.io.diagnostics import (
+        DiagManager, fv_diag, parse_diag_table)
+    text = '''test_case
+2026 08 21 0 0 0
+"atmos_daily", 24, "hours", 1, "days", "time"
+"atmos_hourly", 1, "hours", 1, "days", "time"
+"dynamics", "ucomp", "ucomp", "atmos_daily", "all", .false., "none", 2
+"dynamics", "slp", "slp_out", "atmos_hourly", "all", .true., "none", 2
+"dynamics", "cape", "cape", "atmos_daily", "all", .false., "none", 2
+'''
+    tbl = parse_diag_table(text)
+    assert tbl["title"] == "test_case"
+    assert tbl["base_date"] == (2026, 8, 21, 0, 0, 0)
+    assert set(tbl["files"]) == {"atmos_daily", "atmos_hourly"}
+    assert tbl["files"]["atmos_daily"]["freq"] == 24
+    assert tbl["selected"] == {"ucomp", "slp", "cape"}
+    assert tbl["fields"][1]["output_name"] == "slp_out"
+
+    g, st, q, ak, bk, ptop = _diag_setup()
+    dm = DiagManager(selection=tbl["selected"])
+    fv_diag(dm, st, q, g, ak, bk, ptop, hydrostatic=False)
+    assert set(dm._fields) == {"ucomp", "slp", "cape"}
+    assert dm.series("slp") is not None
+    # unselected names are rejected at registration and send
+    assert dm.register("vort") is None
+    assert dm.send("vort", st["pt"]) is False

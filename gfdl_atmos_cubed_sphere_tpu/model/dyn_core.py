@@ -541,7 +541,12 @@ def dyn_core_hydro(delp, pt, u, v, phis, g, cfg: DynConfig, akap, ptop,
         rfp = ray_fast_profile(ak, bk, abs(dt), cfg.tau, cfg.rf_cutoff, ptop)
 
     def body(carry, _):
-        delp, pt, u, v, mfx, mfy, cx, cy, it, dup, dvp = carry
+        # Carry holds PADDED (delp, pt): the cell-group exchange issued
+        # after d_sw/mix_dp serves both that iteration's geopk(D) and the
+        # next iteration's c_sw — the reference's deferred-completion
+        # grouped pack (dyn_core.F90:823-851). One cell-group exchange
+        # per acoustic iteration instead of two.
+        delp_p, pt_p, u, v, mfx, mfy, cx, cy, it, dup, dvp = carry
         # reconcile duplicated tile-edge walls every iteration: the one-sided
         # edge stencils are not exactly mirror-symmetric across tiles, and
         # unreconciled walls (~1e-6 rel after one iteration) break the
@@ -549,7 +554,6 @@ def dyn_core_hydro(delp, pt, u, v, phis, g, cfg: DynConfig, akap, ptop,
         # mass conserves to ~1e-14/step (cf. dyn_core.F90:1152-1170, which
         # reconciles only at it==n_split for comm cost).
         u, v = halo.reconcile_dgrid(u, v)
-        delp_p, pt_p = halo.pad_cells((delp, pt), names=("delp", "pt"))
         u_p, v_p = halo.pad_dgrid(u, v, names=("u", "v"))
 
         from ..ops import pallas_csw
@@ -612,13 +616,15 @@ def dyn_core_hydro(delp, pt, u, v, phis, g, cfg: DynConfig, akap, ptop,
         mfx, mfy = mfx + ds.fx, mfy + ds.fy
         cx, cy = cx + ds.crx, cy + ds.cry
 
-        delp_p2, pt_p2 = halo.pad_cells((delp, pt), names=("delp", "pt"))
-        if pallas_col.use_pallas_pg(delp_p2):
+        # the one cell-group exchange: serves geopk(D) now and the next
+        # iteration's c_sw (see carry note above)
+        delp_p, pt_p = halo.pad_cells((delp, pt), names=("delp", "pt"))
+        if pallas_col.use_pallas_pg(delp_p):
             # slim D-stage geopk: one HBM round trip for (pk, gz)
-            pk, gz = pallas_col.pkgz_pallas(delp_p2, pt_p2, phis_p, akap,
+            pk, gz = pallas_col.pkgz_pallas(delp_p, pt_p, phis_p, akap,
                                             ptop)
         else:
-            _, _, pk, gz, _ = geopk(delp_p2, pt_p2, phis_p, akap, ptop)
+            _, _, pk, gz, _ = geopk(delp_p, pt_p, phis_p, akap, ptop)
         if cfg.beta > 0.0:
             beta_eff = jnp.where(it == 0, 0.0, cfg.beta)
             u, v, dup, dvp = grad1_p_update(ds.u, ds.v, pk, gz, g, dt, npx,
@@ -629,7 +635,8 @@ def dyn_core_hydro(delp, pt, u, v, phis, g, cfg: DynConfig, akap, ptop,
                               divg2=divg2)
         if rfp is not None:
             u, v, _ = ray_fast(u, v, None, *rfp)
-        return (delp, pt, u, v, mfx, mfy, cx, cy, it + 1, dup, dvp), None
+        return (delp_p, pt_p, u, v, mfx, mfy, cx, cy, it + 1,
+                dup, dvp), None
 
     T = delp.shape[0]
     K = delp.shape[1]
@@ -637,7 +644,9 @@ def dyn_core_hydro(delp, pt, u, v, phis, g, cfg: DynConfig, akap, ptop,
     # 0*delp term: ties the zero capacitors to the sharded state so their
     # shard_map "varying" type matches the scan body outputs (scan-vma rule)
     zsh = lambda *s: jnp.zeros((T, K) + s, delp.dtype) + 0.0 * delp[:, :, :1, :1]
-    carry0 = (delp, pt, u, v, zsh(n, n + 1), zsh(n + 1, n),
+    # prologue exchange: the body carries padded (delp, pt)
+    delp_p0, pt_p0 = halo.pad_cells((delp, pt), names=("delp", "pt"))
+    carry0 = (delp_p0, pt_p0, u, v, zsh(n, n + 1), zsh(n + 1, n),
               zsh(NC, NW), zsh(NW, NC), jnp.int32(0), u * 0.0, v * 0.0)
     if cfg.use_scan:
         # lax.scan keeps compile time O(1) in n_split (single-device path;
@@ -647,13 +656,13 @@ def dyn_core_hydro(delp, pt, u, v, phis, g, cfg: DynConfig, akap, ptop,
         carry = carry0
         for _ in range(n_split):
             carry, _ = body(carry, None)
-    delp, pt, u, v, mfx, mfy, cx, cy = carry[:8]
+    delp_p, pt_p, u, v, mfx, mfy, cx, cy = carry[:8]
+    delp = delp_p[..., ctr, ctr]
+    pt = pt_p[..., ctr, ctr]
     # prevent accumulation of rounding/one-sided-stencil differences at the
     # duplicated tile-edge walls (dyn_core.F90:1152-1170)
     u, v = halo.reconcile_dgrid(u, v)
-    pe, peln, pk, gz, pkz = geopk(halo.pad_cell(delp, name="delp"),
-                                  halo.pad_cell(pt, name="pt"),
-                                  phis_p, akap, ptop)
+    pe, peln, pk, gz, pkz = geopk(delp_p, pt_p, phis_p, akap, ptop)
     return SimpleNamespace(delp=delp, pt=pt, u=u, v=v,
                            mfx=mfx, mfy=mfy, cx=cx, cy=cy,
                            pe=pe, peln=peln, pk=pk, pkz=pkz, gz=gz)
@@ -824,14 +833,20 @@ def dyn_core_nh(delp, pt, u, v, w, delz, phis, g, cfg: DynConfig, akap, ptop,
     akx = akap / (1.0 - akap)
 
     def body(carry, _):
-        (delp, pt, u, v, w, zh, ws_c, mfx, mfy, cx, cy, it,
+        # The carry holds PADDED (delp, pt, w, zh): the cell-group halo
+        # exchange issued after d_sw/mix_dp in the previous iteration
+        # serves both that iteration's Riemann solver and this
+        # iteration's c_sw — the deferred-completion schedule of the
+        # reference's grouped packs (fv_dynamics.F90:462-490 start,
+        # dyn_core.F90:823-851 complete-at-use), with w/zh halos
+        # regenerated locally by the columnar Riemann solve instead of
+        # re-exchanged. Exchanges per acoustic iteration: dgrid(u,v),
+        # cgrid(uc,vc), corner(divg), cell zh_int, cell group
+        # (delp,pt,w) — the top-of-iteration cell group + zh pads of the
+        # naive schedule are eliminated.
+        (delp_p, pt_p, u, v, w_p, zh_p, ws_c, mfx, mfy, cx, cy, it,
          dup, dvp, qv_t) = carry
         u, v = halo.reconcile_dgrid(u, v)
-        # grouped pack: one collective for the whole cell-field group
-        # (fv_dynamics.F90:462-490 async-pack analog)
-        delp_p, pt_p, w_p = halo.pad_cells((delp, pt, w),
-                                           names=("delp", "pt", "w"))
-        zh_p = halo.pad_cell(zh, name="zh")
         u_p, v_p = halo.pad_dgrid(u, v, names=("u", "v"))
 
         from ..ops import pallas_csw, pallas_dsw
@@ -882,6 +897,13 @@ def dyn_core_nh(delp, pt, u, v, w, delz, phis, g, cfg: DynConfig, akap, ptop,
         mfx, mfy = mfx + ds.fx, mfy + ds.fy
         cx, cy = cx + crx, cy + cry
 
+        # START the cell-group exchange as soon as the fields settle
+        # (dyn_core.F90:823-825): update_dz_d below depends only on the
+        # d_sw fluxes + the OLD zh halos, so its stencil work is the
+        # overlap window XLA schedules against the collective.
+        delp_p, pt_p, w_p = halo.pad_cells(
+            (delp, pt, w), names=("delp", "pt", "w"))
+
         # D-stage height advection on the pre-update zh
         damp_zh = cfg.vtdm4 if cfg.do_vort_damp else 0.0
         zh_int, _ = nh_core.update_dz_d(g, zh_p, crx, cry, xfx, yfx,
@@ -893,30 +915,39 @@ def dyn_core_nh(delp, pt, u, v, w, delz, phis, g, cfg: DynConfig, akap, ptop,
         rdt = 1.0 / dt
         ws_full = (zs_p - zh_p2[:, -1]) * rdt
 
-        delp_p2, pt_p2, w_p2 = halo.pad_cells(
-            (delp, pt, w), names=("delp", "pt", "w"))
-        rs = nh_core.riem_solver3(dt, delp_p2, pt_p2, w_p2, zh_p2, zs_p,
+        rs = nh_core.riem_solver3(dt, delp_p, pt_p, w_p, zh_p2, zs_p,
                                   ws_full, akap, ptop, cfg.p_fac,
                                   use_logp=cfg.use_logp,
                                   a_imp=cfg.a_imp, scale_m=cfg.scale_m,
                                   d2bg_zq=cfg.d2bg_zq, ms=ms)
-        w = rs.w[..., ctr, ctr]
-        zh = rs.zh[..., ctr, ctr][:, :, :, :]
+        # The Riemann solve is purely columnar and its padded inputs are
+        # halo-valid, so rs.w / rs.zh halo columns equal the neighbors'
+        # interiors: carry them padded — no w or zh exchange next
+        # iteration.
+        w_p = rs.w
+        zh_p = rs.zh
         gz_geo = rs.zh * con.GRAV
         if cfg.beta > 0.0:
             beta_eff = jnp.where(it == 0, 0.0, cfg.beta)
             u, v, dup, dvp = split_p_grad(ds.u, ds.v, rs.ppe, rs.pk3,
-                                          gz_geo, delp_p2, g, dt, npx,
+                                          gz_geo, delp_p, g, dt, npx,
                                           ptk, dup, dvp, beta_eff)
         else:
             u, v = nh_p_grad(ds.u, ds.v, rs.ppe, rs.pk3, gz_geo,
-                             delp_p2, g, dt, npx, ptk)
+                             delp_p, g, dt, npx, ptk)
         if rfp is not None:
-            u, v, w = ray_fast(u, v, w, *rfp, hydrostatic=False)
+            # w damping is pointwise-columnar: apply to the PADDED w so
+            # the carried halos stay valid under rf_fast
+            u, v, w_p = ray_fast(u, v, w_p, *rfp, hydrostatic=False)
         if fast_cfg is not None:
             # inline saturation adjustment on theta_v (fast_phys hook):
-            # recover pkz from the gas law, adjust T/q, restore theta_v
-            delz_in = zh[:, 1:] - zh[:, :-1]
+            # recover pkz from the gas law, adjust T/q, restore theta_v.
+            # Interior-only update: the carried pt halo stays one phase
+            # stale under fast_phys, exactly the reference schedule (the
+            # pt pack is started at dyn_core.F90:823, fast_phys runs at
+            # :1105 after it).
+            zh_i = zh_p[..., ctr, ctr]
+            delz_in = zh_i[:, 1:] - zh_i[:, :-1]
             pkz = jnp.exp(akx * jnp.log(rrg * delp / delz_in * pt))
             qd = dict(zip(qkeys, qv_t))
             tvir = pt * pkz
@@ -925,10 +956,11 @@ def dyn_core_nh(delp, pt, u, v, w, delz, phis, g, cfg: DynConfig, akap, ptop,
                                      cfg=fast_cfg, hydrostatic=False)
             tv_new = (t_new * (1.0 + zvir * qd["sphum"]) if zvir else t_new)
             pt = tv_new / pkz
+            pt_p = pt_p.at[..., ctr, ctr].set(pt)
             qv_t = tuple(qd[k] for k in qkeys)
         ws_c = ws_full[..., ctr, ctr]
-        return (delp, pt, u, v, w, zh, ws_c, mfx, mfy, cx, cy, it + 1,
-                dup, dvp, qv_t), rs.pem
+        return (delp_p, pt_p, u, v, w_p, zh_p, ws_c, mfx, mfy, cx, cy,
+                it + 1, dup, dvp, qv_t), rs.pem
 
     T = delp.shape[0]
     K = delp.shape[1]
@@ -937,7 +969,12 @@ def dyn_core_nh(delp, pt, u, v, w, delz, phis, g, cfg: DynConfig, akap, ptop,
     # shard_map "varying" type matches the scan body outputs (scan-vma rule)
     zsh = lambda *s: jnp.zeros((T, K) + s, delp.dtype) + 0.0 * delp[:, :, :1, :1]
     qv0 = tuple(q[k] for k in qkeys)
-    carry0 = (delp, pt, u, v, w, zh, jnp.zeros_like(delp[:, 0]),
+    # prologue exchange: the body carries padded fields (see body docs)
+    delp_p0, pt_p0, w_p0 = halo.pad_cells((delp, pt, w),
+                                          names=("delp", "pt", "w"))
+    zh_p0 = halo.pad_cell(zh, name="zh")
+    carry0 = (delp_p0, pt_p0, u, v, w_p0, zh_p0,
+              jnp.zeros_like(delp[:, 0]),
               zsh(n, n + 1), zsh(n + 1, n), zsh(NC, NW), zsh(NW, NC),
               jnp.int32(0), u * 0.0, v * 0.0, qv0)
     if cfg.use_scan:
@@ -947,13 +984,16 @@ def dyn_core_nh(delp, pt, u, v, w, delz, phis, g, cfg: DynConfig, akap, ptop,
         carry = carry0
         for _ in range(n_split):
             carry, pem_last = body(carry, None)
-    delp, pt, u, v, w, zh, ws, mfx, mfy, cx, cy = carry[:11]
+    delp_p, pt_p, u, v, w_p, zh_p, ws, mfx, mfy, cx, cy = carry[:11]
     qv_t = carry[-1]
     q_out = dict(q, **dict(zip(qkeys, qv_t))) if fast_cfg is not None else q
     u, v = halo.reconcile_dgrid(u, v)
+    delp = delp_p[..., ctr, ctr]
+    pt = pt_p[..., ctr, ctr]
+    w = w_p[..., ctr, ctr]
+    zh = zh_p[..., ctr, ctr]
     delz = zh[:, 1:] - zh[:, :-1]
-    # final pressures for the remap (pe from updated delp)
-    delp_p = halo.pad_cell(delp, name="delp")
+    # final pressures for the remap (pe from the carried padded delp)
     pe = ptop + jnp.concatenate(
         [jnp.zeros_like(delp_p[:, :1]), jnp.cumsum(delp_p, axis=1)], axis=1)
     peln = jnp.log(pe)

@@ -233,3 +233,113 @@ def test_obs_schedule_and_remap():
     t2 = np.asarray(out["t"])
     assert t2.shape == (6, K, 3, 3)
     assert 249.0 < t2.min() and t2.max() < 256.0
+
+
+def test_climate_nudge_file_pipeline(tmp_path):
+    """Round-4 VERDICT missing #6: the read_climate_nudge_data.F90 file
+    pipeline — CAM-style climatology (P0/hyai/hybi/PHIS/PS/T/Q/U/V on a
+    lat-lon grid), horizontal bilinear remap, terrain-adjusted ps
+    (remap_ps), linear/log-p vertical remap, two-level time cache, and
+    the get_factor vertical relaxation profile."""
+    import numpy as np
+    import jax.numpy as jnp
+    from scipy.io import netcdf_file
+    from gfdl_atmos_cubed_sphere_tpu.model.grid_ops import build_grid_ops
+    from gfdl_atmos_cubed_sphere_tpu.grid.fv_eta import set_eta
+    from gfdl_atmos_cubed_sphere_tpu.io.climate_nudge_data import (
+        ClimateNudgeDriver, ClimateNudgeConfig, get_factor, remap_ps)
+    import gfdl_atmos_cubed_sphere_tpu.constants as con
+
+    # ---- synthesize a CAM-style climatology file ----------------------
+    nlon, nlat, nlev, ntime = 24, 13, 12, 3
+    lon = np.linspace(0.0, 360.0 - 360.0 / nlon, nlon)
+    lat = np.linspace(-88.0, 88.0, nlat)
+    hyai = np.linspace(0.003, 0.0, nlev + 1)
+    hybi = np.linspace(0.0, 1.0, nlev + 1) ** 1.4
+    p0 = 1.0e5
+    t3 = np.zeros((ntime, nlev, nlat, nlon))
+    for ti in range(ntime):
+        # zonal T structure + per-time offset (checks time interpolation)
+        t3[ti] = (260.0 + 30.0 * np.cos(np.deg2rad(lat))[None, :, None]
+                  + 2.0 * ti)
+    q3 = np.full((ntime, nlev, nlat, nlon), 4.0e-3)
+    u3 = np.tile(10.0 * np.cos(np.deg2rad(lat))[None, None, :, None],
+                 (ntime, nlev, 1, nlon))
+    v3 = np.zeros_like(u3)
+    ps2 = np.full((ntime, nlat, nlon), 1.0e5)
+    phis2 = np.zeros((nlat, nlon))
+
+    path = str(tmp_path / "clim_nudge_01.nc")
+    f = netcdf_file(path, "w")
+    for nm, size in (("lon", nlon), ("lat", nlat), ("lev", nlev),
+                     ("levp", nlev + 1), ("time", ntime)):
+        f.createDimension(nm, size)
+    def var(nm, dims, data):
+        v = f.createVariable(nm, "d", dims)
+        v[:] = data
+    var("lon", ("lon",), lon)
+    var("lat", ("lat",), lat)
+    var("time", ("time",), np.array([0.0, 86400.0, 172800.0]))
+    var("hyai", ("levp",), hyai)
+    var("hybi", ("levp",), hybi)
+    f.createDimension("scalar", 1)
+    var("P0", ("scalar",), np.array([p0]))
+    var("PHIS", ("lat", "lon"), phis2)
+    var("PS", ("time", "lat", "lon"), ps2)
+    var("T", ("time", "lev", "lat", "lon"), t3)
+    var("Q", ("time", "lev", "lat", "lon"), q3)
+    var("U", ("time", "lev", "lat", "lon"), u3)
+    var("V", ("time", "lev", "lat", "lon"), v3)
+    f.close()
+
+    # ---- drive it on a C12L10 model grid ------------------------------
+    npx, npz = 13, 10
+    g = build_grid_ops(npx, dtype=jnp.float64)
+    ks, ptop, ak, bk = set_eta(npz)
+    phis_mod = np.zeros((6, 1, npx - 1, npx - 1))
+    cfg = ClimateNudgeConfig(t_tau=21600.0, q_tau=21600.0, u_tau=21600.0,
+                             v_tau=21600.0, skip_bot_t=3)
+    drv = ClimateNudgeDriver(path, g.geom, ak, bk, phis_mod, cfg=cfg)
+
+    tgt0 = drv.target_at(0.0)
+    tgt_mid = drv.target_at(43200.0)          # halfway level 0 -> 1
+    # the +2 K/day time structure shows up as +1 K at the half-day point
+    d = np.nanmean(tgt_mid["t"] - tgt0["t"])
+    assert 0.8 < d < 1.2, d
+    # ps on flat terrain stays ~1e5 through remap_ps
+    np.testing.assert_allclose(tgt0["ps"], 1.0e5, rtol=5e-3)
+    # zonal structure survives: warmer at the equator
+    lat_m = np.asarray(g.geom.interior("aglat"))
+    t_low = np.asarray(tgt0["t"][:, -1])
+    assert (t_low[np.abs(lat_m) < 0.3].mean()
+            > t_low[np.abs(lat_m) > 1.0].mean() + 10.0)
+    # two-level cache holds at most 2 entries
+    drv.target_at(100000.0)
+    assert len(drv._cache) <= 2
+
+    # tendencies relax toward the target with the vertical factor
+    t_model = np.asarray(tgt0["t"]) - 5.0
+    q_model = np.asarray(tgt0["q"])
+    tend = drv.tendencies(0.0, t_model, q_model,
+                          state_u=np.zeros_like(t_model),
+                          state_v=np.zeros_like(t_model))
+    fac = get_factor(npz, skip_bot_t=3)
+    np.testing.assert_allclose(
+        tend["t_dt"][0, :, 0, 0],
+        fac[:, 1] * 5.0 / 21600.0, rtol=1e-6)
+    assert tend["t_dt"][0, -1].max() == 0.0          # skipped bottom
+    assert "u_dt" in tend and "q_dt" in tend
+
+    # remap_ps terrain adjustment: higher model terrain -> lower ps
+    gz_dat = np.zeros((4,))
+    km = 8
+    pe = np.linspace(2.0e4, 1.0e5, km + 1)
+    ph = np.tile(pe, (4, 1))
+    pn = np.log(ph)
+    tp = np.full((4, km), 280.0)
+    phis_hi = np.array([0.0, 1000.0 * con.GRAV, 2000.0 * con.GRAV,
+                        -500.0 * con.GRAV])
+    ps = remap_ps(gz_dat, ph, pn, tp, phis_hi)
+    assert ps[0] == pytest.approx(1.0e5, rel=1e-6)
+    assert ps[1] < ps[0] and ps[2] < ps[1]
+    assert ps[3] > ps[0]                      # below-ground extrapolation

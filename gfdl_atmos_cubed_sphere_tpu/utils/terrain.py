@@ -15,11 +15,15 @@ from .. import constants as con
 H = 3
 
 
-def del2_terrain(phis, g, cd, nmax=1):
+def del2_terrain(phis, g, cd, nmax=1, oro=None):
     """nmax passes of del-2 diffusion of a cell field (del2_cubed_sphere:812).
 
     phis [6, n, n] or [6, 1, n, n]; cd: diffusion coefficient (m^2); the
-    reference uses cd ~ 0.12-0.25 * da_min."""
+    reference uses cd ~ 0.12-0.25 * da_min. With `oro` (land fraction
+    [6, n, n], 0==water 1==land), the zero_ocean limiter masks each wall
+    flux with max(0, min(oro_left, oro_right)) so smoothing never moves
+    terrain mass into or out of water cells
+    (fv_surf_map.F90 del2_cubed_sphere:880-893)."""
     squeeze = phis.ndim == 3
     q = phis[:, None] if squeeze else phis          # [6, 1, n, n]
     n = g.n
@@ -27,6 +31,13 @@ def del2_terrain(phis, g, cd, nmax=1):
     wsl = slice(H, H + n + 1)                       # walls 0..n (padded idx)
     cl = slice(H - 1, H + n)                        # cell left of each wall
     cr = slice(H, H + n + 1)                        # cell right of each wall
+    mx = my = None
+    if oro is not None:
+        op = g.halo.pad_cell(jnp.asarray(oro, q.dtype)[:, None])
+        mx = jnp.maximum(0.0, jnp.minimum(op[..., ctr, cl],
+                                          op[..., ctr, cr]))
+        my = jnp.maximum(0.0, jnp.minimum(op[..., cl, ctr],
+                                          op[..., cr, ctr]))
     for _ in range(nmax):
         qp = g.halo.pad_cell(q)
         sgx = 0.5 * (g.sin_sg3[..., ctr, cl] + g.sin_sg1[..., ctr, cr])
@@ -35,35 +46,41 @@ def del2_terrain(phis, g, cd, nmax=1):
         sgy = 0.5 * (g.sin_sg4[..., cl, ctr] + g.sin_sg2[..., cr, ctr])
         fy = (g.dx[..., wsl, ctr] * sgy * g.rdyc[..., wsl, ctr]
               * (qp[..., cl, ctr] - qp[..., cr, ctr]))
+        if mx is not None:
+            fx = fx * mx
+            fy = fy * my
         q = q + cd * g.rarea[..., ctr, ctr] * (
             fx[..., :, :-1] - fx[..., :, 1:]
             + fy[..., :-1, :] - fy[..., 1:, :])
     return q[:, 0] if squeeze else q
 
 
-def del4_terrain(phis, g, nmax=1):
+def del4_terrain(phis, g, nmax=1, oro=None):
     """del-4 (biharmonic) filter pass (del4_cubed_sphere:915): del-2 of the
-    del-2 increment, applied anti-diffusively."""
+    del-2 increment, applied anti-diffusively; zero_ocean mask as in
+    del2_terrain."""
     cd = 0.16 * float(np.asarray(g.da_min))
     q = phis
     for _ in range(nmax):
-        d2 = del2_terrain(q, g, cd, 1) - q
-        q = q - (del2_terrain(d2, g, cd, 1) - d2)
+        d2 = del2_terrain(q, g, cd, 1, oro=oro) - q
+        q = q - (del2_terrain(d2, g, cd, 1, oro=oro) - d2)
     return q
 
 
-def fv3_zs_filter(phis, g, n_del2_weak=12, n_del2_strong=0, n_del4=2):
+def fv3_zs_filter(phis, g, n_del2_weak=12, n_del2_strong=0, n_del4=2,
+                  oro=None):
     """The operational terrain-filter combination (FV3_zs_filter:464):
-    strong del-2 passes, del-4 passes, then weak del-2 passes."""
+    strong del-2 passes, del-4 passes, then weak del-2 passes; `oro`
+    engages the zero_ocean flux limiter throughout."""
     cd_weak = 0.12 * float(np.asarray(g.da_min))
     cd_strong = 0.20 * float(np.asarray(g.da_min))
     q = phis
     if n_del2_strong:
-        q = del2_terrain(q, g, cd_strong, n_del2_strong)
+        q = del2_terrain(q, g, cd_strong, n_del2_strong, oro=oro)
     if n_del4:
-        q = del4_terrain(q, g, n_del4)
+        q = del4_terrain(q, g, n_del4, oro=oro)
     if n_del2_weak:
-        q = del2_terrain(q, g, cd_weak, n_del2_weak)
+        q = del2_terrain(q, g, cd_weak, n_del2_weak, oro=oro)
     return q
 
 
@@ -128,7 +145,9 @@ def surfdrv(geom, dem_lon, dem_lat, dem_z, g=None, land_mask=None,
     oro = oro.reshape(nt, n, n)
     phis = jnp.asarray(zs * con.GRAV)[:, None]
     if filter_terrain and g is not None:
-        phis = fv3_zs_filter(phis, g, **filter_kw)
+        phis = fv3_zs_filter(phis, g,
+                             oro=(oro if zero_ocean else None),
+                             **filter_kw)
     return {"phis": phis, "zs": zs, "sgh": sgh, "oro": oro}
 
 

@@ -202,3 +202,38 @@ def test_surfdrv_dem_binning(setup):
     out2 = terrain.surfdrv(g.geom, lon, lat, dem, g=g,
                            filter_terrain=True, n_del2_weak=4, n_del4=1)
     assert float(np.abs(np.asarray(out2["phis"])).max()) < 3000.0 * con.GRAV
+
+
+def test_zero_ocean_flux_limiter():
+    """zero_ocean (fv_surf_map.F90 del2_cubed_sphere:880-893): with the
+    land-fraction mask, del-2 smoothing moves NO terrain mass across
+    land/water boundaries — water cells stay at zero height and total
+    land mass is conserved; without the mask the island leaks."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gfdl_atmos_cubed_sphere_tpu.model.grid_ops import build_grid_ops
+    from gfdl_atmos_cubed_sphere_tpu.utils.terrain import del2_terrain
+
+    g = build_grid_ops(13, dtype=jnp.float64)
+    n = 12
+    zs = np.zeros((6, n, n))
+    oro = np.zeros((6, n, n))
+    # an island on tile 0 with sharp edges
+    zs[0, 4:8, 4:8] = 1000.0
+    oro[0, 3:9, 3:9] = 1.0
+    cd = 0.15 * float(np.asarray(g.da_min))
+
+    sm_open = np.asarray(del2_terrain(jnp.asarray(zs), g, cd, nmax=4))
+    sm_mask = np.asarray(del2_terrain(jnp.asarray(zs), g, cd, nmax=4,
+                                      oro=oro))
+    # masked: water cells (oro==0) never receive terrain
+    assert np.abs(sm_mask[oro == 0.0]).max() == 0.0
+    # unmasked: diffusion leaks across the coast
+    assert np.abs(sm_open[0, 2, 5]) > 0.0
+    # both conserve total mass (area-weighted); masked conserves it
+    # entirely within the land region
+    area = np.asarray(g.geom.interior("area"))
+    np.testing.assert_allclose(float((sm_mask * area).sum()),
+                               float((zs * area).sum()), rtol=1e-12)
+    # smoothing still happened inside the island
+    assert sm_mask[0, 5, 5] < 1000.0

@@ -15,7 +15,16 @@ The reference publishes no numbers (BASELINE.md), so vs_baseline is null.
 
 import argparse
 import json
+import os
 import time
+
+# Persistent XLA compilation cache: the C192 programs take tens of
+# minutes to compile through the axon relay; cache them across bench
+# invocations so repeated runs (and the driver's end-of-round bench)
+# start from a warm cache.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_comp_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
 
 CONFIGS = {
     # name: (npx, npz, dt, mode, overrides)

@@ -310,3 +310,56 @@ def nested_step_nh(parent_g, nest: CubeNest, cfg_p: DynConfig,
                 (nd2, nt2, nu2, nv2, nw2, ndz2, nq2))
 
     return step
+
+
+def telescoped_step_hydro(parent_g, nest1: CubeNest, nest2: CubeNest,
+                          cfg_p: DynConfig, cfg_1: DynConfig,
+                          cfg_2: DynConfig, ak, bk, ptop, nrows_blend=4):
+    """Two-level telescoping nests (the reference's multi-level
+    `mpp_define_nest_domains` tree, fv_control.F90:594; grids run
+    concurrently with BCs cascading parent -> nest1 -> nest2). nest2 is
+    built ON nest1's patch geometry (CubeNest(nest1.g, tile=0, ...)),
+    and its BC frames are interpolated from nest1's post-step state with
+    nest1's own BC-frame halo — the same coarse-to-fine machinery at
+    both levels. Returns step(parent_state, nest1_state, nest2_state)."""
+    akap = con.KAPPA
+    from ..parallel.nest_halo import NestBCHalo
+
+    def one_level(nest, gp, pres, ns, cfg_n):
+        frames = nest.frames_from_parent(gp, pres.delp, pres.pt,
+                                         pres.u, pres.v, ptop, akap)
+        t_f = frames.pop("t_abs")
+        gn = SimpleNamespace(**vars(nest.g))
+        gn.halo = NestBCHalo(nest.n, H, frames)
+        gn.phis_p = jnp.zeros_like(frames["delp"][:, :1])
+        nres = fv_dynamics_hydro(ns[0], ns[1], ns[2], ns[3], None, gn,
+                                 cfg_n, ak, bk, ptop)
+        ci = slice(H, H + nest.n)
+        wi = slice(H, H + nest.n + 1)
+        nd2 = blend_interior(nres.delp, frames["delp"][..., ci, ci],
+                             nrows_blend)
+        nt2 = blend_interior(nres.pt, t_f[..., ci, ci], nrows_blend)
+        nu2 = blend_interior(nres.u, frames["u"][..., wi, ci],
+                             nrows_blend, wall=(True, False))
+        nv2 = blend_interior(nres.v, frames["v"][..., ci, wi],
+                             nrows_blend, wall=(False, True))
+        return frames, t_f, (nd2, nt2, nu2, nv2)
+
+    def step(ps, ns1, ns2):
+        pres = fv_dynamics_hydro(ps[0], ps[1], ps[2], ps[3], None,
+                                 parent_g, cfg_p, ak, bk, ptop)
+        frames1, t_f1, ns1_out = one_level(nest1, parent_g, pres, ns1,
+                                           cfg_1)
+        # cascade: nest2's BC frames come from nest1's post-step blended
+        # state through nest1's BC-frame halo. The cascade halo carries
+        # the TEMPERATURE frame in the "pt" slot so pad_cell(T) pastes
+        # the nest1 T interior into a T rim (frames1["pt"] is theta_v,
+        # the acoustic-loop convention).
+        gp2 = SimpleNamespace(**vars(nest1.g))
+        gp2.halo = NestBCHalo(nest1.n, H, dict(frames1, pt=t_f1))
+        n1res_b = SimpleNamespace(delp=ns1_out[0], pt=ns1_out[1],
+                                  u=ns1_out[2], v=ns1_out[3])
+        _, _, ns2_out = one_level(nest2, gp2, n1res_b, ns2, cfg_2)
+        return ((pres.delp, pres.pt, pres.u, pres.v), ns1_out, ns2_out)
+
+    return step

@@ -172,3 +172,64 @@ def test_nested_nh_twoway_moist():
     tn = np.asarray(n2[1][0])
     tp = np.asarray(fr["t_abs"][0][:, H:-H, H:-H])
     assert (np.abs(tn - tp) / np.abs(tp)).max() < 0.05
+
+
+def test_telescoped_two_level_nest():
+    """Telescoping nests (SURVEY row 19 'no telescoping' gap): parent
+    C24 -> nest1 (R=2 on tile 2) -> nest2 (R=2 inside nest1, effective
+    R=4 vs the parent). All three run concurrently in one jitted step;
+    both nests stay finite and track the parent solution on their
+    footprints."""
+    import numpy as np
+    from gfdl_atmos_cubed_sphere_tpu.driver.nested_cube import (
+        CubeNest, telescoped_step_hydro)
+    from gfdl_atmos_cubed_sphere_tpu.model.grid_ops import build_grid_ops
+    from gfdl_atmos_cubed_sphere_tpu.model.dyn_core import DynConfig
+    from gfdl_atmos_cubed_sphere_tpu.model.sw_dynamics import prepare_phis
+    from gfdl_atmos_cubed_sphere_tpu.grid.fv_eta import set_eta
+    from gfdl_atmos_cubed_sphere_tpu.init.baroclinic import jw_baroclinic
+
+    npx, npz = 25, 10
+    dt = 600.0
+    g = build_grid_ops(npx, dtype=jnp.float64)
+    ks, ptop, ak, bk = set_eta(npz)
+    ic = jw_baroclinic(g.geom, npz, ak, bk, ptop, perturb=True)
+    prepare_phis(g, ic["phis"])
+    akj, bkj = jnp.asarray(ak), jnp.asarray(bk)
+
+    nest1 = CubeNest(g, tile=2, refinement=2, ioffset=6, joffset=6,
+                     n_nest=24, dtype=jnp.float64)
+    nest2 = CubeNest(nest1.g, tile=0, refinement=2, ioffset=6, joffset=6,
+                     n_nest=24, dtype=jnp.float64)
+
+    cfg_p = DynConfig(npx=npx, npz=npz, dt=dt, n_split=4)
+    cfg_1 = DynConfig(npx=25, npz=npz, dt=dt / 2, n_split=4)
+    cfg_2 = DynConfig(npx=25, npz=npz, dt=dt / 4, n_split=4)
+    step = telescoped_step_hydro(g, nest1, nest2, cfg_p, cfg_1, cfg_2,
+                                 akj, bkj, ptop)
+
+    ps = tuple(jnp.asarray(ic[k]) for k in ("delp", "pt", "u", "v"))
+    s1 = nest1.init_state_from_parent(g, *ps)
+    ns1 = (s1.delp, s1.pt, s1.u, s1.v)
+    # nest2 cold start from nest1 through a clamp halo (interior only)
+    from types import SimpleNamespace
+    from gfdl_atmos_cubed_sphere_tpu.parallel.nest_halo import NestBCHalo
+    gp2 = SimpleNamespace(**vars(nest1.g))
+    gp2.halo = NestBCHalo(nest1.n, 3, None)
+    s2 = nest2.init_state_from_parent(gp2, *ns1)
+    ns2 = (s2.delp, s2.pt, s2.u, s2.v)
+
+    jstep = jax.jit(step)
+    for _ in range(3):
+        ps, ns1, ns2 = jstep(ps, ns1, ns2)
+    for st in (ps, ns1, ns2):
+        for a in st:
+            assert np.isfinite(np.asarray(a)).all()
+    # nest2 tracks nest1 on its footprint (sub-cycled dt, same flow)
+    # compare temperature coarse-grained 2x onto nest1 cells
+    t2 = np.asarray(ns2[1][0])
+    t2c = 0.25 * (t2[:, ::2, ::2] + t2[:, 1::2, ::2]
+                  + t2[:, ::2, 1::2] + t2[:, 1::2, 1::2])
+    t1 = np.asarray(ns1[1][0][:, 6:6 + 12, 6:6 + 12])
+    rel = np.abs(t2c - t1) / np.abs(t1)
+    assert rel.max() < 0.05, rel.max()

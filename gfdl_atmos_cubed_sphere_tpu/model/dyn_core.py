@@ -254,9 +254,12 @@ def _pg_terms(pk, gz, g, npx, ptk):
     n = g.n
     ctr = slice(H, H + n)
     wsl = slice(f(1), f(npx) + 1)
-    pkB = a2b_ord4(pk, g)
+    # batched corner interpolation (one kernel launch for pk + gz)
+    Kp1 = pk.shape[1]
+    bothB = a2b_ord4(jnp.concatenate([pk, gz], axis=1), g)
+    pkB = bothB[:, :Kp1]
+    gzB = bothB[:, Kp1:]
     pkB = pkB.at[:, 0].set(jnp.full_like(pkB[:, 0], ptk))
-    gzB = a2b_ord4(gz, g)
     wk = pkB[:, 1:] - pkB[:, :-1]
 
     cl_ = slice(f(1), f(npx - 1) + 1)
@@ -680,12 +683,17 @@ def nh_p_grad(u_acc, v_acc, pp, pk3, gz, delp_p, g, dt, npx, ptk):
     ctr = slice(H, H + n)
     wsl = slice(f(1), f(npx) + 1)
 
-    ppB = a2b_ord4(pp, g)
+    # one batched corner interpolation for all four operands (levels are
+    # the kernel batch axis): 1 launch instead of 4
+    Kp1 = pp.shape[1]
+    K = delp_p.shape[1]
+    allB = a2b_ord4(jnp.concatenate([pp, pk3, gz, delp_p], axis=1), g)
+    ppB = allB[:, :Kp1]
+    pkB = allB[:, Kp1:2 * Kp1]
+    gzB = allB[:, 2 * Kp1:3 * Kp1]
+    dpB = allB[:, 3 * Kp1:]
     ppB = ppB.at[:, 0].set(jnp.zeros_like(ppB[:, 0]))
-    pkB = a2b_ord4(pk3, g)
     pkB = pkB.at[:, 0].set(jnp.full_like(pkB[:, 0], ptk))
-    gzB = a2b_ord4(gz, g)
-    dpB = a2b_ord4(delp_p, g)
 
     wk = pkB[:, 1:] - pkB[:, :-1]
     cl_ = slice(f(1), f(npx - 1) + 1)
@@ -736,12 +744,17 @@ def split_p_grad(u_acc, v_acc, pp, pk3, gz, delp_p, g, dt, npx, ptk,
     ctr = slice(H, H + n)
     wsl = slice(f(1), f(npx) + 1)
 
-    ppB = a2b_ord4(pp, g)
+    # one batched corner interpolation for all four operands (levels are
+    # the kernel batch axis): 1 launch instead of 4
+    Kp1 = pp.shape[1]
+    K = delp_p.shape[1]
+    allB = a2b_ord4(jnp.concatenate([pp, pk3, gz, delp_p], axis=1), g)
+    ppB = allB[:, :Kp1]
+    pkB = allB[:, Kp1:2 * Kp1]
+    gzB = allB[:, 2 * Kp1:3 * Kp1]
+    dpB = allB[:, 3 * Kp1:]
     ppB = ppB.at[:, 0].set(jnp.zeros_like(ppB[:, 0]))
-    pkB = a2b_ord4(pk3, g)
     pkB = pkB.at[:, 0].set(jnp.full_like(pkB[:, 0], ptk))
-    gzB = a2b_ord4(gz, g)
-    dpB = a2b_ord4(delp_p, g)
 
     wk = pkB[:, 1:] - pkB[:, :-1]
     cl_ = slice(f(1), f(npx - 1) + 1)

@@ -198,3 +198,26 @@ def test_case51_forcing_updates():
     assert np.abs(u - u0).max() > 1.0e-3
     for a in (u, v, uc, vc):
         assert np.isfinite(a).all()
+
+
+def test_init_case_dispatch_table():
+    """The reference's single public entry init_case keyed by test_case
+    number (test_cases.F90:193, catalog :64-117): every implemented
+    number dispatches; 20/21/32 raise the reference's own restrictions;
+    unknown numbers name the catalog."""
+    from gfdl_atmos_cubed_sphere_tpu.init.case_table import init_case
+    g = build_grid_ops(NPX, dtype=jnp.float64)
+    ks, ptop, ak, bk = set_eta(NPZ)
+    for t in (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 12, 13, 16, 17, 18, 30, 31,
+              36, 37, 51, 52, 55):
+        ic = init_case(t, g.geom, npz=NPZ, ak=ak, bk=bk, ptop=ptop)
+        assert isinstance(ic, dict), t
+    gs = build_grid_ops(NPX, dtype=jnp.float64,
+                        radius=con.RADIUS / 500.0, omega=0.0)
+    for t in (15, 19, 33, 34, 35):
+        ic = init_case(t, gs.geom, npz=NPZ, ak=ak, bk=bk, ptop=ptop)
+        assert isinstance(ic, dict), t
+    import pytest as _pt
+    for t in (20, 21, 32, 99):
+        with _pt.raises(NotImplementedError):
+            init_case(t, g.geom, npz=NPZ, ak=ak, bk=bk, ptop=ptop)

@@ -109,7 +109,7 @@ def run_3d(name, spec, nsteps):
     jax.block_until_ready(st[0])
     dt_step = (time.perf_counter() - t0) / nsteps
     points = 6 * (npx - 1) ** 2 * npz
-    print(json.dumps({
+    line = json.dumps({
         "metric": f"{name}_moist_mp_gridpoints_levels_per_s_per_chip",
         "value": points / dt_step,
         "unit": "pts*lev/s/chip",
@@ -118,7 +118,9 @@ def run_3d(name, spec, nsteps):
                    "k_split": cfg.k_split, "n_split": cfg.n_split,
                    "dddmp": cfg.dddmp, "d_con": float(np.max(cfg.d_con)),
                    "tracers": 6, "backend": jax.default_backend()},
-    }))
+    })
+    print(line, flush=True)
+    return line
 
 
 def run_sw(name, spec, nsteps):
@@ -172,9 +174,14 @@ def main():
     if args.config == "default":
         # Emit BOTH standing configs each driver run so cross-round trends
         # survive metric renames (round-4 VERDICT weak #4). The headline
-        # NH line prints LAST (the driver parses the final JSON line).
+        # NH config runs FIRST — C192 compiles through the axon relay can
+        # take tens of minutes, so if the harness kills the run mid-way
+        # the headline line has already been printed — and its line is
+        # RE-EMITTED at the end so the final JSON line (what the driver
+        # parses) is always the NH headline.
+        nh_line = run_3d("c192_nh", CONFIGS["c192_nh"], args.steps)
         run_3d("c192_hydro", CONFIGS["c192_hydro"], args.steps)
-        run_3d("c192_nh", CONFIGS["c192_nh"], args.steps)
+        print(nh_line, flush=True)
         return
     spec = CONFIGS[args.config]
     if spec["mode"] == "sw":

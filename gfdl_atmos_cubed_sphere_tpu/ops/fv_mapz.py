@@ -46,9 +46,13 @@ def _tridiag_interfaces(a1, delp, qs, iv):
             gamk1 = grat / bet
             return (qk, gamk1), (qk, gamk1)
 
+        # unroll=8: the tridiagonal sweeps are K tiny fused steps; unrolling
+        # slashes the per-iteration loop/copy overhead the device trace
+        # showed (~2.4k copy ops/step from these scans)
         grats = dpf[:-1] / dpf[1:]          # grat(k)=dp(k-1)/dp(k), k=2..km
         (q_km1, gam_km), (q_mid, gam_mid) = jax.lax.scan(
-            fwdw, (q1, gam2), (a1f[:-2], a1f[1:-1], grats[:-1]))
+            fwdw, (q1, gam2), (a1f[:-2], a1f[1:-1], grats[:-1]),
+            unroll=8)
         gratK = grats[-1]
         qK = (3.0 * (a1f[-2] + a1f[-1]) - gratK * qs - q_km1) / (
             2.0 + gratK + gratK - gam_km)
@@ -61,7 +65,8 @@ def _tridiag_interfaces(a1, delp, qs, iv):
             qk = qk - gamk1 * qnext
             return qk, qk
 
-        _, qrev = jax.lax.scan(bwdw, qK, (q_fwd[::-1], gam_nxt[::-1]))
+        _, qrev = jax.lax.scan(bwdw, qK, (q_fwd[::-1], gam_nxt[::-1]),
+                               unroll=8)
         qq = jnp.concatenate([qrev[::-1], qK[None], qs[None]], 0)
         return jnp.moveaxis(qq, 0, -1)
 
@@ -81,7 +86,8 @@ def _tridiag_interfaces(a1, delp, qs, iv):
 
     d4s = dpf[:-1] / dpf[1:]
     (_, _), (qs_mid, gams_mid) = jax.lax.scan(fwd, (q1, gam1),
-                                              (a1f[:-1], a1f[1:], d4s))
+                                              (a1f[:-1], a1f[1:], d4s),
+                                              unroll=8)
     d4 = d4s[-1]
     a_bot = 1.0 + d4 * (d4 + 1.5)
     q_bot = (2.0 * d4 * (d4 + 1.0) * a1f[-1] + a1f[-2]
@@ -94,7 +100,8 @@ def _tridiag_interfaces(a1, delp, qs, iv):
         qk = qk - gamk * qnext
         return qk, qk
 
-    _, qrev = jax.lax.scan(bwd, q_bot, (q_fwd[::-1], gam[::-1]))
+    _, qrev = jax.lax.scan(bwd, q_bot, (q_fwd[::-1], gam[::-1]),
+                           unroll=8)
     qq = jnp.concatenate([qrev[::-1], q_bot[None]], 0)      # [km+1, ...]
     return jnp.moveaxis(qq, 0, -1)
 

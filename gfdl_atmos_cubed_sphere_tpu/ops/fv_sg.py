@@ -104,8 +104,9 @@ def fillq(q, dp):
         dq = jnp.where(need, jnp.minimum(s1, -qq * dd), 0.0)
         return (s1 - dq, s2 + dq), qq + dq / dd
 
+    # unroll=8 on all column sweeps: loop-overhead reduction, same ops
     (s1, s2), q_f = jax.lax.scan(fill, (sum1, jnp.zeros_like(sum1)),
-                                 (qk[::-1], dpk[::-1]))
+                                 (qk[::-1], dpk[::-1]), unroll=8)
 
     def drain(s2, x):
         qq, dd = x
@@ -113,7 +114,7 @@ def fillq(q, dp):
         dq = jnp.where(can, jnp.minimum(s2, qq * dd), 0.0)
         return s2 - dq, qq - dq / dd
 
-    _, q_d = jax.lax.scan(drain, s2, (q_f, dpk[::-1]))
+    _, q_d = jax.lax.scan(drain, s2, (q_f, dpk[::-1]), unroll=8)
     return jnp.moveaxis(q_d[::-1], 0, 1)
 
 
@@ -140,7 +141,8 @@ def _fix_vapor_column(qv, dp):
 
     # rows 0..K-2 finalized through the scan; bottom handled after
     init = (qk[0], jnp.zeros_like(qk[0]), dpk[0])
-    (q_last, push, _), upper = jax.lax.scan(down, init, (qk[1:], dpk[1:]))
+    (q_last, push, _), upper = jax.lax.scan(down, init, (qk[1:], dpk[1:]),
+                                            unroll=8)
     # q_last is row K-1 pre-bottom-fix (it absorbed any pushed mass);
     # note: the reference does NOT zero a still-negative bottom; it borrows
     # from above (upward sweep)
@@ -154,7 +156,9 @@ def _fix_vapor_column(qv, dp):
         return deficit - dq, qq - dq / dd
 
     deficit0 = jnp.maximum(0.0, -qbot * dpk[-1])
-    deficit, upper_fixed = jax.lax.scan(up, deficit0, (upper[::-1], dpk[:-1][::-1]))
+    deficit, upper_fixed = jax.lax.scan(up, deficit0,
+                                        (upper[::-1], dpk[:-1][::-1]),
+                                        unroll=8)
     qbot = qbot + (deficit0 - deficit) / dpk[-1]
     qk_new = jnp.concatenate([upper_fixed[::-1], qbot[None]], axis=0)
     return jnp.moveaxis(qk_new, 0, 1)

@@ -412,7 +412,8 @@ def implicit_fall(q, vt, dz, dp, dts):
 
     qm0 = qk[0] / (dzk[0] + ddk[0])
     _, qm_rest = jax.lax.scan(down, qm0,
-                              (qk[1:], dzk[1:], ddk[1:], ddk[:-1]))
+                              (qk[1:], dzk[1:], ddk[1:], ddk[:-1]),
+                              unroll=8)
     qm = jnp.concatenate([qm0[None], qm_rest], axis=0) * dzk
     m1 = jnp.cumsum(qk - qm, axis=0)
     precip = m1[-1]
@@ -470,7 +471,7 @@ def sedi_uv(m1, dp, u, v):
 
     (_, _, _), (u_rest, v_rest) = jax.lax.scan(
         down, (uk[0], vk[0], m1k[0]),
-        (uk[1:], vk[1:], dpk[1:], m1k[1:]))
+        (uk[1:], vk[1:], dpk[1:], m1k[1:]), unroll=8)
     u_new = jnp.concatenate([uk[:1], u_rest], axis=0)
     v_new = jnp.concatenate([vk[:1], v_rest], axis=0)
     return jnp.moveaxis(u_new, 0, 1), jnp.moveaxis(v_new, 0, 1)
@@ -493,7 +494,8 @@ def sedi_w(m1, w, vt, dm):
         return (wn, vv, mm), wn
 
     _, w_rest = jax.lax.scan(down, (w0, vtk[0], m1k[0]),
-                             (wk[1:], vtk[1:], dmk[1:], m1k[1:]))
+                             (wk[1:], vtk[1:], dmk[1:], m1k[1:]),
+                             unroll=8)
     w_new = jnp.concatenate([w0[None], w_rest], axis=0)
     return jnp.moveaxis(w_new, 0, 1)
 

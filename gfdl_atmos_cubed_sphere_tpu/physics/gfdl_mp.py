@@ -154,6 +154,10 @@ class MPConfig:
     use_mp_fast: bool = True   # fast_sat_adj dispatches to the mp_fast
                                # process chain (:1995) vs the condensed
                                # sat_adjust
+    use_subgrid_proc: bool = False  # mp_full's saturation stage runs the
+                               # per-process subgrid_z_proc (:3989)
+                               # instead of the condensed sat_adjust
+    rh_adj: float = 0.0        # pinst instant-evap RH threshold
     fast_fr_mlt: bool = True   # freezing/melting in fast MP (:332)
     fast_dep_sub: bool = True  # deposition/sublimation in fast MP (:333)
     delay_cond_evap: bool = False  # cond/evap only on last step (:328)
@@ -923,8 +927,13 @@ def mp_full(t, qv, ql, qr, qi, qs, qg, delp, dz, den, denfac, dts, p_lay,
                                   denfac, dts, cfg, ccn=ccn)
         t, qv, ql, qr, qi, qs, qg = ice_cloud(
             t, qv, ql, qr, qi, qs, qg, p_lay, den, denfac, dts, cfg)
-        t, qv, ql, qr, qi, qs, qg = sat_adjust(
-            t, qv, ql, qr, qi, qs, qg, p_lay, dts, cfg)
+        if cfg.use_subgrid_proc:
+            t, qv, ql, qr, qi, qs, qg = subgrid_z_proc(
+                t, qv, ql, qr, qi, qs, qg, delp, den, denfac, dts, cfg,
+                rh_adj=cfg.rh_adj, ccn=ccn)
+        else:
+            t, qv, ql, qr, qi, qs, qg = sat_adjust(
+                t, qv, ql, qr, qi, qs, qg, p_lay, dts, cfg)
     return (t, qv, ql, qr, qi, qs, qg, ua, va, w,
             rain, icep, snow, graup)
 
@@ -1330,5 +1339,53 @@ def mp_fast(t, qv, ql, qr, qi, qs, qg, dtm, dp, den, denfac,
         st = psaut_simp(st, dtm, den, cfg)
         st = psdep_pssub(st, dtm, den, denfac, cfg)
         st = pgdep_pgsub(st, dtm, den, denfac, cfg)
+    return (st["t"], st["qv"], st["ql"], st["qr"], st["qi"], st["qs"],
+            st["qg"])
+
+
+def pinst(st, den, rh_adj, cfg: MPConfig):
+    """Instant processes (pinst:4113): deposit all vapor to ice below
+    t_min; instantly evaporate/sublimate all clouds when the clear-sky
+    RH (from the te8-implied temperature with all condensate removed)
+    is below rh_adj."""
+    # super-cold instant deposition
+    sink = jnp.where(st["t"] < cfg.t_min,
+                     jnp.maximum(st["qv"] - QCMIN, 0.0), 0.0)
+    st = _update_qt(st, -sink, 0.0, 0.0, sink, 0.0, 0.0)
+    # instant evaporation below rh_adj
+    qpz = st["qv"] + st["ql"] + st["qi"]
+    tin = (st["te8"] - LV0 * qpz + LI0 * (st["qs"] + st["qg"])) / _mhc(
+        qpz, st["qr"], 0.0, 0.0, st["qs"], st["qg"])
+    qsi, _ = iqs_den(tin, den)
+    act = (tin > cfg.t_sub + 6.0) & (qpz / qsi < rh_adj)
+    sink_l = jnp.where(act, st["ql"], 0.0)
+    sink_i = jnp.where(act, st["qi"], 0.0)
+    return _update_qt(st, sink_l + sink_i, -sink_l, 0.0, -sink_i, 0.0,
+                      0.0)
+
+
+def subgrid_z_proc(t, qv, ql, qr, qi, qs, qg, dp, den, denfac, dts,
+                   cfg: MPConfig, rh_adj=0.0, ccn=None, cin=None,
+                   last_step=True):
+    """Temperature-sensitive high-vertical-resolution saturation
+    processes (subgrid_z_proc:3989) — the per-process full-path
+    counterpart of the condensed sat_adjust: cal_mhc_lhc -> pinst ->
+    pcond_pevap (x nconds) -> pcomp -> pwbf -> pbigg -> pidep_pisub ->
+    psdep_pssub -> pgdep_pgsub, each on the conserved-te8 update_qt
+    bookkeeping. Opt into it from mp_full via cfg.use_subgrid_proc."""
+    if ccn is None:
+        ccn = jnp.full_like(t, 1.0e8 / 1.2)
+    st = _st_init(t, qv, ql, qr, qi, qs, qg, cfg.t_wfr)
+    st = pinst(st, den, rh_adj, cfg)
+    if (not cfg.delay_cond_evap) or last_step:
+        for _ in range(cfg.nconds):
+            st = pcond_pevap(st, dts, den, cfg)
+    if not cfg.do_warm_rain_mp:
+        st = pcomp(st, cfg)
+        st = pwbf(st, dts, den, cfg)
+        st = pbigg(st, dts, den, ccn, cfg)
+        st = pidep_pisub(st, dts, den, cin, cfg)
+        st = psdep_pssub(st, dts, den, denfac, cfg)
+        st = pgdep_pgsub(st, dts, den, denfac, cfg)
     return (st["t"], st["qv"], st["ql"], st["qr"], st["qi"], st["qs"],
             st["qg"])

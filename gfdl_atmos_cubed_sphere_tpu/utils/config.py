@@ -61,14 +61,17 @@ _ALIASES = {
 _UNSUPPORTED = {
     "hybrid_z": "hybrid-z vertical coordinate (fv_arrays.F90 hybrid_z)",
     "make_hybrid_z": "hybrid-z vertical coordinate",
-    "make_nh": "restart hydro->NH conversion (use io.restart remap tools)",
     "reset_eta": "eta re-initialization on restart",
     "non_ortho": "non-orthogonal grid corrections are always on",
     "smag2d": "2-D Smagorinsky damping variant",
     "no_dycore": "physics-only mode",
-    "add_noise": "IC noise injection",
     "nudge_ic": None,   # accepted on DynConfig (stored) — kept out of strict
 }
+
+# Recognized options consumed by startup helpers rather than DynConfig
+# (io/restart.py make_nh_state / add_thermal_noise).
+_ALIASES["make_nh"] = "io.restart.make_nh_state (w=0 + hydrostatic delz)"
+_ALIASES["add_noise"] = "io.restart.add_thermal_noise"
 
 
 def parse_namelist(text):

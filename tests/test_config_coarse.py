@@ -168,13 +168,14 @@ def test_shield_namelist_roundtrip():
         assert name in routed, (name, routed)
     # the only leftovers are recognized-unsupported or F90-side physics
     # coupler options — and each is named, not silently dropped
-    allowed_left = {"make_nh", "reset_eta", "no_dycore",
+    # make_nh now routes to io.restart.make_nh_state
+    allowed_left = {"reset_eta", "no_dycore",
                     "phys_hydrostatic", "use_hydro_pressure"}
     assert set(unknown) <= allowed_left, unknown
     # strict mode rejects unimplemented behavior loudly
     import pytest
-    with pytest.raises(ValueError, match="make_nh"):
-        dyn_config_from_namelist({"fv_core_nml": {"make_nh": True,
+    with pytest.raises(ValueError, match="reset_eta"):
+        dyn_config_from_namelist({"fv_core_nml": {"reset_eta": True,
                                                   "npx": 13, "npz": 10}},
                                  strict=True, dt=30.0)
     # nwat validation

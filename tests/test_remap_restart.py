@@ -94,3 +94,35 @@ def test_cross_resolution_remap_and_run():
         s = step(*s)
     for a in s:
         assert not bool(jnp.isnan(a).any())
+
+
+def test_make_nh_and_add_noise():
+    """Startup options make_nh (fv_restart.F90:707: w=0, hydrostatic
+    delz) and add_noise (:617: uniform thermal noise) — previously
+    declared-unsupported config behaviors, now implemented."""
+    import numpy as np
+    import jax.numpy as jnp
+    import gfdl_atmos_cubed_sphere_tpu.constants as con
+    from gfdl_atmos_cubed_sphere_tpu.io.restart import (
+        make_nh_state, add_thermal_noise)
+    rng = np.random.default_rng(0)
+    shp = (2, 8, 4, 4)
+    pt = jnp.asarray(rng.uniform(230.0, 300.0, shp))
+    delp = jnp.full(shp, 1.0e4)
+    sph = jnp.full(shp, 5e-3)
+    w, delz = make_nh_state(pt, delp, 100.0, sphum=sph)
+    assert float(jnp.abs(w).max()) == 0.0
+    assert np.all(np.asarray(delz) < 0.0)
+    # hydrostatic consistency: -g*delz == Rd*Tv*dlnp
+    pe = 100.0 + np.concatenate([np.zeros((2, 1, 4, 4)),
+                                 np.cumsum(np.asarray(delp), 1)], 1)
+    dlnp = np.log(pe[:, 1:]) - np.log(pe[:, :-1])
+    tv = np.asarray(pt) * (1.0 + con.ZVIR * 5e-3)
+    np.testing.assert_allclose(-con.GRAV * np.asarray(delz),
+                               con.RDGAS * tv * dlnp, rtol=1e-6)
+
+    pt2, rms = add_thermal_noise(pt, 0.5, seed=1)
+    d = np.asarray(pt2 - pt)
+    assert d.min() >= 0.0 and d.max() <= 0.5
+    assert 0.0 < rms < 0.5
+    assert np.abs(d).mean() > 0.1

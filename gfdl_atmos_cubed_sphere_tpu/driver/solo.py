@@ -87,7 +87,12 @@ class Atmosphere:
         physics = physics if physics is not None else self.physics
 
         def step(state, u0, v0):
-            if cfg.hydrostatic:
+            if getattr(cfg, "no_dycore", False):
+                # physics-only mode (fv_arrays.F90 no_dycore; the
+                # reference skips fv_dynamics entirely): state passes
+                # through to the physics below unchanged
+                new = dict(state)
+            elif cfg.hydrostatic:
                 r = fv_dynamics_hydro(state["delp"], state["pt"], state["u"],
                                       state["v"], None, g, cfg, akj, bkj,
                                       ptop, u0=u0, v0=v0)

@@ -135,6 +135,7 @@ class DynConfig:
     nord_zs_filter: int = 0   # terrain filter order (utils/terrain)
     full_zs_filter: bool = False  # [stored] filter at init vs restart
     na_init: int = 0          # adiabatic init loops (driver adiabatic_init)
+    no_dycore: bool = False   # physics-only mode (driver skips dynamics)
     nudge: bool = False       # grid nudging master switch (physics/nudging)
     nudge_ic: bool = False    # [stored] nudge to a single IC
     nudge_qv: bool = False    # [stored] nudge specific humidity

@@ -64,7 +64,6 @@ _UNSUPPORTED = {
     "reset_eta": "eta re-initialization on restart",
     "non_ortho": "non-orthogonal grid corrections are always on",
     "smag2d": "2-D Smagorinsky damping variant",
-    "no_dycore": "physics-only mode",
     "nudge_ic": None,   # accepted on DynConfig (stored) — kept out of strict
 }
 
@@ -168,7 +167,7 @@ def load_input_nml(path, strict=True, **required):
 
     This is the driver-layer entry: with strict=True (the default) any
     fv_core_nml option whose behavior is not implemented (_UNSUPPORTED,
-    e.g. hybrid_z/make_nh/no_dycore) raises an explicit error rather
+    e.g. hybrid_z/reset_eta/smag2d) raises an explicit error rather
     than being silently dropped."""
     with open(path) as f:
         nml = parse_namelist(f.read())

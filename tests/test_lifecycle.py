@@ -208,3 +208,23 @@ def test_gfdl_driver_input_blocks():
     r = atm.atmos_radiation_driver_inputs()
     assert set(r) == {"p_half", "p_full", "t", "qgrs", "z_half",
                       "z_full", "phis"}
+
+
+def test_no_dycore_physics_only():
+    """no_dycore (fv_arrays.F90): the solo driver runs physics with the
+    dynamics skipped — without physics the state is bitwise unchanged;
+    with Held-Suarez the state evolves only through the forcing."""
+    import numpy as np
+    from gfdl_atmos_cubed_sphere_tpu.driver.solo import Atmosphere
+    atm = Atmosphere(13, 10, 600.0, physics="none",
+                     cfg_overrides=dict(no_dycore=True, n_split=2))
+    s0 = {k: np.asarray(v) for k, v in atm.state.items()}
+    atm.atmosphere()                       # one step
+    for k, v0 in s0.items():
+        np.testing.assert_array_equal(np.asarray(atm.state[k]), v0)
+
+    atm2 = Atmosphere(13, 10, 600.0, physics="hs",
+                      cfg_overrides=dict(no_dycore=True, n_split=2))
+    u0 = np.asarray(atm2.state["u"])
+    atm2.atmosphere()
+    assert np.abs(np.asarray(atm2.state["u"]) - u0).max() > 0.0

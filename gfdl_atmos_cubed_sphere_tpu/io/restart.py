@@ -287,3 +287,19 @@ def add_thermal_noise(pt, amplitude, seed=0):
                               dtype=pt.dtype)
     rms = jnp.sqrt(jnp.mean(pert * amplitude ** 2))
     return pt + pert * amplitude, float(rms)
+
+
+def reset_eta(state, tracers, ak_old, bk_old, g, npz=None, npz_type=None,
+              kord=4, hydrostatic=True):
+    """reset_eta startup option (fv_arrays.F90 reset_eta; the reference
+    re-derives the standard ak/bk tables on restart and remaps the state
+    onto them): rebuild (ak, bk) from set_eta for the requested (or
+    current) npz and vertically remap the restart state. Returns
+    (state, tracers, ak, bk, ptop)."""
+    from ..grid.fv_eta import set_eta
+    K = state["delp"].shape[1] if npz is None else int(npz)
+    kw = {} if npz_type is None else dict(npz_type=npz_type)
+    ks, ptop, ak, bk = set_eta(K, **kw)
+    st2, tr2 = remap_restart(state, tracers, ak_old, bk_old, ak, bk, g,
+                             kord=kord, hydrostatic=hydrostatic)
+    return st2, tr2, ak, bk, ptop

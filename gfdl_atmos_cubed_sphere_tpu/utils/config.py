@@ -61,7 +61,6 @@ _ALIASES = {
 _UNSUPPORTED = {
     "hybrid_z": "hybrid-z vertical coordinate (fv_arrays.F90 hybrid_z)",
     "make_hybrid_z": "hybrid-z vertical coordinate",
-    "reset_eta": "eta re-initialization on restart",
     "non_ortho": "non-orthogonal grid corrections are always on",
     "smag2d": "2-D Smagorinsky damping variant",
     "nudge_ic": None,   # accepted on DynConfig (stored) — kept out of strict
@@ -71,6 +70,7 @@ _UNSUPPORTED = {
 # (io/restart.py make_nh_state / add_thermal_noise).
 _ALIASES["make_nh"] = "io.restart.make_nh_state (w=0 + hydrostatic delz)"
 _ALIASES["add_noise"] = "io.restart.add_thermal_noise"
+_ALIASES["reset_eta"] = "io.restart.reset_eta (rebuild ak/bk + remap)"
 
 
 def parse_namelist(text):

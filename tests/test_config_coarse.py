@@ -168,14 +168,13 @@ def test_shield_namelist_roundtrip():
         assert name in routed, (name, routed)
     # the only leftovers are recognized-unsupported or F90-side physics
     # coupler options — and each is named, not silently dropped
-    # make_nh now routes to io.restart.make_nh_state
-    allowed_left = {"reset_eta", "no_dycore",
-                    "phys_hydrostatic", "use_hydro_pressure"}
+    # make_nh/add_noise/reset_eta route to io.restart startup helpers
+    allowed_left = {"phys_hydrostatic", "use_hydro_pressure"}
     assert set(unknown) <= allowed_left, unknown
     # strict mode rejects unimplemented behavior loudly
     import pytest
-    with pytest.raises(ValueError, match="reset_eta"):
-        dyn_config_from_namelist({"fv_core_nml": {"reset_eta": True,
+    with pytest.raises(ValueError, match="hybrid_z"):
+        dyn_config_from_namelist({"fv_core_nml": {"hybrid_z": True,
                                                   "npx": 13, "npz": 10}},
                                  strict=True, dt=30.0)
     # nwat validation

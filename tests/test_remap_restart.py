@@ -126,3 +126,35 @@ def test_make_nh_and_add_noise():
     assert d.min() >= 0.0 and d.max() <= 0.5
     assert 0.0 < rms < 0.5
     assert np.abs(d).mean() > 0.1
+
+
+def test_reset_eta_roundtrip():
+    """reset_eta (fv_arrays.F90): rebuild the standard ak/bk on restart
+    and remap; with identical source/target coordinates the state
+    round-trips closely, and a perturbed source coordinate is restored
+    to the standard tables."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gfdl_atmos_cubed_sphere_tpu.model.grid_ops import build_grid_ops
+    from gfdl_atmos_cubed_sphere_tpu.grid.fv_eta import set_eta
+    from gfdl_atmos_cubed_sphere_tpu.init.baroclinic import jw_baroclinic
+    from gfdl_atmos_cubed_sphere_tpu.io.restart import reset_eta
+
+    npx, npz = 13, 16
+    g = build_grid_ops(npx, dtype=jnp.float64)
+    ks, ptop, ak, bk = set_eta(npz)
+    ic = jw_baroclinic(g.geom, npz, ak, bk, ptop, moist=True)
+    st = {k: jnp.asarray(ic[k]) for k in ("delp", "pt", "u", "v")}
+    tr = {"sphum": jnp.asarray(ic["sphum"])}
+
+    # perturbed source coordinate (as if the restart used odd levels)
+    ak_p = np.asarray(ak) * 1.02
+    st2, tr2, ak2, bk2, ptop2 = reset_eta(st, tr, ak_p, bk, g)
+    np.testing.assert_allclose(ak2, np.asarray(ak), rtol=1e-12)
+    np.testing.assert_allclose(bk2, np.asarray(bk), rtol=1e-12)
+    assert st2["delp"].shape == st["delp"].shape
+    for k in ("pt", "u", "v"):
+        rel = (np.abs(np.asarray(st2[k]) - np.asarray(st[k]))
+               / (np.abs(np.asarray(st[k])) + 1.0))
+        assert rel.max() < 0.1, (k, rel.max())
+    assert np.isfinite(np.asarray(tr2["sphum"])).all()
